@@ -1,0 +1,276 @@
+"""Vectorized planar geometry predicates (numpy, no GEOS).
+
+Replaces the reference's GDAL/shapely predicate calls:
+  * point-in-polygon  — the rasterize burn tests at
+    ``/root/reference/src/data_engineering/raster_processor.py:154-188``
+    (``all_touched=True`` ⇒ boundary counts as covered, ``:172``) and
+    ``:269-291`` (``all_touched=False`` ⇒ strict center containment,
+    ``:286``), and PostGIS ``ST_Intersects``
+    (``/root/reference/scripts/old_files/sql/rasterize_gpop.sql:7-8``).
+  * validity          — ``features.is_valid_geom`` guards
+    (``raster_processor.py:165`` et al.).
+  * area / rect-clip  — areal interpolation weights
+    (``/root/reference/scripts/jobs/process_raster_layer.py:398-403``).
+
+All functions take (n,2) float64 point arrays / ring-lists from
+``wkb.decode`` and return numpy bool/float arrays — this is what runs
+inside Arrow-batched pandas UDFs (zero per-row Python on the Spark side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wkb
+
+EPS = 1e-9
+
+
+def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
+    return (
+        float(ring[:, 0].min()),
+        float(ring[:, 1].min()),
+        float(ring[:, 0].max()),
+        float(ring[:, 1].max()),
+    )
+
+
+def geom_bbox(g: wkb.Geom) -> tuple[float, float, float, float]:
+    bbs = [ring_bbox(rings[0]) for rings in wkb.polygon_parts(g)]
+    arr = np.array(bbs)
+    return (
+        float(arr[:, 0].min()),
+        float(arr[:, 1].min()),
+        float(arr[:, 2].max()),
+        float(arr[:, 3].max()),
+    )
+
+
+def shoelace_area(ring: np.ndarray) -> float:
+    """Signed area (positive = counter-clockwise)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return float(0.5 * np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def polygon_area(parts: list[list[np.ndarray]]) -> float:
+    """Unsigned area of a (multi)polygon: |shell| − |holes| per part."""
+    total = 0.0
+    for rings in parts:
+        total += abs(shoelace_area(rings[0]))
+        for hole in rings[1:]:
+            total -= abs(shoelace_area(hole))
+    return total
+
+
+def is_valid_polygon(parts: list[list[np.ndarray]]) -> bool:
+    """Cheap validity check in the spirit of ``features.is_valid_geom``:
+    every ring closed, ≥4 vertices, non-zero shell area, finite coords."""
+    for rings in parts:
+        if len(rings) == 0:
+            return False
+        for i, ring in enumerate(rings):
+            if len(ring) < 4:
+                return False
+            if not np.all(np.isfinite(ring)):
+                return False
+            if not (ring[0] == ring[-1]).all():
+                return False
+            if i == 0 and abs(shoelace_area(ring)) < EPS:
+                return False
+    return True
+
+
+def points_on_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Boolean mask: point lies on the ring's boundary (within EPS)."""
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    on = np.zeros(len(px), dtype=bool)
+    for j in range(len(x1)):
+        dx, dy = x2[j] - x1[j], y2[j] - y1[j]
+        cross = (px - x1[j]) * dy - (py - y1[j]) * dx
+        seg2 = dx * dx + dy * dy
+        t = ((px - x1[j]) * dx + (py - y1[j]) * dy) / (seg2 if seg2 > 0 else 1.0)
+        near = (np.abs(cross) <= EPS * max(1.0, np.sqrt(seg2))) & (t >= -EPS) & (
+            t <= 1 + EPS
+        )
+        on |= near
+    return on
+
+
+def _crossings(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Ray-cast crossing parity per point for one ring (vectorized over
+    points AND edges). Half-open rule [y1,y2) makes vertices count once."""
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    # points (n,1) against edges (1,m)
+    pyc = py[:, None]
+    pxc = px[:, None]
+    cond = (y1[None, :] <= pyc) != (y2[None, :] <= pyc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[None, :] + (pyc - y1[None, :]) * (x2 - x1)[None, :] / (y2 - y1)[
+            None, :
+        ]
+    cross = cond & (pxc < xint)
+    return cross.sum(axis=1) % 2 == 1
+
+
+def points_in_polygon(
+    px: np.ndarray,
+    py: np.ndarray,
+    parts: list[list[np.ndarray]],
+    boundary: str = "include",
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Vectorized (multi)polygon containment for point arrays.
+
+    boundary='include' ⇒ intersects semantics (``all_touched=True`` /
+    ``ST_Intersects``); boundary='exclude' ⇒ strict interior
+    (``all_touched=False`` center rule, ``raster_processor.py:286``).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros(len(px), dtype=bool)
+    for s in range(0, len(px), chunk):
+        e = min(s + chunk, len(px))
+        cx, cy = px[s:e], py[s:e]
+        inside = np.zeros(e - s, dtype=bool)
+        onb = np.zeros(e - s, dtype=bool)
+        for rings in parts:
+            in_shell = _crossings(cx, cy, rings[0])
+            for hole in rings[1:]:
+                in_shell &= ~_crossings(cx, cy, hole)
+            inside |= in_shell
+            for ring in rings:
+                onb |= points_on_ring(cx, cy, ring)
+        if boundary == "include":
+            out[s:e] = inside | onb
+        else:
+            out[s:e] = inside & ~onb
+    return out
+
+
+def _segments_intersect_rect(
+    ring: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float
+) -> bool:
+    """True if any ring edge intersects the axis-aligned rectangle
+    (Cohen–Sutherland style outcode rejection + exact segment tests)."""
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    # any endpoint inside
+    in1 = (x1 >= xmin) & (x1 <= xmax) & (y1 >= ymin) & (y1 <= ymax)
+    in2 = (x2 >= xmin) & (x2 <= xmax) & (y2 >= ymin) & (y2 <= ymax)
+    if in1.any() or in2.any():
+        return True
+    # trivially rejected: both endpoints on the same outside side
+    keep = ~(
+        ((x1 < xmin) & (x2 < xmin))
+        | ((x1 > xmax) & (x2 > xmax))
+        | ((y1 < ymin) & (y2 < ymin))
+        | ((y1 > ymax) & (y2 > ymax))
+    )
+    if not keep.any():
+        return False
+    # exact: does the segment cross any of the 4 rect edges?
+    rx = np.array([xmin, xmax, xmax, xmin, xmin])
+    ry = np.array([ymin, ymin, ymax, ymax, ymin])
+    ax, ay, bx, by = x1[keep], y1[keep], x2[keep], y2[keep]
+    for j in range(4):
+        cxj, cyj, dxj, dyj = rx[j], ry[j], rx[j + 1], ry[j + 1]
+        d1 = (bx - ax) * (cyj - ay) - (by - ay) * (cxj - ax)
+        d2 = (bx - ax) * (dyj - ay) - (by - ay) * (dxj - ax)
+        d3 = (dxj - cxj) * (ay - cyj) - (dyj - cyj) * (ax - cxj)
+        d4 = (dxj - cxj) * (by - cyj) - (dyj - cyj) * (bx - cxj)
+        hit = ((d1 * d2) <= 0) & ((d3 * d4) <= 0)
+        if hit.any():
+            return True
+    return False
+
+
+def rect_intersects_polygon(
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    parts: list[list[np.ndarray]],
+) -> bool:
+    """Exact rectangle×(multi)polygon intersection test — used to build
+    conservative-but-tight cell covers (SURVEY.md §7.4 risk 5: polyfill
+    center-rule gaps would silently drop rows; this cover cannot)."""
+    for rings in parts:
+        shell = rings[0]
+        bxmin, bymin, bxmax, bymax = ring_bbox(shell)
+        if bxmax < xmin or bxmin > xmax or bymax < ymin or bymin > ymax:
+            continue
+        # rect corner inside polygon part?
+        cx = np.array([xmin, xmax, xmax, xmin])
+        cy = np.array([ymin, ymin, ymax, ymax])
+        in_shell = _crossings(cx, cy, shell)
+        for hole in rings[1:]:
+            in_shell &= ~_crossings(cx, cy, hole)
+        if in_shell.any():
+            return True
+        # polygon vertex inside rect, or edge crossing rect?
+        for ring in rings:
+            if _segments_intersect_rect(ring, xmin, ymin, xmax, ymax):
+                return True
+    return False
+
+
+def clip_area_rect(
+    parts: list[list[np.ndarray]],
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+) -> float:
+    """Area of polygon ∩ rectangle via Sutherland–Hodgman clipping.
+
+    Powers the area-weighted zonal reallocation (G5/G6,
+    ``process_raster_layer.py:398-403``): weight = clip_area / cell_area.
+    """
+
+    def clip_ring(ring: np.ndarray) -> float:
+        poly = ring[:-1]  # open form
+        for side in range(4):
+            if len(poly) == 0:
+                return 0.0
+            nxt = []
+            n = len(poly)
+            for i in range(n):
+                ax, ay = poly[i]
+                bx, by = poly[(i + 1) % n]
+                if side == 0:
+                    ina, inb = ax >= xmin, bx >= xmin
+                elif side == 1:
+                    ina, inb = ax <= xmax, bx <= xmax
+                elif side == 2:
+                    ina, inb = ay >= ymin, by >= ymin
+                else:
+                    ina, inb = ay <= ymax, by <= ymax
+                if ina:
+                    nxt.append((ax, ay))
+                if ina != inb:
+                    if side == 0:
+                        t = (xmin - ax) / (bx - ax)
+                        nxt.append((xmin, ay + t * (by - ay)))
+                    elif side == 1:
+                        t = (xmax - ax) / (bx - ax)
+                        nxt.append((xmax, ay + t * (by - ay)))
+                    elif side == 2:
+                        t = (ymin - ay) / (by - ay)
+                        nxt.append((ax + t * (bx - ax), ymin))
+                    else:
+                        t = (ymax - ay) / (by - ay)
+                        nxt.append((ax + t * (bx - ax), ymax))
+            poly = np.array(nxt) if nxt else np.empty((0, 2))
+        if len(poly) < 3:
+            return 0.0
+        closed = np.vstack([poly, poly[:1]])
+        return abs(shoelace_area(closed))
+
+    total = 0.0
+    for rings in parts:
+        total += clip_ring(rings[0])
+        for hole in rings[1:]:
+            total -= clip_ring(hole)
+    return max(total, 0.0)

@@ -1,0 +1,185 @@
+"""Unit tests for the vendored geometry kernel (no Spark needed).
+
+Brute-force oracles per SURVEY.md §5.2: numpy/looped reimplementations
+validate PIP, covers, clip areas; hypothesis pins boundary semantics."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from europe_gis_spark.geo import cells, geom, index, proj, wkb
+
+SQUARE = [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])]
+# concave "L" polygon
+LPOLY = [
+    np.array(
+        [[0.0, 0.0], [6.0, 0.0], [6.0, 2.0], [2.0, 2.0], [2.0, 6.0], [0.0, 6.0], [0.0, 0.0]]
+    )
+]
+DONUT = [
+    np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]),
+    np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]]),
+]
+
+
+def test_wkb_roundtrip_polygon():
+    buf = wkb.encode_polygon(DONUT)
+    g = wkb.decode(buf)
+    assert g.kind == wkb.WKB_POLYGON
+    assert len(g.parts) == 2
+    np.testing.assert_allclose(g.parts[0], DONUT[0])
+    np.testing.assert_allclose(g.parts[1], DONUT[1])
+
+
+def test_wkb_roundtrip_multipolygon_and_point():
+    buf = wkb.encode_multipolygon([SQUARE, LPOLY])
+    g = wkb.decode(buf)
+    assert g.kind == wkb.WKB_MULTIPOLYGON
+    assert len(wkb.polygon_parts(g)) == 2
+    p = wkb.decode(wkb.encode_point(3.5, -2.25))
+    np.testing.assert_allclose(p.parts[0], [[3.5, -2.25]])
+
+
+def test_pip_square_interior_exterior_boundary():
+    px = np.array([2.0, 5.0, 0.0, 4.0, 2.0, -1.0])
+    py = np.array([2.0, 2.0, 0.0, 2.0, 0.0, -1.0])
+    inc = geom.points_in_polygon(px, py, [SQUARE], boundary="include")
+    exc = geom.points_in_polygon(px, py, [SQUARE], boundary="exclude")
+    assert inc.tolist() == [True, False, True, True, True, False]
+    assert exc.tolist() == [True, False, False, False, False, False]
+
+
+def test_pip_concave_and_hole():
+    px = np.array([1.0, 4.0, 5.0, 5.0])
+    py = np.array([1.0, 4.0, 1.0, 5.0])
+    got = geom.points_in_polygon(px, py, [LPOLY], boundary="exclude")
+    assert got.tolist() == [True, False, True, False]
+    px = np.array([5.0, 2.0, 4.5])
+    py = np.array([5.0, 2.0, 4.5])
+    got = geom.points_in_polygon(px, py, [DONUT], boundary="exclude")
+    assert got.tolist() == [False, True, False]  # hole interior excluded
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(-12, 12, allow_nan=False, allow_infinity=False),
+    st.floats(-12, 12, allow_nan=False, allow_infinity=False),
+)
+def test_pip_matches_matplotlib_free_oracle(x, y):
+    """Crossing-number oracle written independently (scalar loop)."""
+
+    def scalar_pip(x, y, ring):
+        c = False
+        for i in range(len(ring) - 1):
+            x1, y1 = ring[i]
+            x2, y2 = ring[i + 1]
+            if (y1 <= y) != (y2 <= y):
+                xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                if x < xi:
+                    c = not c
+        return c
+
+    on_b = geom.points_on_ring(np.array([x]), np.array([y]), LPOLY[0])[0]
+    if on_b:  # boundary handled by separate deterministic rule
+        return
+    want = scalar_pip(x, y, LPOLY[0])
+    got = geom.points_in_polygon(np.array([x]), np.array([y]), [LPOLY], "exclude")[0]
+    assert got == want
+
+
+def test_area_and_clip():
+    assert geom.polygon_area([SQUARE]) == pytest.approx(16.0)
+    assert geom.polygon_area([DONUT]) == pytest.approx(96.0)
+    assert geom.clip_area_rect([SQUARE], 2, 2, 10, 10) == pytest.approx(4.0)
+    assert geom.clip_area_rect([DONUT], 3, 3, 7, 7) == pytest.approx(12.0)
+    assert geom.clip_area_rect([SQUARE], 10, 10, 20, 20) == 0.0
+
+
+def test_validity():
+    assert geom.is_valid_polygon([SQUARE])
+    open_ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    assert not geom.is_valid_polygon([[open_ring]])
+    degenerate = np.array([[0, 0], [1, 1], [0, 0], [0, 0]], dtype=float)
+    assert not geom.is_valid_polygon([[degenerate]])
+
+
+def test_cell_id_roundtrip_and_hierarchy():
+    xs = np.array([4_321_000.0, 900_000.5, 7_400_000.0])
+    ys = np.array([3_210_000.0, 900_000.5, 5_500_000.0])
+    cid = cells.cell_id(xs, ys, cells.RES_DEFAULT)
+    xmin, ymin, xmax, ymax = cells.cell_bounds(cid)
+    assert ((xs >= xmin) & (xs < xmax)).all()
+    assert ((ys >= ymin) & (ys < ymax)).all()
+    par = cells.parent(cid, cells.RES_COARSE)
+    assert (cells.cell_res(par) == cells.RES_COARSE).all()
+    for c, p in zip(cid.tolist(), par.tolist()):
+        assert int(cells.parent(np.int64(c), cells.RES_COARSE)) == p
+    kids = cells.children(int(par[0]))
+    assert len(kids) == 4
+    assert (cells.parent(kids, cells.RES_COARSE) == par[0]).all()
+
+
+def test_grid_disk_and_ring():
+    c = int(cells.cell_id(4_321_000.0, 3_210_000.0, 10))
+    assert len(cells.grid_disk(c, 0)) == 1
+    assert len(cells.grid_disk(c, 2)) == 25
+    assert len(cells.grid_ring(c, 2)) == 16
+    assert c in cells.grid_disk(c, 1).tolist()
+    assert c not in cells.grid_ring(c, 1).tolist()
+
+
+def test_cover_polygon_exact_vs_bruteforce():
+    size = cells.cell_size(20)  # 8 m cells
+    # square offset so it straddles cell boundaries
+    sq = [
+        np.array(
+            [
+                [3.0 * size, 2.5 * size],
+                [7.25 * size, 2.5 * size],
+                [7.25 * size, 6.0 * size],
+                [3.0 * size, 6.0 * size],
+                [3.0 * size, 2.5 * size],
+            ]
+        )
+    ]
+    cover = set(cells.cover_polygon([sq], 20).tolist())
+    # brute force: every cell in a window, exact rect-intersect test
+    want = set()
+    for iy in range(0, 10):
+        for ix in range(0, 10):
+            if geom.rect_intersects_polygon(
+                ix * size, iy * size, (ix + 1) * size, (iy + 1) * size, [sq]
+            ):
+                want.add(int((20 << 58) | (iy << 29) | ix))
+    assert cover == want
+    assert len(cover) == 5 * 5  # cells ix∈[3..7], iy∈[2..6]
+
+
+def test_proj_roundtrip():
+    lons = np.array([10.0, -5.2, 24.9, 10.0])
+    lats = np.array([52.0, 40.1, 60.3, 35.0])
+    x, y = proj.forward(lons, lats)
+    assert x[0] == pytest.approx(4_321_000.0)
+    assert y[0] == pytest.approx(3_210_000.0)
+    lon2, lat2 = proj.inverse(x, y)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+
+
+def test_index_assign_points_first_and_all():
+    polys = [
+        ("A", wkb.encode_polygon(SQUARE)),
+        ("B", wkb.encode_polygon([SQUARE[0] + np.array([2.0, 0.0])])),  # overlaps A
+        ("BAD", wkb.encode_polygon([np.array([[0, 0], [1, 1], [0, 0], [0, 0]], dtype=float)])),
+    ]
+    idx = index.build_index(polys, res=21)  # 4 m cells
+    assert idx.poly_ids == ["A", "B"]  # invalid dropped
+    px = np.array([1.0, 3.0, 5.0, 9.0])
+    py = np.array([1.0, 1.0, 1.0, 1.0])
+    rows, ords = index.assign_points(idx, px, py, first_match=False)
+    pairs = {(int(r), idx.poly_ids[o]) for r, o in zip(rows, ords)}
+    assert pairs == {(0, "A"), (1, "A"), (1, "B"), (2, "B")}
+    rows, ords = index.assign_points(idx, px, py, first_match=True)
+    pairs = {(int(r), idx.poly_ids[o]) for r, o in zip(rows, ords)}
+    assert pairs == {(0, "A"), (1, "A"), (2, "B")}
