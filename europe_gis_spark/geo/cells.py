@@ -133,10 +133,13 @@ def cover_polygon(
     out: list[int] = []
     for rings in parts:
         xmin, ymin, xmax, ymax = geom.ring_bbox(rings[0])
-        ix0 = int(np.floor(xmin / size))
-        ix1 = int(np.floor(xmax / size))
-        iy0 = int(np.floor(ymin / size))
-        iy1 = int(np.floor(ymax / size))
+        # widen by one cell so boundary-touching neighbors are kept —
+        # exact "closed cell rect intersects polygon" semantics, matching
+        # ST_Intersects tile selection (rasterize_gpop.sql:7-8)
+        ix0 = max(int(np.floor(xmin / size)) - 1, 0)
+        ix1 = int(np.floor(xmax / size)) + 1
+        iy0 = max(int(np.floor(ymin / size)) - 1, 0)
+        iy1 = int(np.floor(ymax / size)) + 1
         if (ix1 - ix0 + 1) * (iy1 - iy0 + 1) > max_cells:
             raise ValueError(
                 f"cover at res {res} would exceed {max_cells} cells; "

@@ -153,7 +153,9 @@ def test_cover_polygon_exact_vs_bruteforce():
             ):
                 want.add(int((20 << 58) | (iy << 29) | ix))
     assert cover == want
-    assert len(cover) == 5 * 5  # cells ix∈[3..7], iy∈[2..6]
+    # ix∈{2..7} (cell 2 touches the x=3·size edge), iy∈{2..6} (cell 6
+    # touches the y=6·size edge) — touching counts as intersecting
+    assert len(cover) == 6 * 5
 
 
 def test_proj_roundtrip():
