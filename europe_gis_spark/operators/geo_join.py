@@ -1,0 +1,193 @@
+"""Page geo-resolution + cell-bucketed spatial join (the flagship path).
+
+Pipeline (SURVEY.md §7.2 minimum slice):
+
+  pages scan → coordinate extraction (meta/text, Arrow-batched UDF)
+            → hostname-hint fallback (broadcast equi-join, J1)
+            → LAEA projection + cell id (numpy in the same UDF pass)
+            → point-in-polygon against the broadcast PolyIndex
+              (cell probe + exact ray-cast refine, J6)
+            → groupBy(nuts_id).count() (G-agg)
+
+Scale shape: the polygon side (NUTS ≈ 1.5 k, LAU ≈ 1e5) is driver-built
+and broadcast once — the trillion-row page side is processed map-side
+with ZERO shuffle until the final partial+final count aggregation.
+Reference semantics: rasterize burns (``/root/reference/src/
+data_engineering/raster_processor.py:154-188, 269-291``) and PostGIS
+``ST_Intersects`` (``scripts/old_files/sql/rasterize_gpop.sql:7-8``).
+
+The broadcast index is probed inside pandas UDFs; Spark's broadcast
+machinery unpickles it once per Python worker process, not per task
+(SURVEY.md §7.4 risk 6).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extract import html as hx
+from ..geo import cells as gcells
+from ..geo import index as gindex
+from ..geo import proj
+
+RESOLVED_FIELDS = (
+    "lat double, lon double, x double, y double, cell bigint, method string"
+)
+
+
+def resolve_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    host_hints: pd.DataFrame | None = None,
+    res: int = gcells.RES_DEFAULT,
+) -> DataFrame:
+    """Add (lat, lon, x, y, cell, method) to a pages DataFrame.
+
+    One ``mapInPandas`` pass does extraction + projection + cell id —
+    a single JVM↔Python Arrow crossing per batch. Hostname fallback is a
+    tiny dict carried inside the closure (broadcast by task serialization;
+    ≤ a few thousand entries) — rows with no signal keep nulls, they must
+    survive, not be dropped (FIXTURES.md §1).
+    """
+    hints = {}
+    if host_hints is not None and len(host_hints):
+        hints = {
+            r.host: (float(r.lat), float(r.lon)) for r in host_hints.itertuples()
+        }
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pages.schema.fields
+    ) + ", " + RESOLVED_FIELDS
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            lat = np.full(n, np.nan)
+            lon = np.full(n, np.nan)
+            method = np.array([None] * n, dtype=object)
+            htmls = b["html"].tolist()
+            texts = b["text"].tolist()
+            for i in range(n):
+                got = hx.extract_coords(htmls[i], texts[i])
+                if got is not None:
+                    lat[i], lon[i] = got
+                    method[i] = "inline"
+            if hints:
+                hosts = hx.host_series(b["url"])
+                for i, h in enumerate(hosts.tolist()):
+                    if method[i] is None and h in hints:
+                        lat[i], lon[i] = hints[h]
+                        method[i] = "host"
+            x, y = proj.forward(lon, lat)
+            ok = np.isfinite(x) & np.isfinite(y)
+            cell = np.where(
+                ok,
+                gcells.cell_id(np.where(ok, x, 0.0), np.where(ok, y, 0.0), res),
+                -1,
+            )
+            out = b.copy()
+            out["lat"] = lat
+            out["lon"] = lon
+            out["x"] = np.where(ok, x, np.nan)
+            out["y"] = np.where(ok, y, np.nan)
+            out["cell"] = cell.astype(np.int64)
+            out["method"] = method
+            yield out
+
+    return pages.mapInPandas(fn, schema=out_schema)
+
+
+def build_polygon_index_bc(
+    spark: SparkSession,
+    polygons_df: DataFrame,
+    id_col: str = "nuts_id",
+    geom_col: str = "geometry",
+    res: int = gcells.RES_DEFAULT,
+):
+    """Collect the (small) polygon side, build the PolyIndex on the
+    driver, broadcast it. Polygon tables at NUTS/LAU scale are ≤ 1e5 rows
+    (SURVEY.md §1.1.2) — collect is the intended plan, like the
+    reference loading shapefiles whole (raster_processor.py:43-49)."""
+    rows = polygons_df.select(id_col, geom_col).collect()
+    idx = gindex.build_index([(r[0], bytes(r[1])) for r in rows], res=res)
+    return spark.sparkContext.broadcast(idx)
+
+
+def assign_polygons(
+    resolved: DataFrame,
+    idx_bc,
+    boundary: str = "include",
+    first_match: bool = True,
+    keep_cols: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Exact point→polygon assignment via the broadcast index.
+
+    Map-side only (no shuffle): each Arrow batch probes the index and
+    emits (keep_cols…, x, y, cell, poly_id). Unresolved / unmatched rows
+    emit poly_id = NULL so downstream can count coverage.
+    """
+    in_cols = list(keep_cols) + ["x", "y", "cell"]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in resolved.select(*in_cols).schema.fields
+    ) + ", poly_id string"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = idx_bc.value
+        for b in batches:
+            n = len(b)
+            poly = np.array([None] * n, dtype=object)
+            x = b["x"].to_numpy(dtype=np.float64, na_value=np.nan)
+            y = b["y"].to_numpy(dtype=np.float64, na_value=np.nan)
+            ok = np.isfinite(x) & np.isfinite(y)
+            if ok.any():
+                rows, ords = gindex.assign_points(
+                    idx, x[ok], y[ok], boundary=boundary, first_match=first_match
+                )
+                ok_idx = np.nonzero(ok)[0]
+                if first_match:
+                    for r, o in zip(rows, ords):
+                        poly[ok_idx[r]] = idx.poly_ids[o]
+                else:
+                    # multi-match: emit one row per (point, polygon) pair
+                    out = b[in_cols].iloc[ok_idx[rows]].copy()
+                    out["poly_id"] = [idx.poly_ids[o] for o in ords]
+                    miss = np.ones(n, dtype=bool)
+                    miss[ok_idx[rows]] = False
+                    rest = b[in_cols][miss].copy()
+                    rest["poly_id"] = None
+                    yield pd.concat([out, rest], ignore_index=True)
+                    continue
+            out = b[in_cols].copy()
+            out["poly_id"] = poly
+            yield out
+
+    return resolved.mapInPandas(fn, schema=out_schema)
+
+
+def pages_per_region(
+    spark: SparkSession,
+    pages: DataFrame,
+    polygons_df: DataFrame,
+    host_hints: pd.DataFrame | None = None,
+    level: int | None = 3,
+    res: int = gcells.RES_DEFAULT,
+) -> DataFrame:
+    """The §7.2 flagship query: pages per containing admin region."""
+    polys = polygons_df
+    if level is not None and "levl_code" in polygons_df.columns:
+        polys = polygons_df.filter(F.col("levl_code") == level)
+    idx_bc = build_polygon_index_bc(spark, polys, res=res)
+    resolved = resolve_pages(spark, pages, host_hints=host_hints, res=res)
+    assigned = assign_polygons(resolved, idx_bc)
+    return (
+        assigned.groupBy("poly_id")
+        .agg(F.count("*").alias("n_pages"))
+        .withColumnRenamed("poly_id", "nuts_id")
+        .orderBy(F.desc("n_pages"))
+    )
