@@ -1,0 +1,125 @@
+"""kNN ring expansion vs exhaustive oracle; zonal aggs vs numpy oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from europe_gis_spark.datagen import geodata
+from europe_gis_spark.datagen.hashing import uniform
+from europe_gis_spark.operators import knn, zonal
+
+
+@pytest.fixture(scope="module")
+def settle():
+    return geodata.settlements()
+
+
+def test_knn_matches_exhaustive(spark, settle):
+    ids = np.arange(400, dtype=np.uint64)
+    px = geodata.AA_X0 - 5_000.0 + uniform(ids, 7, 1) * (geodata.AA_W + 50_000.0)
+    py = geodata.AA_Y0 - 5_000.0 + uniform(ids, 7, 2) * (geodata.AA_H + 20_000.0)
+    pts = pd.DataFrame({"url": [f"p{i}" for i in range(400)], "x": px, "y": py})
+
+    bundle = knn.build_centroid_buckets(
+        settle["x"].to_numpy(), settle["y"].to_numpy(), settle["settlement_id"].tolist()
+    )
+    bc = spark.sparkContext.broadcast(bundle)
+    got = {
+        r.url: (r.settlement_id, r.dist)
+        for r in knn.nearest_centroid(spark.createDataFrame(pts).repartition(5), bc).collect()
+    }
+    sx = settle["x"].to_numpy()
+    sy = settle["y"].to_numpy()
+    sid = settle["settlement_id"].tolist()
+    for i in range(400):
+        d = np.sqrt((sx - px[i]) ** 2 + (sy - py[i]) ** 2)
+        j = int(np.argmin(d))
+        g_id, g_d = got[f"p{i}"]
+        assert g_id == sid[j], (i, g_id, sid[j])
+        assert g_d == pytest.approx(float(d[j]), rel=1e-12)
+
+
+def test_knn_isolated_point_forces_expansion(spark, settle):
+    """A probe right next to the isolated settlement: its cell is empty
+    of other centroids, nearest must still be S-ISO (ring expansion)."""
+    pts = pd.DataFrame(
+        {"url": ["probe"], "x": [geodata.BB_X0 + geodata.BB_W - 2500.0],
+         "y": [geodata.BB_Y0 + geodata.BB_H - 2500.0]}
+    )
+    bundle = knn.build_centroid_buckets(
+        settle["x"].to_numpy(), settle["y"].to_numpy(), settle["settlement_id"].tolist()
+    )
+    bc = spark.sparkContext.broadcast(bundle)
+    rows = knn.nearest_centroid(spark.createDataFrame(pts), bc).collect()
+    assert rows[0].settlement_id == "S-ISO"
+
+
+@pytest.fixture(scope="module")
+def tiles_cells(spark):
+    tiles = geodata.raster_tiles()
+    df = spark.createDataFrame(tiles)
+    return tiles, zonal.tiles_to_cells(df, tile_w=16)
+
+
+def _tiles_to_numpy(tiles: pd.DataFrame, layer: str) -> np.ndarray:
+    """Oracle: reassemble the full raster grid for one layer."""
+    sub = tiles[tiles.layer == layer]
+    trmax = sub.tile_row.max() + 1
+    tcmax = sub.tile_col.max() + 1
+    full = np.full((trmax * 16, tcmax * 16), -1000.0)
+    for r in sub.itertuples():
+        block = np.array(r.tile).reshape(16, 16)
+        full[r.tile_row * 16 : r.tile_row * 16 + 16, r.tile_col * 16 : r.tile_col * 16 + 16] = block
+    return full
+
+
+def test_tiles_to_cells_roundtrip(spark, tiles_cells):
+    tiles, cells = tiles_cells
+    got = cells.filter("layer = 'dem'").toPandas()
+    full = _tiles_to_numpy(tiles, "dem")
+    assert len(got) == full.size
+    sample = got.sample(200, random_state=0)
+    for r in sample.itertuples():
+        assert full[r.y, r.x] == pytest.approx(r.value, rel=1e-6)
+
+
+def test_avg_downsample_matches_numpy(spark, tiles_cells):
+    tiles, cells = tiles_cells
+    got = {
+        (r.yb, r.xb): (r.avg_value, r.n_px)
+        for r in zonal.avg_downsample(cells, 8).filter("layer='dem'").collect()
+    }
+    full = _tiles_to_numpy(tiles, "dem")
+    H, W = full.shape
+    for yb in range(H // 8):
+        for xb in range(W // 8):
+            block = full[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+            valid = block[block > -1000.0]
+            if len(valid) == 0:
+                assert (yb, xb) not in got
+            else:
+                assert got[(yb, xb)][0] == pytest.approx(valid.mean(), rel=1e-9)
+                assert got[(yb, xb)][1] == len(valid)
+
+
+def test_minmax_normalize_bounds(spark, tiles_cells):
+    _, cells = tiles_cells
+    out = zonal.minmax_normalize(cells).filter("value > -1000").agg(
+        {"norm": "min"}
+    ).collect()
+    lo = out[0][0]
+    hi = zonal.minmax_normalize(cells).agg({"norm": "max"}).collect()[0][0]
+    assert lo == 0 and hi == 255
+
+
+def test_overlap_stats(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["a", "a", "b", "c", "c", "c"],
+                "poly_id": ["P1", "P2", "P1", "P3", "P1", "P2"],
+            }
+        )
+    )
+    got = {r.url: (r.cover_n, r.first_poly, r.on_border) for r in zonal.overlap_stats(pairs).collect()}
+    assert got == {"a": (2, "P1", True), "b": (1, "P1", False), "c": (3, "P1", True)}
