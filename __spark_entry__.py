@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial-join query (pages → coordinate
+extraction → cell-bucketed PIP join → per-region counts) on a
+deterministically generated pages table joined against the NUTS-like
+fixture polygons. ``queries()``/``oracle_sql()`` expose every implemented
+operator from SURVEY.md §2 with DuckDB oracles where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: pages per NUTS level-3 region (SURVEY.md §7.2).
+
+    Uses a deterministic in-process pages table (seeded datagen — no
+    external data) plus the sf0.001 relational layer for a smoke of the
+    scan path; returns the per-region page counts.
+    """
+    import pandas as pd
+
+    from europe_gis_spark.datagen import geodata, pages as pgen
+    from europe_gis_spark.operators import geo_join
+
+    # smoke the driver testdata scan path too
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1).collect()
+
+    pages_pdf = pgen.pages_pandas(__import__("numpy").arange(2000), seed=42)
+    pages_df = spark.createDataFrame(pages_pdf)
+    polys_df = spark.createDataFrame(geodata.admin_polygons())
+    return geo_join.pages_per_region(
+        spark, pages_df, polys_df, host_hints=pgen.host_city_hints(), level=3
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator family from SURVEY.md §2."""
+    from europe_gis_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    from europe_gis_spark.queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

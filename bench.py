@@ -1,0 +1,100 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+pages spatial join (deterministic datagen pages vs NUTS-like fixture
+polygons) whose throughput (pages/sec) is the BASELINE.json target
+metric.
+
+Usage: python bench.py  [--pages N] [--skip-pages]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "semi_anti_join",
+    "value_histogram",
+    "minmax_normalize",
+    "window_topk",
+    "sliding_window",
+    "geo_pip_join",
+    "geo_border_overlap",
+    "geo_knn",
+    "geo_rebin",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "token_stats",
+    "quality_scores",
+    "fingerprint",
+    "cosine_topk",
+]
+
+
+def run_bench(sf_dir: str, n_pages: int, skip_pages: bool, quiet: bool = True) -> dict:
+    from europe_gis_spark.session import get_spark
+    from europe_gis_spark.queries import QUERIES
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    for name in HEADLINE:
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    pages_per_sec = None
+    if not skip_pages:
+        from europe_gis_spark.datagen import geodata, pages as pgen
+        from europe_gis_spark.operators import geo_join
+
+        tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_pages")
+        pages_path = os.path.join(tmp, f"pages_{n_pages}")
+        if not os.path.exists(pages_path):
+            pgen.write_pages(spark, n_pages, pages_path, seed=42, partitions=64)
+        pages_df = spark.read.parquet(pages_path)
+        polys_df = spark.createDataFrame(geodata.admin_polygons())
+        t0 = time.perf_counter()
+        geo_join.pages_per_region(
+            spark, pages_df, polys_df, host_hints=pgen.host_city_hints(), level=3
+        ).collect()
+        dt = time.perf_counter() - t0
+        timings["spatial_join_pages"] = round(dt, 3)
+        pages_per_sec = round(n_pages / dt, 1)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    if pages_per_sec is not None:
+        out["pages_per_sec"] = pages_per_sec
+        out["n_pages"] = n_pages
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=200_000)
+    ap.add_argument("--skip-pages", action="store_true")
+    args = ap.parse_args()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    result = run_bench(sf_dir, args.pages, args.skip_pages)
+    print(json.dumps(result))

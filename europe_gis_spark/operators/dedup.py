@@ -1,0 +1,225 @@
+"""Deduplication operators for web-text corpora (training-data layer).
+
+Four strategies, scale-ranked:
+  * exact        — md5 groupBy (one shuffle on the hash key)
+  * minhash-LSH  — word-shingle → md5 minhash signature → banded buckets
+                   → candidate pairs (the 100 TB path: pair generation is
+                   bucket-local, never all-pairs)
+  * ngram-jaccard — exact verification of candidate pairs (or, at test
+                   scale, of all shingle-sharing pairs)
+  * simhash      — 64-bit bitwise fingerprint, hamming-close pairs via
+                   band rotation (pandas-UDF bit ops)
+
+MinHash uses lexicographic min over md5 hex digests (a hash-min is a
+hash-min; strings avoid engine-specific int hashing) so the DuckDB
+oracle reproduces signatures exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+SHINGLE_WORDS = 5
+N_HASHES = 12
+BAND_SIZE = 3  # 4 bands of 3 hashes
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash (normalized text)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def shingles_df(docs: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
+    """Distinct word k-gram shingles per doc: (doc_id, shingle)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # guard: Spark sequence(1, n) with n < 1 runs DESCENDING — emit an
+    # empty shingle set for too-short docs instead
+    sh = F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Per-doc minhash signature columns mh0..mh{n-1}:
+    mh_j = min(md5(j || ':' || shingle)) over the doc's shingles."""
+    sh = shingles_df(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Banded LSH: equal band-signature ⇒ candidate pair. Pair
+    generation is a self-equi-join per band key — bucket-local, the
+    trick that avoids O(n²) at corpus scale."""
+    sig = minhash_signatures(docs, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, k: int = SHINGLE_WORDS
+) -> DataFrame:
+    """Exact word-k-gram Jaccard over shingle-sharing pairs.
+
+    At 100 TB this runs ONLY on LSH candidates; at test scale the
+    shingle self-join is the exact oracle-checkable form."""
+    sh = shingles_df(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pair_common = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pair_common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")),
+                9,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (vectorized numpy bit ops
+    inside one Arrow batch pass; token hash = splitmix64 of blake2b-64)."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_ids = b["doc_id"].to_numpy()
+            sims = np.zeros(len(b), dtype=np.int64)
+            for i, txt in enumerate(b["text"].tolist()):
+                toks = (txt or "").split()
+                if not toks:
+                    continue
+                hs = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                        )
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                    np.int64
+                )
+                vote = (2 * bits - 1).sum(axis=0)
+                sims[i] = np.int64(
+                    np.uint64(
+                        sum(np.uint64(1) << np.uint64(j) for j in range(64) if vote[j] > 0)
+                    ).astype(np.int64)
+                )
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": sims})
+
+    return docs.select("doc_id", "text").mapInPandas(fn, schema=SIMHASH_SCHEMA)
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Hamming-close pairs via 4×16-bit band buckets (a pair within
+    hamming ≤ 3·16 shares ≥1 band; verify with bit_count)."""
+    sh = simhash(docs)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")

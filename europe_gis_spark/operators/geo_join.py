@@ -131,7 +131,7 @@ def assign_polygons(
     emits (keep_cols…, x, y, cell, poly_id). Unresolved / unmatched rows
     emit poly_id = NULL so downstream can count coverage.
     """
-    in_cols = list(keep_cols) + ["x", "y", "cell"]
+    in_cols = list(keep_cols) + ["x", "y"]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in resolved.select(*in_cols).schema.fields

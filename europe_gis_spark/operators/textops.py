@@ -1,0 +1,105 @@
+"""Text-analysis operators over the documents table (training-data
+pipeline layer): token counting, quality scoring, language-ID hit
+counting, document fingerprinting.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs. Each has an exact ANSI-SQL
+mirror for the DuckDB oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# tiny per-language marker word lists for the n-gram/wordlist heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+
+def tokens_col(col: str = "text"):
+    """Whitespace tokenization (regex split on \\s+ of trimmed text)."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token count + char count + avg token length per document."""
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        (F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+         / F.greatest(F.size(toks), F.lit(1))).alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, whitespace ratio, stopword
+    ratio, non-alphanumeric ratio — the standard web-text filters."""
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    non_alnum = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9 ]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        (stop_hits.cast("double") / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+        (non_alnum.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias(
+            "symbol_ratio"
+        ),
+        (
+            (F.length("text") >= 100)
+            & (stop_hits > 0)
+        ).alias("passes_quality"),
+    )
+
+
+def lang_hits(docs: DataFrame) -> DataFrame:
+    """Language-ID heuristic: marker-word hit counts per language plus
+    the argmax prediction (deterministic tie-break: en>de>fr>es)."""
+    toks = tokens_col()
+    cols = [docs["doc_id"], docs["lang"].alias("lang_true")]
+    def marker_filter(words):
+        # NB: a 2-arg lambda would be treated as (element, index) by
+        # F.filter — keep it unary via this factory
+        return lambda t: t.isin(*words)
+
+    for lang, words in LANG_MARKERS.items():
+        cols.append(
+            F.size(F.filter(toks, marker_filter(words))).alias(f"hits_{lang}")
+        )
+    out = docs.select(*cols)
+    pred = F.when(
+        (F.col("hits_en") >= F.col("hits_de"))
+        & (F.col("hits_en") >= F.col("hits_fr"))
+        & (F.col("hits_en") >= F.col("hits_es")),
+        F.lit("en"),
+    )
+    pred = pred.when(
+        (F.col("hits_de") >= F.col("hits_fr")) & (F.col("hits_de") >= F.col("hits_es")),
+        F.lit("de"),
+    )
+    pred = pred.when(F.col("hits_fr") >= F.col("hits_es"), F.lit("fr")).otherwise(
+        F.lit("es")
+    )
+    return out.withColumn("pred_lang", pred)
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased
+    text — deterministic, engine-portable (Spark md5 == DuckDB md5)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.sha2(norm, 256).alias("fp_sha256"),
+    )

@@ -1,0 +1,812 @@
+"""Query registry: every SURVEY.md §2 operator family exposed as a
+(spark, sf_dir) → DataFrame callable plus (where SQL-expressible) an
+exact DuckDB oracle string.
+
+Cross-engine determinism rules used throughout:
+  * money sums aggregate as decimal(18,2) (exact), cast to double last;
+  * float outputs rounded (4–8 dp) on BOTH sides;
+  * every computed column aliased identically on both sides;
+  * geo points derive from event_id with pure integer arithmetic, so
+    the DuckDB half-plane oracles see bit-identical coordinates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datagen.geodata import AA_X0, AA_Y0
+from .geo import wkb
+from .operators import dedup, geo_join, knn, similarity, textops
+
+# --------------------------------------------------------------------------
+# deterministic geo constants (definitions shared by Spark and the oracles)
+
+PIP_POLYS = [
+    # convex, counter-clockwise, non-lattice vertices
+    ("P1", [(4005000.3, 3005000.1), (4025000.7, 3007000.9), (4012000.1, 3024000.5)]),
+    (
+        "P2",
+        [
+            (4049000.9, 3020000.2),
+            (4044500.6, 3027794.7),
+            (4035500.4, 3027794.3),
+            (4031000.1, 3020000.8),
+            (4035500.2, 3012206.1),
+            (4044500.8, 3012206.9),
+        ],
+    ),
+    (
+        "P3",
+        [
+            (4030000.3, 3000500.2),
+            (4058000.9, 3001000.4),
+            (4057000.5, 3015000.8),
+            (4031000.1, 3014000.6),
+        ],
+    ),
+]
+
+BORDER_RECTS = [
+    ("A", 4010000.3, 3010000.3, 4030000.3, 3030000.3),
+    ("B", 4020000.7, 3005000.7, 4040000.7, 3025000.7),
+]
+
+KNN_ANCHORS = [
+    ("A0", 4004000.3, 3004000.7),
+    ("A1", 4018000.9, 3012000.1),
+    ("A2", 4033000.2, 3008000.6),
+    ("A3", 4047000.8, 3016000.4),
+    ("A4", 4009000.5, 3031000.9),
+    ("A5", 4027000.1, 3027000.3),
+    ("A6", 4052000.6, 3033000.2),
+    ("A7", 4041000.4, 3036000.8),
+]
+
+QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic planar points from events (pure int arithmetic)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.lit(AA_X0) + (F.col("event_id") * 48271 % 60000) + 0.5).alias("x"),
+        (F.lit(AA_Y0) + (F.col("event_id") * 16807 % 40000) + 0.5).alias("y"),
+    )
+
+EVENT_POINTS_SQL = f"""
+SELECT event_id, event_type, value,
+       {AA_X0} + (event_id * 48271 % 60000) + 0.5 AS x,
+       {AA_Y0} + (event_id * 16807 % 40000) + 0.5 AS y
+FROM events
+"""
+
+
+def _halfplane_sql(verts) -> str:
+    """inside-convex-polygon predicate: all edge cross products ≥ 0."""
+    terms = []
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        terms.append(
+            f"(({x2!r} - {x1!r}) * (y - {y1!r}) - ({y2!r} - {y1!r}) * (x - {x1!r})) >= 0"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def _poly_wkb(verts) -> bytes:
+    ring = np.array(list(verts) + [verts[0]], dtype=np.float64)
+    return wkb.encode_polygon([ring])
+
+
+# --------------------------------------------------------------------------
+# relational layer (scans, filters, joins, aggs, windows, sets, sampling)
+
+
+def q_pricing_summary(spark, sf_dir):
+    """G-aggs + filter pushdown (S2/P/G families, TPC-H Q1 shape)."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+            F.round(F.avg(F.col("l_discount")), 6).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       COUNT(*) AS count_order,
+       ROUND(AVG(l_discount), 6) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """3-way join + agg + deterministic top-k (J1, O-sort)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "c_custkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_TOP_REVENUE = """
+SELECT o_orderkey, c_custkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, c_custkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q_nation_revenue(spark, sf_dir):
+    """Broadcast dimension joins (J1) + agg over the star schema."""
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_semi_anti(spark, sf_dir):
+    """Semi/anti joins (P2/P3/U3): customers without orders, by nation."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_SEMI_ANTI = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def q_union_slices(spark, sf_dir):
+    """unionByName (U1) of two filtered slices + dedupe count (G7)."""
+    ev = _read(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("event_id", "event_type")
+    b = ev.filter(F.col("value") > 400.0).select("event_id", "event_type")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+SQL_UNION_SLICES = """
+SELECT event_type, COUNT(*) AS n_events FROM (
+  SELECT DISTINCT event_id, event_type FROM (
+    SELECT event_id, event_type FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE value > 400.0
+  )
+) GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_histogram(spark, sf_dir):
+    """Value histogram (G7/G8): fixed-width buckets of events.value."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50.0).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT CAST(FLOOR(value / 50.0) AS INT) AS bucket, COUNT(*) AS n
+FROM events GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_minmax_normalize(spark, sf_dir):
+    """G8+F5: per-type min-max normalization (two-pass, broadcast join
+    of the stats back — the normalize pattern of dataset_creation.py:
+    256-261)."""
+    ev = _read(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin")), 6
+            ).alias("norm"),
+        )
+        .filter(F.col("event_id") % 17 == 0)
+        .orderBy("event_id")
+    )
+
+
+SQL_MINMAX = """
+SELECT event_id, event_type,
+       ROUND((value - vmin) / (vmax - vmin), 6) AS norm
+FROM events JOIN (
+  SELECT event_type AS et, MIN(value) AS vmin, MAX(value) AS vmax
+  FROM events GROUP BY event_type
+) ON event_type = et
+WHERE event_id % 17 = 0
+ORDER BY event_id
+"""
+
+
+def q_window_topk(spark, sf_dir):
+    """SQL window ranking (O top-k per group): top-3 events per user."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .filter(F.col("user_id") % 11 == 0)
+        .select("user_id", "rk", "event_id", "value")
+        .orderBy("user_id", "rk")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT user_id, rk, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rk
+  FROM events
+) WHERE rk <= 3 AND user_id % 11 = 0
+ORDER BY user_id, rk
+"""
+
+
+def q_sliding_window(spark, sf_dir):
+    """Frame window (W-analog): trailing mean over 3 preceding rows —
+    the 1-D relational form of the reference's 2-D sliding windows
+    (dataset_creation.py:20-36)."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return (
+        ev.withColumn("trail_avg", F.round(F.avg("value").over(w), 6))
+        .withColumn("trail_min", F.min("value").over(w))
+        .filter(F.col("user_id") % 23 == 0)
+        .select("user_id", "event_id", "trail_avg", "trail_min")
+        .orderBy("user_id", "event_id")
+    )
+
+
+SQL_SLIDING = """
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER w, 6) AS trail_avg,
+       MIN(value) OVER w AS trail_min
+FROM events
+WHERE user_id % 23 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Deterministic 'sample' via modulo (O1/O5 stand-in that is
+    oracle-checkable; randomSplit/sampleBy are seeded variants)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") % 10 == 3)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("event_type")
+    )
+
+
+SQL_SAMPLE = """
+SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+FROM events WHERE event_id % 10 = 3
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# geo layer over event-derived points (real engine machinery vs
+# half-plane / arithmetic oracles)
+
+
+def q_geo_pip(spark, sf_dir):
+    """Cell-bucketed PIP join (J3/J6): region assignment + counts."""
+    pts = event_points(spark, sf_dir)
+    polys = [(pid, _poly_wkb(v)) for pid, v in PIP_POLYS]
+    import pandas as pd
+
+    polys_df = spark.createDataFrame(
+        pd.DataFrame(polys, columns=["nuts_id", "geometry"])
+    )
+    idx_bc = geo_join.build_polygon_index_bc(spark, polys_df)
+    assigned = geo_join.assign_polygons(
+        pts, idx_bc, keep_cols=("event_id", "value")
+    )
+    return (
+        assigned.groupBy("poly_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy(F.asc_nulls_first("poly_id"))
+    )
+
+
+def _sql_geo_pip() -> str:
+    cases = " ".join(
+        f"WHEN {_halfplane_sql(v)} THEN '{pid}'" for pid, v in PIP_POLYS
+    )
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+assigned AS (
+  SELECT event_id, value, CASE {cases} ELSE NULL END AS poly_id FROM pts
+)
+SELECT poly_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM assigned GROUP BY poly_id ORDER BY poly_id NULLS FIRST
+"""
+
+
+def q_geo_border(spark, sf_dir):
+    """Overlap counting (G3): points covered by ≥k rectangles."""
+    pts = event_points(spark, sf_dir)
+    polys = [
+        (pid, _poly_wkb([(x0, y0), (x1, y0), (x1, y1), (x0, y1)]))
+        for pid, x0, y0, x1, y1 in BORDER_RECTS
+    ]
+    import pandas as pd
+
+    polys_df = spark.createDataFrame(
+        pd.DataFrame(polys, columns=["nuts_id", "geometry"])
+    )
+    idx_bc = geo_join.build_polygon_index_bc(spark, polys_df)
+    pairs = geo_join.assign_polygons(
+        pts, idx_bc, keep_cols=("event_id",), first_match=False
+    )
+    per_event = pairs.groupBy("event_id").agg(
+        F.count("poly_id").alias("cover_n")
+    )
+    return (
+        per_event.groupBy("cover_n")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("cover_n")
+    )
+
+
+def _sql_geo_border() -> str:
+    fields = []
+    for pid, x0, y0, x1, y1 in BORDER_RECTS:
+        fields.append(
+            f"(CASE WHEN x >= {x0!r} AND x <= {x1!r} AND y >= {y0!r} AND y <= {y1!r} THEN 1 ELSE 0 END)"
+        )
+    cover = " + ".join(fields)
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL})
+SELECT cover_n, COUNT(*) AS n_events
+FROM (SELECT {cover} AS cover_n FROM pts)
+GROUP BY cover_n ORDER BY cover_n
+"""
+
+
+def q_geo_knn(spark, sf_dir):
+    """Ring-expansion kNN (J9) to fixed anchors, exhaustive oracle."""
+    pts = event_points(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
+    xs = np.array([a[1] for a in KNN_ANCHORS])
+    ys = np.array([a[2] for a in KNN_ANCHORS])
+    ids = [a[0] for a in KNN_ANCHORS]
+    bundle = knn.build_centroid_buckets(xs, ys, ids)
+    bc = spark.sparkContext.broadcast(bundle)
+    out = knn.nearest_centroid(pts, bc, keep_cols=("event_id",))
+    return out.select(
+        "event_id",
+        F.col("settlement_id").alias("anchor_id"),
+        F.round("dist", 6).alias("dist"),
+    ).orderBy("event_id")
+
+
+def _sql_geo_knn() -> str:
+    anchors = ", ".join(f"('{a}', {x!r}, {y!r})" for a, x, y in KNN_ANCHORS)
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+anchors(aid, ax, ay) AS (VALUES {anchors}),
+d AS (
+  SELECT event_id, aid,
+         (x - ax) * (x - ax) + (y - ay) * (y - ay) AS d2
+  FROM pts, anchors WHERE event_id % 7 = 0
+)
+SELECT event_id, ARG_MIN(aid, d2) AS anchor_id,
+       ROUND(SQRT(MIN(d2)), 6) AS dist
+FROM d GROUP BY event_id ORDER BY event_id
+"""
+
+
+def q_geo_rebin(spark, sf_dir):
+    """Average-downsample re-bin (G2): 4 km cells over event points."""
+    pts = event_points(spark, sf_dir)
+    return (
+        pts.groupBy(
+            F.floor((F.col("x") - AA_X0) / 4000.0).cast("int").alias("xb"),
+            F.floor((F.col("y") - AA_Y0) / 4000.0).cast("int").alias("yb"),
+        )
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("xb", "yb")
+    )
+
+
+SQL_GEO_REBIN = f"""
+WITH pts AS ({EVENT_POINTS_SQL})
+SELECT CAST(FLOOR((x - {AA_X0}) / 4000.0) AS INT) AS xb,
+       CAST(FLOOR((y - {AA_Y0}) / 4000.0) AS INT) AS yb,
+       COUNT(*) AS n_points, ROUND(AVG(value), 6) AS avg_value
+FROM pts GROUP BY 1, 2 ORDER BY xb, yb
+"""
+
+
+def q_geo_bbox(spark, sf_dir):
+    """Bounding-box aggregate (G1) per event type."""
+    pts = event_points(spark, sf_dir)
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            F.min("x").alias("xmin"),
+            F.min("y").alias("ymin"),
+            F.max("x").alias("xmax"),
+            F.max("y").alias("ymax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_GEO_BBOX = f"""
+WITH pts AS ({EVENT_POINTS_SQL})
+SELECT event_type, MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax
+FROM pts GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# documents: text analysis + dedup (training-data layer)
+
+# planted duplicates: every 20th doc reappears with doc_id+100000 (exact
+# dup) and every 25th with one prepended token (near dup), built
+# identically in both engines.
+def _docs_with_dups(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("zz "), F.col("text")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+DOCS_DUPS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, 'zz ' || text AS text FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dup_groups(_docs_with_dups(spark, sf_dir)).orderBy("fp")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH docs AS ({DOCS_DUPS_SQL})
+SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM (SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS fp FROM docs)
+GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _sql_minhash() -> str:
+    mh_cols = ", ".join(
+        f"MIN(MD5('{j}:' || shingle)) AS mh{j}" for j in range(dedup.N_HASHES)
+    )
+    n_bands = dedup.N_HASHES // dedup.BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, mh{i0} || '|' || mh{i1} || '|' || mh{i2} AS key FROM sig".format(
+            b=b, i0=b * 3, i1=b * 3 + 1, i2=b * 3 + 2
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH docs AS ({DOCS_DUPS_SQL}),
+toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') t FROM docs),
+sh AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(
+    [ARRAY_TO_STRING(t[i:i+4], ' ') FOR i IN RANGE(1, GREATEST(LEN(t) - 3, 1))]
+  )) AS shingle FROM toks
+),
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def _sql_jaccard() -> str:
+    return f"""
+WITH docs AS ({DOCS_DUPS_SQL}),
+toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') t FROM docs),
+sh AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(
+    [ARRAY_TO_STRING(t[i:i+4], ' ') FOR i IN RANGE(1, GREATEST(LEN(t) - 3, 1))]
+  )) AS shingle FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 9) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs — non-SQL-expressible (blake2b bit ops);
+    rows-only driver check, exactness covered in pytest."""
+    return dedup.simhash_near_pairs(_docs_with_dups(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return (
+        textops.token_stats(d)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars_actual",
+            F.round("avg_token_len", 6).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens,
+       LENGTH(text) AS n_chars_actual,
+       ROUND(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g'))
+             / GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')), 1), 6) AS avg_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return (
+        textops.quality_scores(d)
+        .select(
+            "doc_id",
+            "n_chars_actual",
+            "n_tokens",
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            F.round("symbol_ratio", 6).alias("symbol_ratio"),
+            "passes_quality",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       LENGTH(text) AS n_chars_actual,
+       LEN(toks) AS n_tokens,
+       ROUND(CAST(LEN(LIST_FILTER(toks, x -> x IN {textops.STOPWORDS!r})) AS DOUBLE)
+             / GREATEST(LEN(toks), 1), 6) AS stopword_ratio,
+       ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1), 6) AS symbol_ratio,
+       (LENGTH(text) >= 100 AND LEN(LIST_FILTER(toks, x -> x IN {textops.STOPWORDS!r})) > 0) AS passes_quality
+FROM t ORDER BY doc_id
+"""
+
+
+def q_lang_hits(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return textops.lang_hits(d).orderBy("doc_id")
+
+
+def _sql_lang_hits() -> str:
+    hit_cols = ",\n       ".join(
+        f"LEN(LIST_FILTER(toks, x -> x IN {words!r})) AS hits_{lang}"
+        for lang, words in textops.LANG_MARKERS.items()
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks FROM documents)
+SELECT doc_id, lang AS lang_true,
+       {hit_cols},
+       CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+            WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+            WHEN hits_fr >= hits_es THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM t ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return textops.fingerprint(d).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS fp,
+       SHA256(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS fp_sha256
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, QUERY_VEC, k=10)
+
+
+def _sql_cosine_topk() -> str:
+    qv = "[" + ", ".join(repr(v) for v in QUERY_VEC) + "]"
+    return f"""
+WITH c AS (
+  SELECT vec_id, label,
+         ROUND(LIST_DOT_PRODUCT(embedding::DOUBLE[], {qv})
+               / (SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * SQRT(LIST_DOT_PRODUCT({qv}, {qv}))), 8) AS cosine
+  FROM embeddings
+)
+SELECT vec_id, label, cosine FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Multi-probe LSH ANN — recall vs brute force is pytest-gated;
+    rows-only driver check (hyperplanes not SQL-expressible)."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(e, QUERY_VEC, k=10)
+
+
+def q_embed_dups(spark, sf_dir):
+    """Embedding near-dup pairs via LSH buckets — rows-only check."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.pairwise_cosine_dups(e, threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
+    "union_slices": (q_union_slices, SQL_UNION_SLICES),
+    "value_histogram": (q_histogram, SQL_HISTOGRAM),
+    "minmax_normalize": (q_minmax_normalize, SQL_MINMAX),
+    "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
+    "sliding_window": (q_sliding_window, SQL_SLIDING),
+    "deterministic_sample": (q_deterministic_sample, SQL_SAMPLE),
+    "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
+    "geo_border_overlap": (q_geo_border, _sql_geo_border()),
+    "geo_knn": (q_geo_knn, _sql_geo_knn()),
+    "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
+    "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
+    "dedup_ngram_jaccard": (q_dedup_jaccard, _sql_jaccard()),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_scores": (q_quality, SQL_QUALITY),
+    "lang_hits": (q_lang_hits, _sql_lang_hits()),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
+    "ann_lsh_topk": (q_ann_lsh, None),
+    "embedding_dups": (q_embed_dups, None),
+}

@@ -1,0 +1,107 @@
+"""N vs 4N parallelism scaling evidence (BASELINE.md sandbox protocol).
+
+Runs the identical flagship spatial join on the identical input at
+local[8] and local[32] in separate JVMs (subprocesses), reports
+throughput at both and efficiency = T(4N) / (4 · T(N)), and rewrites
+BENCH/BASELINE.md.
+
+Usage: python scripts_local/scaling_bench.py [--pages 400000] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from europe_gis_spark.session import get_spark
+from europe_gis_spark.datagen import geodata, pages as pgen
+from europe_gis_spark.operators import geo_join
+
+cores = int(sys.argv[1]); n_pages = int(sys.argv[2]); runs = int(sys.argv[3])
+spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=max(cores, 8))
+spark.sparkContext.setLogLevel("ERROR")
+pages_path = os.path.join({repo!r}, ".bench_pages", f"pages_{{n_pages}}")
+if not os.path.exists(pages_path):
+    pgen.write_pages(spark, n_pages, pages_path, seed=42, partitions=64)
+pages_df = spark.read.parquet(pages_path)
+polys_df = spark.createDataFrame(geodata.admin_polygons())
+hints = pgen.host_city_hints()
+# warmup (JIT, python worker pool)
+geo_join.pages_per_region(spark, pages_df.limit(20000), polys_df, host_hints=hints).collect()
+best = None
+for _ in range(runs):
+    t0 = time.perf_counter()
+    rows = geo_join.pages_per_region(spark, pages_df, polys_df, host_hints=hints).collect()
+    dt = time.perf_counter() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({{"cores": cores, "sec": best, "pages_per_sec": n_pages / best,
+                   "n_regions": len(rows)}}))
+spark.stop()
+"""
+
+
+def run_child(cores: int, n_pages: int, runs: int) -> dict:
+    code = CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), str(n_pages), str(runs)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=400_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--n", type=int, default=8)
+    args = ap.parse_args()
+    lo = run_child(args.n, args.pages, args.runs)
+    hi = run_child(args.n * 4, args.pages, args.runs)
+    eff = hi["pages_per_sec"] / (4.0 * lo["pages_per_sec"])
+    report = {
+        "n_cores": args.n,
+        "n4_cores": args.n * 4,
+        "n_pages": args.pages,
+        "throughput_N": round(lo["pages_per_sec"], 1),
+        "throughput_4N": round(hi["pages_per_sec"], 1),
+        "sec_N": round(lo["sec"], 3),
+        "sec_4N": round(hi["sec"], 3),
+        "efficiency": round(eff, 3),
+    }
+    print(json.dumps(report))
+    md = f"""# BENCH/BASELINE — measured scaling evidence
+
+Flagship spatial join (pages → extract → project → cell-bucketed PIP →
+per-region counts) on {args.pages:,} deterministic synthetic pages vs the
+41-polygon NUTS-like fixture set. Identical job + input at two local
+parallelism levels (sandbox protocol from /root/repo/BASELINE.md — no
+real cluster available here).
+
+| parallelism | wall sec | pages/sec |
+| --- | --- | --- |
+| local[{args.n}] (N) | {report['sec_N']} | {report['throughput_N']:,} |
+| local[{args.n * 4}] (4N) | {report['sec_4N']} | {report['throughput_4N']:,} |
+
+**Scaling efficiency = T(4N) / (4 × T(N)) = {report['efficiency']}** (target ≥ 0.8).
+
+Methodology: best of {args.runs} timed runs after one warmup per level;
+each level runs in its own JVM (subprocess); pages table generated once
+(seeded, partitioning-independent) and reused by both levels.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Tests for checkpoint/resume, 2-D patch windows, skew salting,
+streaming incremental ingest, multimodal stubs, dedup/ANN recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from europe_gis_spark.checkpoint import lineage
+from europe_gis_spark.datagen import geodata
+from europe_gis_spark.operators import dedup, multimodal, similarity, skew, windows
+from europe_gis_spark.streaming import incremental
+
+
+# ------------------------------------------------------------- checkpoint
+def test_checkpoint_resume_idempotent(spark, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    units = spark.range(0, 8).select(F.col("id").alias("unit_id"))
+    calls = []
+
+    def process(pend):
+        calls.append(pend.count())
+        return pend.withColumn("payload", F.col("unit_id") * 10)
+
+    n1 = lineage.run_with_checkpoint(spark, units, process, out, ckpt, "run1")
+    assert n1 == 8
+    # resume: nothing pending, process not re-run
+    n2 = lineage.run_with_checkpoint(spark, units, process, out, ckpt, "run1")
+    assert n2 == 0
+    assert calls == [8]
+    # new units only are processed on the next increment
+    units2 = spark.range(0, 12).select(F.col("id").alias("unit_id"))
+    n3 = lineage.run_with_checkpoint(spark, units2, process, out, ckpt, "run1")
+    assert n3 == 4
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    ck = spark.read.parquet(ckpt)
+    assert ck.count() == 12  # one lineage row per unit
+    assert set(ck.columns) == {
+        "run_id", "unit_id", "bounds", "row_count", "files", "inserted_utc",
+    }
+
+
+# ------------------------------------------------------------- 2-D windows
+def test_patch_extraction_matches_numpy(spark):
+    tiles = geodata.raster_tiles()
+    df = spark.createDataFrame(tiles[tiles.layer == "dem"])
+    win = 5
+    got = windows.extract_patches(df, tile_w=16, win=win).toPandas()
+
+    # oracle: whole-raster numpy sliding windows with BAD padding
+    sub = tiles[tiles.layer == "dem"]
+    H = (sub.tile_row.max() + 1) * 16
+    W = (sub.tile_col.max() + 1) * 16
+    full = np.full((H + win - 1, W + win - 1), windows.BAD_VALUE, dtype=np.float32)
+    for r in sub.itertuples():
+        full[r.tile_row * 16 : r.tile_row * 16 + 16, r.tile_col * 16 : r.tile_col * 16 + 16] = (
+            np.array(r.tile, dtype=np.float32).reshape(16, 16)
+        )
+    sw = np.lib.stride_tricks.sliding_window_view(full, (win, win))
+    assert len(got) == H * W
+    sample = got.sample(300, random_state=1)
+    for r in sample.itertuples():
+        want_patch = sw[r.i, r.j].ravel()
+        np.testing.assert_array_equal(np.array(r.patch, dtype=np.float32), want_patch)
+        assert r.valid == bool(want_patch.min() > windows.BAD_VALUE)
+        assert r.label == full[r.i + win // 2, r.j + win // 2]
+
+
+def test_batched_inference(spark):
+    pdf = pd.DataFrame(
+        {"sid": list(range(50)), "patch": [[float(i), float(i + 1)] for i in range(50)]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = windows.batched_inference(df, lambda m: m.sum(axis=1)).toPandas()
+    assert sorted(out.pred.tolist()) == sorted([2.0 * i + 1 for i in range(50)])
+
+
+# ------------------------------------------------------------- skew salting
+def test_salted_join_preserves_multiplicity(spark):
+    # hot cell 7 with 2000 rows, cold cells with a few
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell": [7] * 2000 + [1, 2, 3] * 10,
+                "v": list(range(2030)),
+            }
+        )
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame({"cell": [7, 1, 2, 3, 9], "name": ["h", "a", "b", "c", "z"]})
+    )
+    freq = skew.cell_frequencies(probe, sample_frac=0.5, seed=1)
+    salts = skew.salt_map(freq, rows_per_task=100.0, max_salt=8)
+    got = skew.salted_join(probe, build, salts).groupBy("cell").count().collect()
+    want = {7: 2000, 1: 10, 2: 10, 3: 10}
+    assert {r.cell: r["count"] for r in got} == want
+    # plain join equality
+    plain = probe.join(build, "cell").groupBy("cell").count().collect()
+    assert {r.cell: r["count"] for r in plain} == want
+
+
+# ------------------------------------------------------------- streaming
+def test_incremental_ingest_availablenow(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    spark.range(0, 100).write.parquet(src + "/batch1")
+    schema = "id long"
+    incremental.incremental_ingest(spark, src + "/*", dst, ck, schema)
+    assert spark.read.parquet(dst).count() == 100
+    # new files arrive; second availableNow run picks up only those
+    spark.range(100, 150).write.parquet(src + "/batch2")
+    incremental.incremental_ingest(spark, src + "/*", dst, ck, schema)
+    got = spark.read.parquet(dst)
+    assert got.count() == 150
+    assert got.select(F.countDistinct("id")).collect()[0][0] == 150
+
+
+def test_windowed_event_counts_batch(spark):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:10"]
+            ),
+            "event_type": ["a", "a", "a"],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    out = incremental.windowed_event_counts(spark.createDataFrame(pdf)).collect()
+    got = {(r.win.start.hour, r.n, r.sum_value) for r in out}
+    assert got == {(0, 2, 3.0), (1, 1, 3.0)}
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_stub_plumbing(spark):
+    pdf = pd.DataFrame(
+        {
+            "url": ["u1", "u2", "u3"],
+            "payload": [b"abc", b"", b"xyz" * 100],
+        }
+    )
+    out = multimodal.image_features(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 3
+    assert set(out.columns) == {"key", "mean_r", "mean_g", "mean_b", "phash"}
+    # deterministic: same payload → same features
+    out2 = multimodal.image_features(spark.createDataFrame(pdf)).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("key").reset_index(drop=True),
+        out2.sort_values("key").reset_index(drop=True),
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"real", fake=False)
+
+
+# ------------------------------------------------------------- dedup & ANN
+def test_simhash_finds_planted_near_dups(spark):
+    base = ["alpha beta gamma delta epsilon zeta eta theta " * 6]
+    texts = [base[0], base[0].replace("gamma", "gampa", 1), "totally different words here " * 8]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+    )
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=16).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ann_recall_vs_brute_force(spark):
+    sf = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    from europe_gis_spark.queries import QUERY_VEC
+
+    bf = [r.vec_id for r in similarity.brute_force_topk(e, QUERY_VEC, 10).collect()]
+    ann = [r.vec_id for r in similarity.ann_topk(e, QUERY_VEC, 10).collect()]
+    recall = len(set(bf) & set(ann)) / 10
+    assert recall >= 0.5, f"ANN recall {recall} too low"
