@@ -1,0 +1,133 @@
+"""Population-grid pipeline: CSV attribute scan → union → attribute join
+→ overlay (polygon×polygon intersection) → area-weighted zonal sums.
+
+Reference path (``build_population_raster``):
+  * two attribute CSVs with explicit dtypes + projection, concatenated
+    (``/root/reference/src/data_engineering/raster_processor.py:240-254``)
+    → S2 + U1;
+  * left merge onto the polygon grid on ``GRD_ID``
+    (``raster_processor.py:258``) → J1 broadcast hash join; the SQL
+    update-join variant (``scripts/old_files/sql/gpopupdate.sql:1-9``)
+    → J2 expressed as join + column overwrite;
+  * ``gpd.overlay(…, how='intersection')`` + area-fraction reallocation
+    (``scripts/jobs/process_raster_layer.py:398-432``) → J3/G5/G6: cell
+    cover bucketing + exact rect×polygon clip areas (Sutherland–Hodgman)
+    inside one pandas UDF, then a plain groupBy sum;
+  * missing tiles NULL→0 fill on the left join
+    (``scripts/old_files/sql/rasterize_gpop.sql:11-17``) → J5 coalesce.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import cells as gcells
+from ..geo import geom, wkb
+
+ATTR_SCHEMA = T.StructType(
+    [
+        T.StructField("grd_id", T.StringType(), False),
+        T.StructField("tot_p", T.IntegerType(), True),
+    ]
+)
+
+
+def read_attr_csvs(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S2 + U1: schema-pinned CSV scans unioned by name (never
+    inferSchema — SURVEY.md §1.3)."""
+    dfs = [
+        spark.read.schema(ATTR_SCHEMA).option("header", "true").csv(p).select(
+            "grd_id", "tot_p"
+        )
+        for p in paths
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def attribute_join(grid: DataFrame, attrs: DataFrame) -> DataFrame:
+    """J1/J2/J5: broadcast-left attribute join with NULL→0 fill —
+    equivalently the UPDATE…FROM of gpopupdate.sql."""
+    return grid.join(F.broadcast(attrs), "grd_id", "left").withColumn(
+        "tot_p", F.coalesce(F.col("tot_p"), F.lit(0))
+    )
+
+
+def overlay_weights(
+    grid: DataFrame,
+    polygons: list[tuple[str, bytes]],
+    res: int = gcells.RES_DEFAULT,
+) -> DataFrame:
+    """J3/G6: polygon×grid-square intersection areas.
+
+    The (small) zone-polygon list is decoded once per Python worker from
+    the task closure; grid squares stream through in Arrow batches; each
+    batch computes exact clip areas only against cell-cover candidates.
+    Output: (grd_id, zone_id, area_frac) with area_frac = |cell ∩ zone|
+    / |cell| — the areal-interpolation weight of
+    process_raster_layer.py:402-403.
+    """
+    decoded = []
+    for pid, buf in polygons:
+        parts = wkb.polygon_parts(wkb.decode(buf))
+        if geom.is_valid_polygon(parts):
+            cover = set(gcells.cover_polygon(parts, res).tolist())
+            decoded.append((pid, parts, cover))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_grd, out_zone, out_frac = [], [], []
+            x0 = b["x0"].to_numpy()
+            y0 = b["y0"].to_numpy()
+            size = b["size"].to_numpy()
+            grd = b["grd_id"].tolist()
+            for i in range(len(b)):
+                cx0, cy0, s = x0[i], y0[i], size[i]
+                cell_area = s * s
+                ring = np.array(
+                    [[cx0, cy0], [cx0 + s, cy0], [cx0 + s, cy0 + s],
+                     [cx0, cy0 + s], [cx0, cy0]]
+                )
+                ccells = set(gcells.cover_polygon([[ring]], res).tolist())
+                for pid, parts, cover in decoded:
+                    if not (ccells & cover):
+                        continue
+                    a = geom.clip_area_rect(parts, cx0, cy0, cx0 + s, cy0 + s)
+                    if a > 0:
+                        out_grd.append(grd[i])
+                        out_zone.append(pid)
+                        out_frac.append(a / cell_area)
+            yield pd.DataFrame(
+                {"grd_id": out_grd, "zone_id": out_zone, "area_frac": out_frac}
+            )
+
+    src = grid.select(
+        "grd_id", "x0", "y0", F.lit(1000.0).alias("size")
+        if "size" not in grid.columns
+        else F.col("size"),
+    )
+    return src.mapInPandas(fn, schema="grd_id string, zone_id string, area_frac double")
+
+
+def zonal_population(
+    grid_attrs: DataFrame, weights: DataFrame
+) -> DataFrame:
+    """G5: Σ tot_p · area_frac per zone (area-weighted reallocation,
+    process_raster_layer.py:420-432)."""
+    return (
+        grid_attrs.select("grd_id", "tot_p")
+        .join(weights, "grd_id")
+        .groupBy("zone_id")
+        .agg(
+            F.round(F.sum(F.col("tot_p") * F.col("area_frac")), 6).alias("pop_sum"),
+            F.count("*").alias("n_cells"),
+        )
+    )

@@ -81,19 +81,30 @@ def ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 8,
-    probe_hamming: int = 1,
+    n_planes: int = 5,
+    probe_hamming: int = 2,
     seed: int = 7,
 ) -> DataFrame:
     """ANN: search only buckets within ``probe_hamming`` of the query's
     bucket (multi-probe LSH), then exact cosine inside the candidates.
-    Recall < 1 by design; pytest checks recall against brute force."""
+    Recall < 1 by design; pytest checks recall against brute force.
+
+    Defaults (5 planes, hamming ≤ 2) probe ≈ half the corpus on
+    uniform-random embeddings — real embedding distributions cluster,
+    where the same settings probe far less; tune per corpus."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
     qbits = (planes @ np.asarray(query_vec, dtype=np.float64) > 0).astype(int)
     qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
-    probe = [qbucket]
+    probe = {qbucket}
     if probe_hamming >= 1:
-        probe += [qbucket ^ (1 << j) for j in range(n_planes)]
+        probe |= {qbucket ^ (1 << j) for j in range(n_planes)}
+    if probe_hamming >= 2:
+        probe |= {
+            qbucket ^ (1 << j) ^ (1 << j2)
+            for j in range(n_planes)
+            for j2 in range(j + 1, n_planes)
+        }
+    probe = sorted(probe)
     buckets = lsh_buckets(embeddings, n_planes, seed).filter(
         F.col("bucket").isin(probe)
     )

@@ -1,0 +1,97 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, codegen —
+the SURVEY.md §4 'Catalyst status' claims, verified on .explain output."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_str(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def tile_table(spark, tmp_path_factory):
+    from europe_gis_spark.datagen import geodata
+
+    path = str(tmp_path_factory.mktemp("tiles") / "tiles.parquet")
+    (
+        spark.createDataFrame(geodata.raster_tiles())
+        .write.partitionBy("layer", "tile_row")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
+def test_windowed_read_is_partition_pruned(tile_table):
+    """S4: tile-window predicates must reach the scan as partition
+    filters, not post-scan filters."""
+    q = tile_table.filter(
+        (F.col("layer") == "dem") & (F.col("tile_row") == 1) & (F.col("tile_col") <= 2)
+    )
+    p = plan_str(q)
+    assert "PartitionFilters" in p
+    assert "layer" in p.split("PartitionFilters", 1)[1][:400]
+    # non-partition predicate pushed to parquet
+    assert "PushedFilters" in p
+    assert "tile_col" in p.split("PushedFilters", 1)[1][:300]
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    p = plan_str(q)
+    after = p.split("ReadSchema", 1)[1][:300]
+    assert "l_orderkey" in after and "l_quantity" in after
+    assert "l_extendedprice" not in after  # pruned
+
+
+def test_dimension_joins_are_broadcast(spark):
+    from europe_gis_spark.queries import q_nation_revenue
+
+    p = plan_str(q_nation_revenue(spark, "/root/testdata/sf0.001"))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_flagship_join_has_single_shuffle(spark):
+    """The flagship pages join must be map-side except the final count
+    aggregation: exactly one Exchange below the agg, none feeding the
+    assignment."""
+    import numpy as np
+
+    from europe_gis_spark.datagen import geodata, pages as pgen
+    from europe_gis_spark.operators import geo_join
+
+    pages_df = spark.createDataFrame(pgen.pages_pandas(np.arange(200)))
+    polys_df = spark.createDataFrame(geodata.admin_polygons())
+    idx_bc = geo_join.build_polygon_index_bc(
+        spark, polys_df.filter("levl_code = 3")
+    )
+    resolved = geo_join.resolve_pages(spark, pages_df, host_hints=pgen.host_city_hints())
+    counts = (
+        geo_join.assign_polygons(resolved, idx_bc)
+        .groupBy("poly_id")
+        .agg(F.count("*").alias("n"))
+    )
+    p = plan_str(counts, mode="simple")
+    # one shuffle for the final agg (AQE may add a read-side node; count
+    # Exchange operators in the plan tree)
+    assert p.count("Exchange") == 1, p
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    from europe_gis_spark.queries import q_pricing_summary
+
+    df = q_pricing_summary(spark, "/root/testdata/sf0.001")
+    # AQE shows WholeStageCodegen only in codegen mode pre-execution
+    p = plan_str(df, mode="codegen")
+    assert "WholeStageCodegen" in p
+    # and the aggregation is partial+final with pushdown (simple mode)
+    s = plan_str(df, mode="simple")
+    assert "partial_sum" in s and "PushedFilters: [IsNotNull" in s
