@@ -60,9 +60,9 @@ def resolve_pages(
             r.host: (float(r.lat), float(r.lon)) for r in host_hints.itertuples()
         }
 
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in pages.schema.fields
-    ) + ", " + RESOLVED_FIELDS
+    # output only url + lang + computed fields — never ship the html
+    # payload back through Arrow
+    out_schema = "url string, lang string, " + RESOLVED_FIELDS
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -90,16 +90,22 @@ def resolve_pages(
                 gcells.cell_id(np.where(ok, x, 0.0), np.where(ok, y, 0.0), res),
                 -1,
             )
-            out = b.copy()
-            out["lat"] = lat
-            out["lon"] = lon
-            out["x"] = np.where(ok, x, np.nan)
-            out["y"] = np.where(ok, y, np.nan)
-            out["cell"] = cell.astype(np.int64)
-            out["method"] = method
-            yield out
+            yield pd.DataFrame(
+                {
+                    "url": b["url"],
+                    "lang": b["lang"],
+                    "lat": lat,
+                    "lon": lon,
+                    "x": np.where(ok, x, np.nan),
+                    "y": np.where(ok, y, np.nan),
+                    "cell": cell.astype(np.int64),
+                    "method": method,
+                }
+            )
 
-    return pages.mapInPandas(fn, schema=out_schema)
+    return pages.select("url", "lang", "html", "text").mapInPandas(
+        fn, schema=out_schema
+    )
 
 
 def build_polygon_index_bc(
@@ -170,6 +176,59 @@ def assign_polygons(
     return resolved.mapInPandas(fn, schema=out_schema)
 
 
+def tag_pages(
+    pages: DataFrame,
+    idx_bc,
+    host_hints: pd.DataFrame | None = None,
+    boundary: str = "include",
+) -> DataFrame:
+    """Single-pass geo-tag: extraction + projection + PIP assignment in
+    ONE mapInPandas (one JVM↔Python Arrow crossing; only ``url`` and the
+    tiny computed columns come back — the html payload never makes a
+    round trip). This is the hot path the pages/sec metric measures."""
+    hints = {}
+    if host_hints is not None and len(host_hints):
+        hints = {r.host: (float(r.lat), float(r.lon)) for r in host_hints.itertuples()}
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = idx_bc.value
+        for b in batches:
+            n = len(b)
+            lat = np.full(n, np.nan)
+            lon = np.full(n, np.nan)
+            htmls = b["html"].tolist()
+            texts = b["text"].tolist()
+            for i in range(n):
+                got = hx.extract_coords(htmls[i], texts[i])
+                if got is not None:
+                    lat[i], lon[i] = got
+            if hints:
+                miss = np.isnan(lat)
+                if miss.any():
+                    hosts = hx.host_series(b["url"])
+                    for i in np.nonzero(miss)[0]:
+                        h = hosts.iat[i]
+                        if h in hints:
+                            lat[i], lon[i] = hints[h]
+            x, y = proj.forward(lon, lat)
+            ok = np.isfinite(x) & np.isfinite(y)
+            poly = np.array([None] * n, dtype=object)
+            if ok.any():
+                rows, ords = gindex.assign_points(
+                    idx, x[ok], y[ok], boundary=boundary, first_match=True
+                )
+                ok_idx = np.nonzero(ok)[0]
+                for r, o in zip(rows, ords):
+                    poly[ok_idx[r]] = idx.poly_ids[o]
+            yield pd.DataFrame(
+                {"url": b["url"], "poly_id": poly, "x": x, "y": y}
+            )
+
+    return pages.select("url", "html", "text").mapInPandas(
+        fn, schema="url string, poly_id string, x double, y double"
+    )
+
+
 def pages_per_region(
     spark: SparkSession,
     pages: DataFrame,
@@ -183,10 +242,9 @@ def pages_per_region(
     if level is not None and "levl_code" in polygons_df.columns:
         polys = polygons_df.filter(F.col("levl_code") == level)
     idx_bc = build_polygon_index_bc(spark, polys, res=res)
-    resolved = resolve_pages(spark, pages, host_hints=host_hints, res=res)
-    assigned = assign_polygons(resolved, idx_bc)
+    tagged = tag_pages(pages, idx_bc, host_hints=host_hints)
     return (
-        assigned.groupBy("poly_id")
+        tagged.groupBy("poly_id")
         .agg(F.count("*").alias("n_pages"))
         .withColumnRenamed("poly_id", "nuts_id")
         .orderBy(F.desc("n_pages"))

@@ -35,8 +35,9 @@ if not os.path.exists(pages_path):
 pages_df = spark.read.parquet(pages_path)
 polys_df = spark.createDataFrame(geodata.admin_polygons())
 hints = pgen.host_city_hints()
-# warmup (JIT, python worker pool)
-geo_join.pages_per_region(spark, pages_df.limit(20000), polys_df, host_hints=hints).collect()
+# full-size warmup: spins up ALL python workers + JIT (a limit() slice
+# collapses to one task and leaves most workers cold)
+geo_join.pages_per_region(spark, pages_df, polys_df, host_hints=hints).collect()
 best = None
 for _ in range(runs):
     t0 = time.perf_counter()
@@ -62,7 +63,7 @@ def run_child(cores: int, n_pages: int, runs: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=400_000)
+    ap.add_argument("--pages", type=int, default=2_000_000)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--n", type=int, default=8)
     args = ap.parse_args()
