@@ -146,39 +146,58 @@ def ngram_jaccard_pairs(
 
 SIMHASH_SCHEMA = "doc_id long, simhash long"
 
+_SHIFTS = np.arange(64, dtype=np.uint64)
+_POWERS = (np.uint64(1) << _SHIFTS).astype(np.uint64)
+
+
+def simhash_batch(texts: list) -> np.ndarray:
+    """64-bit SimHash per document, vectorized over the whole batch.
+
+    Token hash = blake2b-64; bit j of a doc's hash is set iff the +1/−1
+    vote over its tokens is positive (⇔ set-bit count > n_tokens/2).
+    One bit-matrix + one ``np.add.reduceat`` serves every document in
+    the Arrow batch — no per-document numpy allocations. NB: assembly
+    stays in uint64 throughout; a naive ``sum(1 << j …)`` promotes numpy
+    uint64 through float64 and silently corrupts the low bits.
+    """
+    import hashlib
+
+    toks_per = [(t or "").split() for t in texts]
+    counts = np.array([len(t) for t in toks_per], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    nz = np.nonzero(counts)[0]
+    if len(nz) == 0:
+        return out
+    all_toks = [x for t in toks_per for x in t]
+    hs = np.frombuffer(
+        b"".join(
+            hashlib.blake2b(x.encode(), digest_size=8).digest() for x in all_toks
+        ),
+        dtype="<u8",
+    )
+    bits = ((hs[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    seg = np.add.reduceat(bits, starts[nz], axis=0)  # (n_nonempty, 64)
+    set_bit = (2 * seg) > counts[nz][:, None]  # vote > 0
+    vals = (set_bit.astype(np.uint64) * _POWERS[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nz] = vals.astype(np.int64)
+    return out
+
+
+def simhash_one(text: str) -> np.int64:
+    return np.int64(simhash_batch([text])[0])
+
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (vectorized numpy bit ops
-    inside one Arrow batch pass; token hash = splitmix64 of blake2b-64)."""
-    import hashlib
+    """64-bit SimHash over whitespace tokens, one Arrow batch pass."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out_ids = b["doc_id"].to_numpy()
-            sims = np.zeros(len(b), dtype=np.int64)
-            for i, txt in enumerate(b["text"].tolist()):
-                toks = (txt or "").split()
-                if not toks:
-                    continue
-                hs = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-                        )
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
-                )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                    np.int64
-                )
-                vote = (2 * bits - 1).sum(axis=0)
-                sims[i] = np.int64(
-                    np.uint64(
-                        sum(np.uint64(1) << np.uint64(j) for j in range(64) if vote[j] > 0)
-                    ).astype(np.int64)
-                )
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": sims})
+            sims = simhash_batch(b["text"].tolist())
+            yield pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "simhash": sims})
 
     return docs.select("doc_id", "text").mapInPandas(fn, schema=SIMHASH_SCHEMA)
 

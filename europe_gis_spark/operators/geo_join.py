@@ -181,14 +181,28 @@ def tag_pages(
     idx_bc,
     host_hints: pd.DataFrame | None = None,
     boundary: str = "include",
+    with_metrics: bool = False,
 ) -> DataFrame:
     """Single-pass geo-tag: extraction + projection + PIP assignment in
     ONE mapInPandas (one JVM↔Python Arrow crossing; only ``url`` and the
     tiny computed columns come back — the html payload never makes a
-    round trip). This is the hot path the pages/sec metric measures."""
+    round trip). This is the hot path the pages/sec metric measures.
+
+    ``with_metrics=True`` additionally computes the per-page
+    training-data metrics in the same pass (token count + 64-bit SimHash
+    dedup fingerprint) — the fused form of the reference's one-loop
+    multi-layer fill (``dataset_creation.py:58-75``): at crawl scale you
+    never re-read a page payload for a second metric pass.
+    """
+    from .dedup import simhash_batch
+
     hints = {}
     if host_hints is not None and len(host_hints):
         hints = {r.host: (float(r.lat), float(r.lon)) for r in host_hints.itertuples()}
+
+    schema = "url string, poly_id string, x double, y double"
+    if with_metrics:
+        schema += ", n_tokens int, simhash long"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = idx_bc.value
@@ -202,6 +216,11 @@ def tag_pages(
                 got = hx.extract_coords(htmls[i], texts[i])
                 if got is not None:
                     lat[i], lon[i] = got
+            if with_metrics:
+                ntok = np.array(
+                    [len((t or "").split()) for t in texts], dtype=np.int32
+                )
+                sims = simhash_batch(texts)
             if hints:
                 miss = np.isnan(lat)
                 if miss.any():
@@ -220,29 +239,36 @@ def tag_pages(
                 ok_idx = np.nonzero(ok)[0]
                 for r, o in zip(rows, ords):
                     poly[ok_idx[r]] = idx.poly_ids[o]
-            yield pd.DataFrame(
-                {"url": b["url"], "poly_id": poly, "x": x, "y": y}
-            )
+            out = {"url": b["url"], "poly_id": poly, "x": x, "y": y}
+            if with_metrics:
+                out["n_tokens"] = ntok
+                out["simhash"] = sims
+            yield pd.DataFrame(out)
 
-    return pages.select("url", "html", "text").mapInPandas(
-        fn, schema="url string, poly_id string, x double, y double"
-    )
+    return pages.select("url", "html", "text").mapInPandas(fn, schema=schema)
 
 
 def pages_per_region(
     spark: SparkSession,
     pages: DataFrame,
-    polygons_df: DataFrame,
+    polygons_df: DataFrame | None = None,
     host_hints: pd.DataFrame | None = None,
     level: int | None = 3,
     res: int = gcells.RES_DEFAULT,
+    idx_bc=None,
+    with_metrics: bool = False,
 ) -> DataFrame:
-    """The §7.2 flagship query: pages per containing admin region."""
-    polys = polygons_df
-    if level is not None and "levl_code" in polygons_df.columns:
-        polys = polygons_df.filter(F.col("levl_code") == level)
-    idx_bc = build_polygon_index_bc(spark, polys, res=res)
-    tagged = tag_pages(pages, idx_bc, host_hints=host_hints)
+    """The §7.2 flagship query: pages per containing admin region.
+
+    Pass a prebuilt ``idx_bc`` to amortize the polygon index across jobs
+    (the production shape: the index is built once per run, not per
+    micro-batch)."""
+    if idx_bc is None:
+        polys = polygons_df
+        if level is not None and "levl_code" in polygons_df.columns:
+            polys = polygons_df.filter(F.col("levl_code") == level)
+        idx_bc = build_polygon_index_bc(spark, polys, res=res)
+    tagged = tag_pages(pages, idx_bc, host_hints=host_hints, with_metrics=with_metrics)
     return (
         tagged.groupBy("poly_id")
         .agg(F.count("*").alias("n_pages"))

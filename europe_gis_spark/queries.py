@@ -377,6 +377,48 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_windowed_counts(spark, sf_dir):
+    """Event-time windowed aggregation (streaming §2.9 semantics on a
+    batch frame — identical plan runs under readStream + watermark)."""
+    from ..streaming.incremental import windowed_event_counts
+
+    ev = _read(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window_dur="1 hour")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("win_start", "event_type")
+
+
+SQL_WINDOWED = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+
+def q_user_cardinality(spark, sf_dir):
+    """Distinct aggregate (per-cell url-cardinality monitoring analogue,
+    SURVEY.md §2.4 note)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_CARDINALITY = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # geo layer over event-derived points (real engine machinery vs
 # half-plane / arithmetic oracles)
@@ -793,6 +835,8 @@ QUERIES = {
     "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "deterministic_sample": (q_deterministic_sample, SQL_SAMPLE),
+    "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
+    "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
     "geo_border_overlap": (q_geo_border, _sql_geo_border()),
     "geo_knn": (q_geo_knn, _sql_geo_knn()),

