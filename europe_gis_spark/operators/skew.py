@@ -97,16 +97,17 @@ def repartition_by_cell_prefix(
     downstream cell joins shuffle less (the Iceberg-partitioning analogue
     of the reference's tile partitioning). Parent extraction is pure bit
     arithmetic — expressed as JVM-side column ops."""
-    from ..geo import cells as gcells
-
-    res = F.shiftrightunsigned(F.col(cell_col), 58)
-    ix = F.col(cell_col).bitwiseAND(F.lit((1 << 29) - 1))
-    iy = F.shiftrightunsigned(F.col(cell_col), 29).bitwiseAND(F.lit((1 << 29) - 1))
-    shift = (res - F.lit(prefix_res)).cast("int")
+    mask = (1 << 29) - 1
+    # prefix = (prefix_res << 58) | (iy >> (res - prefix_res) << 29)
+    #          | (ix >> (res - prefix_res)) — SQL expr because the shift
+    # amount is itself a column (PySpark's helper takes int literals only)
+    shift = f"cast(shiftrightunsigned({cell_col}, 58) - {prefix_res} as int)"
     parent = (
-        F.lit(prefix_res).cast("long") * F.lit(1 << 58).cast("long")
-    ) + F.shiftrightunsigned(iy, shift) * F.lit(1 << 29).cast("long") + F.shiftrightunsigned(ix, shift)
-    out = df.withColumn("cell_prefix", parent)
+        f"shiftleft(cast({prefix_res} as bigint), 58)"
+        f" + shiftleft(shiftrightunsigned(shiftrightunsigned({cell_col}, 29) & {mask}, {shift}), 29)"
+        f" + shiftrightunsigned({cell_col} & {mask}, {shift})"
+    )
+    out = df.withColumn("cell_prefix", F.expr(parent))
     if n_parts:
         return out.repartition(n_parts, "cell_prefix")
     return out.repartition("cell_prefix")

@@ -108,8 +108,6 @@ def recode_layers(cells: DataFrame) -> DataFrame:
     """F1–F4 elementwise recodes as one chained F.when per layer —
     the loop-free form of raster_preprocessor.py:40-71."""
     v = F.col("value")
-    pop = F.log(F.greatest(v, F.lit(2.0)))
-    pop = (F.least(pop, F.lit(10.0)) / 10.0).alias("pop")
     return cells.withColumn(
         "recoded",
         F.when(F.col("layer") == "pop", F.least(F.log(F.greatest(v, F.lit(2.0))), F.lit(10.0)) / 10.0)
