@@ -67,17 +67,19 @@ def run(metrics):
         spark, pages, host_hints=hints, idx_bc=idx_bc, with_metrics=metrics
     ).collect()
 
+import statistics
 out = {{"cores": cores, "n_pages": n}}
 for label, metrics in (("plain", False), ("metrics", True)):
     run(metrics)  # warm all workers at full size
-    best = None
+    times = []
     for _ in range(runs):
         t0 = time.perf_counter()
         run(metrics)
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-    out[label + "_sec"] = round(best, 3)
-    out[label + "_pps"] = round(n / best, 1)
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    out[label + "_sec"] = round(med, 3)
+    out[label + "_pps"] = round(n / med, 1)
+    out[label + "_all"] = [round(t, 2) for t in times]
 print(json.dumps(out))
 spark.stop()
 """
@@ -98,7 +100,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=2_000_000)
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n", type=int, default=4)
     args = ap.parse_args()
     lo = run_child(args.n, args.pages, args.runs)
     hi = run_child(args.n * 4, args.pages, args.runs)
@@ -125,8 +127,13 @@ two local parallelism levels, per the sandbox protocol in
 
 Target: efficiency ≥ 0.8.
 
+Raw timings (sec): plain N={lo['plain_all']} 4N={hi['plain_all']};
+metrics N={lo['metrics_all']} 4N={hi['metrics_all']}. Run-to-run noise on
+this shared VM is ±30% (identical runs differ that much), so the
+efficiency numbers carry that error bar.
+
 Methodology and sandbox-artifact controls:
-- best of {args.runs} timed runs after one full-size warmup per level; each
+- median of {args.runs} timed runs after one full-size warmup per level; each
   level in its own JVM (subprocess); fresh query plan per run (re-collecting
   one plan would reuse its shuffle output and report ~0 s).
 - input cached in executor memory before timing: this box has ONE shared
@@ -141,6 +148,14 @@ Methodology and sandbox-artifact controls:
   SimHash dedup fingerprint into the same Arrow pass — the realistic
   crawl-ingest per-page CPU profile; the `plain` variant's per-page work
   (~8 µs) is light enough that Arrow transfer overhead is visible.
+- N={args.n} was chosen after a 4/8/16/32 worker sweep on this VM: wall
+  time stops improving beyond ~16 workers for ANY workload (including a
+  pure-numpy matmul control), i.e. the box saturates a shared resource
+  (memory subsystem / virtualized CPU budget) well below its 32
+  advertised cores. Both measured levels sit inside the non-saturated
+  region; the saturation is a single-box artifact, not a property of
+  the plan — on a real cluster each executor brings its own memory and
+  I/O, which is exactly what the N→4N executor criterion measures.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
