@@ -380,7 +380,7 @@ GROUP BY event_type ORDER BY event_type
 def q_windowed_counts(spark, sf_dir):
     """Event-time windowed aggregation (streaming §2.9 semantics on a
     batch frame — identical plan runs under readStream + watermark)."""
-    from ..streaming.incremental import windowed_event_counts
+    from .streaming.incremental import windowed_event_counts
 
     ev = _read(spark, sf_dir, "events")
     out = windowed_event_counts(ev, window_dur="1 hour")
