@@ -88,6 +88,12 @@ def run_bench(sf_dir: str, n_pages: int, skip_pages: bool, quiet: bool = True) -
             best = dt if best is None or dt < best else best
         timings["spatial_join_pages"] = round(best, 3)
         pages_per_sec = round(n_pages / best, 1)
+        # fused geo-tag + per-page metrics variant (tokens + simhash)
+        t0 = time.perf_counter()
+        geo_join.pages_per_region(
+            spark, pages_df, polys_df, host_hints=hints, level=3, with_metrics=True
+        ).collect()
+        timings["spatial_join_metrics"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
