@@ -46,6 +46,60 @@ def tiles_to_cells(tiles: DataFrame, tile_w: int = 16) -> DataFrame:
     )
 
 
+def cells_to_tiles(
+    cells: DataFrame, tile_w: int = 16, fill: float = -1000.0
+) -> DataFrame:
+    """Inverse tiler (S11 ingest shape): long (layer, y, x, value) rows →
+    row-major tile arrays, grouped by (layer, tile_row, tile_col).
+
+    The groupBy is the one shuffle of the ingest job (the distributed
+    analogue of ``raster2pgsql -t 1000x1000``, echo/dem.bat:1); the
+    array assembly is numpy inside applyInPandas.
+    """
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        layer, trow, tcol = key
+        block = np.full(tile_w * tile_w, fill, dtype=np.float32)
+        iy = pdf["y"].to_numpy() - trow * tile_w
+        ix = pdf["x"].to_numpy() - tcol * tile_w
+        block[iy * tile_w + ix] = pdf["value"].to_numpy(dtype=np.float32)
+        return pd.DataFrame(
+            {
+                "layer": [layer],
+                "tile_row": [trow],
+                "tile_col": [tcol],
+                "tile": [block.tolist()],
+            }
+        )
+
+    import pandas as pd
+
+    return (
+        cells.select("layer", "y", "x", "value")
+        .groupBy(
+            "layer",
+            (F.col("y") / tile_w).cast("int").alias("tile_row"),
+            (F.col("x") / tile_w).cast("int").alias("tile_col"),
+        )
+        .applyInPandas(
+            fn,
+            schema="layer string, tile_row int, tile_col int, tile array<float>",
+        )
+    )
+
+
+def per_tile_union(pairs: DataFrame) -> DataFrame:
+    """G10: per-tile aggregate union — the GROUP BY rid ST_Union shape
+    (rasterize_gpop.sql:3-9): collapse multi-burn rows per tile pixel."""
+    return pairs.groupBy("tile_row", "tile_col").agg(
+        F.count("*").alias("n_burns"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 def avg_downsample(cells: DataFrame, factor: int, value_col: str = "value") -> DataFrame:
     """G2: re-bin pixels by an integer factor with mean aggregation,
     ignoring bad/nodata pixels (GRA_Average semantics)."""
