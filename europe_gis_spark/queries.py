@@ -377,6 +377,88 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + conditional cumsum windows) —
+    the full analytic-window stack on event time."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; cast via session-tz timestamp (UTC) → epoch
+    ep = F.col("ts").cast("timestamp").cast("long")
+    gap = ep - F.lag(ep).over(w)
+    with_new = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    )
+    sess = with_new.withColumn(
+        "session_n", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_n")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_n")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (SELECT * FROM events WHERE user_id % 29 = 0),
+g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - LAG(epoch(ts)) OVER w > 3600
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+  FROM g
+)
+SELECT user_id, session_n, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_n ORDER BY user_id, session_n
+"""
+
+
+def q_left_join_fill(spark, sf_dir):
+    """J5 left-outer + NULL→0 fill (the empty-tile coalesce of
+    rasterize_gpop.sql:11-17) on customers without orders."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec"),
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("spend_dec").cast("double"), F.lit(0.0)).alias("spend"),
+        )
+        .filter(F.col("c_custkey") % 13 == 0)
+        .orderBy("c_custkey")
+    )
+
+
+SQL_LEFT_JOIN_FILL = """
+SELECT c_custkey,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(CAST(spend_dec AS DOUBLE), 0.0) AS spend
+FROM customer LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+WHERE c_custkey % 13 = 0
+ORDER BY c_custkey
+"""
+
+
 def q_windowed_counts(spark, sf_dir):
     """Event-time windowed aggregation (streaming §2.9 semantics on a
     batch frame — identical plan runs under readStream + watermark)."""
@@ -835,6 +917,8 @@ QUERIES = {
     "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "deterministic_sample": (q_deterministic_sample, SQL_SAMPLE),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "left_join_fill": (q_left_join_fill, SQL_LEFT_JOIN_FILL),
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
     "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),

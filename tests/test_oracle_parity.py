@@ -56,6 +56,9 @@ def test_query_matches_oracle(spark, duck, name):
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
     for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        assert gk == wk, f"{name}.{c}: dtype kind {got[c].dtype} vs {want[c].dtype}"
+    for c in got.columns:
         ga = got[c].tolist()
         wa = want[c].tolist()
         bad = [
