@@ -481,6 +481,21 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
 """
 
 
+def q_approx_cardinality(spark, sf_dir):
+    """Approximate distinct aggregate (HLL sketch) — the monitoring-path
+    variant of user_cardinality; rows-only check (estimator values are
+    engine-specific by nature), accuracy asserted in pytest."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_user_cardinality(spark, sf_dir):
     """Distinct aggregate (per-cell url-cardinality monitoring analogue,
     SURVEY.md §2.4 note)."""
@@ -921,6 +936,7 @@ QUERIES = {
     "left_join_fill": (q_left_join_fill, SQL_LEFT_JOIN_FILL),
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
     "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
+    "approx_cardinality": (q_approx_cardinality, None),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
     "geo_border_overlap": (q_geo_border, _sql_geo_border()),
     "geo_knn": (q_geo_knn, _sql_geo_knn()),
