@@ -60,13 +60,24 @@ def shingles_df(docs: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
     return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 
+def minhash_expr(j: int, col: str = "shingle") -> str:
+    """SQL text of minhash j — shared verbatim with the DuckDB oracle.
+
+    Hash family: 4 independent 8-hex-char slices per md5 digest, over
+    salted digests md5('<s>:' || shingle) — 12 hashes cost 3 md5 calls
+    instead of 12 (the md5 evaluation dominated the LSH job's runtime).
+    Lexicographic min over fixed-width hex == hash-min.
+    """
+    salt, slice_i = divmod(j, 4)
+    return f"substring(md5('{salt}:' || {col}), {1 + 8 * slice_i}, 8)"
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """Per-doc minhash signature columns mh0..mh{n-1}:
-    mh_j = min(md5(j || ':' || shingle)) over the doc's shingles."""
+    mh_j = min(hash_j(shingle)) over the doc's shingles."""
     sh = shingles_df(docs)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
-        for j in range(n_hashes)
+        F.min(F.expr(minhash_expr(j))).alias(f"mh{j}") for j in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 

@@ -725,7 +725,7 @@ def q_dedup_minhash(spark, sf_dir):
 
 def _sql_minhash() -> str:
     mh_cols = ", ".join(
-        f"MIN(MD5('{j}:' || shingle)) AS mh{j}" for j in range(dedup.N_HASHES)
+        f"MIN({dedup.minhash_expr(j)}) AS mh{j}" for j in range(dedup.N_HASHES)
     )
     n_bands = dedup.N_HASHES // dedup.BAND_SIZE
     band_selects = " UNION ALL ".join(
