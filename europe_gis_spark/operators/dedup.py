@@ -43,20 +43,22 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles_df(docs: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
-    """Distinct word k-gram shingles per doc: (doc_id, shingle)."""
+def shingles_df(docs: DataFrame, k: int = SHINGLE_WORDS, distinct: bool = True) -> DataFrame:
+    """Word k-gram shingles per doc: (doc_id, shingle).
+
+    ``distinct=False`` skips the per-array dedup — correct for min-hash
+    aggregation (duplicates can't change a min) and measurably cheaper;
+    Jaccard set arithmetic needs ``distinct=True``."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     # guard: Spark sequence(1, n) with n < 1 runs DESCENDING — emit an
     # empty shingle set for too-short docs instead
-    sh = F.when(
-        F.size(toks) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    if distinct:
+        arr = F.array_distinct(arr)
+    sh = F.when(F.size(toks) >= k, arr).otherwise(F.array().cast("array<string>"))
     return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 
@@ -75,7 +77,7 @@ def minhash_expr(j: int, col: str = "shingle") -> str:
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """Per-doc minhash signature columns mh0..mh{n-1}:
     mh_j = min(hash_j(shingle)) over the doc's shingles."""
-    sh = shingles_df(docs)
+    sh = shingles_df(docs, distinct=False)
     aggs = [
         F.min(F.expr(minhash_expr(j))).alias(f"mh{j}") for j in range(n_hashes)
     ]
