@@ -44,22 +44,14 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 
 def shingles_df(docs: DataFrame, k: int = SHINGLE_WORDS, distinct: bool = True) -> DataFrame:
-    """Word k-gram shingles per doc: (doc_id, shingle).
+    """Word k-gram shingles per doc: (doc_id, shingle) rows.
 
     ``distinct=False`` skips the per-array dedup — correct for min-hash
     aggregation (duplicates can't change a min) and measurably cheaper;
     Jaccard set arithmetic needs ``distinct=True``."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    # guard: Spark sequence(1, n) with n < 1 runs DESCENDING — emit an
-    # empty shingle set for too-short docs instead
-    arr = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    return docs.select(
+        "doc_id", F.explode(shingle_array(k, distinct)).alias("shingle")
     )
-    if distinct:
-        arr = F.array_distinct(arr)
-    sh = F.when(F.size(toks) >= k, arr).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def minhash_expr(j: int, col: str = "shingle") -> str:
@@ -74,42 +66,138 @@ def minhash_expr(j: int, col: str = "shingle") -> str:
     return f"substring(md5('{salt}:' || {col}), {1 + 8 * slice_i}, 8)"
 
 
+def shingle_array(k: int = SHINGLE_WORDS, distinct: bool = False):
+    """Word k-gram shingles as an ARRAY column expression (no explode) —
+    the map-side building block for signature computation."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # guard: Spark sequence(1, n) with n < 1 runs DESCENDING — emit an
+    # empty shingle set for too-short docs instead
+    arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    if distinct:
+        arr = F.array_distinct(arr)
+    return F.when(F.size(toks) >= k, arr).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """Per-doc minhash signature columns mh0..mh{n-1}:
-    mh_j = min(hash_j(shingle)) over the doc's shingles."""
-    sh = shingles_df(docs, distinct=False)
-    aggs = [
-        F.min(F.expr(minhash_expr(j))).alias(f"mh{j}") for j in range(n_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """Per-doc minhash signature columns mh0..mh{n-1}, computed entirely
+    MAP-SIDE: mh_j = array_min(transform(shingles, hash_j)) — no explode,
+    no shuffle. At corpus scale the old explode+groupBy form shuffled
+    every shingle row (~200× the doc count); this form shuffles nothing
+    before LSH banding.
+
+    The three salted md5 digest arrays are materialized in their own
+    projection step so each digest is computed once and sliced four ways
+    (Catalyst's CollapseProject keeps multi-referenced non-trivial
+    aliases in a separate project rather than duplicating them).
+
+    Docs with fewer than ``SHINGLE_WORDS`` tokens get NULL signatures
+    (array_min over an empty array) — band keys built with
+    null-propagating concat make them unjoinable, matching the oracle
+    where such docs simply have no shingle rows.
+    """
+    # NB: F.transform passes (element, index) to 2-arg lambdas — default
+    # args count, so per-iteration constants must close over a factory
+    def salted_md5(salt: int):
+        prefix = f"{salt}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    def hex_slice(off: int):
+        return lambda d: F.substring(d, off, 8)
+
+    n_salts = (n_hashes + 3) // 4
+    base = docs.select("doc_id", shingle_array(distinct=False).alias("sh"))
+    dig = base.select(
+        "doc_id",
+        *[
+            F.transform("sh", salted_md5(salt)).alias(f"dg{salt}")
+            for salt in range(n_salts)
+        ],
+    )
+    return dig.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col(f"dg{j // 4}"), hex_slice(1 + 8 * (j % 4)))
+            ).alias(f"mh{j}")
+            for j in range(n_hashes)
+        ],
+    )
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE
+MAX_BUCKET = 200  # shared with the DuckDB oracle (queries._sql_minhash)
+
+
+def band_keys(
+    sig: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE
 ) -> DataFrame:
-    """Banded LSH: equal band-signature ⇒ candidate pair. Pair
-    generation is a self-equi-join per band key — bucket-local, the
-    trick that avoids O(n²) at corpus scale."""
-    sig = minhash_signatures(docs, n_hashes)
+    """Signature columns → (doc_id, band, key) rows. Keys are built with
+    null-PROPAGATING concat: a doc with NULL signature (no shingles) gets
+    NULL keys, which can never equi-join — no filter step needed."""
     n_bands = n_hashes // band_size
-    bands = sig.select(
+    def key(b):
+        parts: list = []
+        for j in range(band_size):
+            if j:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"mh{b * band_size + j}"))
+        return F.concat(*parts)
+
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
-                        ).alias("key"),
-                    )
+                    F.struct(F.lit(b).alias("band"), key(b).alias("key"))
                     for b in range(n_bands)
                 ]
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    left = bands.alias("l")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """Banded LSH: equal band-signature ⇒ candidate pair. Pair
+    generation is a self-equi-join per band key — bucket-local, the
+    trick that avoids O(n²) at corpus scale.
+
+    ``max_bucket`` caps band-bucket size: a band key shared by more
+    than ``max_bucket`` docs (boilerplate — empty pages, legal
+    disclaimers) would make a quadratic bucket (1e6-doc bucket = 1e12
+    pairs); such keys carry no dedup signal and are dropped wholesale
+    before the self-join. The DuckDB oracle encodes the identical cap.
+
+    Plan shape (the 100 TB story): the text-hashing pipeline runs
+    exactly once — the ONLY shuffle of full-width rows is the window's
+    exchange on (band, key), carrying just (doc_id, band, key) ≈ tens
+    of bytes per doc (vs ~200 shingle rows/doc for an explode+groupBy
+    signature). The bucket-size cap is a windowed count over that same
+    exchange (no second aggregation pipeline), and both sides of the
+    self-join read the SAME exchange via ReusedExchange. A shuffle-hash
+    hint keeps the planner from 'helpfully' broadcasting one side,
+    which would re-evaluate the whole hashing pipeline for it.
+    """
+    from pyspark.sql.window import Window
+
+    sig = minhash_signatures(docs, n_hashes)
+    bands = band_keys(sig, n_hashes, band_size)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "key")
+        bands = bands.withColumn("n_in_bucket", F.count("*").over(w)).filter(
+            F.col("n_in_bucket") <= max_bucket
+        ).drop("n_in_bucket")
+    else:
+        bands = bands.repartition("band", "key")
+    left = bands.alias("l").hint("shuffle_hash")
     right = bands.alias("r")
     return (
         left.join(
@@ -157,6 +245,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_pairs(
+    candidates: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = SHINGLE_WORDS,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs — the corpus-scale
+    composition: LSH candidates (doc_a, doc_b) are joined back to the
+    per-doc DISTINCT shingle sets (map-side array column, no explode)
+    and scored with ``array_intersect`` per pair. Work is O(|candidates|
+    × shingles/doc), never the all-shingle-pairs self-join of
+    :func:`ngram_jaccard_pairs` (which remains the test-scale oracle
+    form). Mirrors the reference's coarse-candidates-then-exact-refine
+    pattern (``scripts/jobs/process_raster_layer.py:398-403``).
+    """
+    sets = docs.select("doc_id", shingle_array(k, distinct=True).alias("sh_set"))
+    j = (
+        candidates.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
+            ),
+            "doc_a",
+        ).join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
+            ),
+            "doc_b",
+        )
+    )
+    n_common = F.size(F.array_intersect("set_a", "set_b"))
+    denom = F.size("set_a") + F.size("set_b") - n_common
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("long").alias("n_common"),
+            F.round(n_common / denom, 9).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
 SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 _SHIFTS = np.arange(64, dtype=np.uint64)
@@ -166,15 +297,16 @@ _POWERS = (np.uint64(1) << _SHIFTS).astype(np.uint64)
 def simhash_batch(texts: list) -> np.ndarray:
     """64-bit SimHash per document, vectorized over the whole batch.
 
-    Token hash = blake2b-64; bit j of a doc's hash is set iff the +1/−1
+    Token hash = pandas' vectorized SipHash (``pd.util.hash_array``,
+    Cython over the whole token array — no per-token Python calls; the
+    previous per-token ``hashlib.blake2b`` loop dominated the fused
+    geo-tag + metrics pass). Bit j of a doc's hash is set iff the +1/−1
     vote over its tokens is positive (⇔ set-bit count > n_tokens/2).
     One bit-matrix + one ``np.add.reduceat`` serves every document in
     the Arrow batch — no per-document numpy allocations. NB: assembly
     stays in uint64 throughout; a naive ``sum(1 << j …)`` promotes numpy
     uint64 through float64 and silently corrupts the low bits.
     """
-    import hashlib
-
     toks_per = [(t or "").split() for t in texts]
     counts = np.array([len(t) for t in toks_per], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.int64)
@@ -182,12 +314,7 @@ def simhash_batch(texts: list) -> np.ndarray:
     if len(nz) == 0:
         return out
     all_toks = [x for t in toks_per for x in t]
-    hs = np.frombuffer(
-        b"".join(
-            hashlib.blake2b(x.encode(), digest_size=8).digest() for x in all_toks
-        ),
-        dtype="<u8",
-    )
+    hs = pd.util.hash_array(np.asarray(all_toks, dtype=object)).astype(np.uint64)
     bits = ((hs[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
     ends = np.cumsum(counts)
     starts = ends - counts
@@ -215,9 +342,28 @@ def simhash(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(fn, schema=SIMHASH_SCHEMA)
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Hamming-close pairs via 4×16-bit band buckets (a pair within
-    hamming ≤ 3·16 shares ≥1 band; verify with bit_count)."""
+SIMHASH_BANDS = 8  # 8 bands × 8 bits
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Hamming-close pairs via 8×8-bit band buckets.
+
+    Recall guarantee (pigeonhole): a pair with hamming distance ≤ 7
+    cannot differ in all 8 bands, so it shares ≥1 band key and becomes a
+    candidate; ``bit_count`` then verifies exactly. The default
+    ``max_hamming=7`` matches that bound by construction. Asking for
+    ``max_hamming > 7`` still verifies correctly on candidates but the
+    band filter can miss pairs whose ≥8 differing bits spread across all
+    8 bands — recall < 1 there, so it is rejected loudly.
+    """
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the recall guarantee of "
+            f"{SIMHASH_BANDS} bands (hamming <= {SIMHASH_BANDS - 1}); "
+            "candidate generation would silently miss pairs"
+        )
+    width = 64 // SIMHASH_BANDS
+    mask = (1 << width) - 1
     sh = simhash(docs)
     bands = sh.select(
         "doc_id",
@@ -227,11 +373,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), width * b)
+                        .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )
-                    for b in range(4)
+                    for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bk"),

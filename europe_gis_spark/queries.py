@@ -693,7 +693,12 @@ def _docs_with_dups(spark, sf_dir):
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.lit("zz "), F.col("text")).alias("text"),
     )
-    return d.unionByName(exact).unionByName(near)
+    u = d.unionByName(exact).unionByName(near)
+    # the test parquet is a single row group, so the scan yields one
+    # split per union branch (3 tasks) — spread the CPU-heavy text
+    # hashing across all cores; at corpus scale the input's natural
+    # splits make this a no-op-sized shuffle
+    return u.repartition(spark.sparkContext.defaultParallelism)
 
 
 DOCS_DUPS_SQL = """
@@ -723,7 +728,10 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
-def _sql_minhash() -> str:
+def _minhash_cand_ctes() -> str:
+    """Shared CTE chain docs→shingles→signatures→capped bands→cand —
+    textual parity with dedup.minhash_signatures / lsh_candidate_pairs
+    (including the MAX_BUCKET hot-bucket cap)."""
     mh_cols = ", ".join(
         f"MIN({dedup.minhash_expr(j)}) AS mh{j}" for j in range(dedup.N_HASHES)
     )
@@ -743,9 +751,38 @@ sh AS (
   )) AS shingle FROM toks
 ),
 sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
-bands AS ({band_selects})
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+bands AS ({band_selects}),
+keep AS (SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= {dedup.MAX_BUCKET}),
+kb AS (SELECT bands.* FROM bands JOIN keep USING (band, key)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM kb l JOIN kb r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)"""
+
+
+def _sql_minhash() -> str:
+    return f"""
+{_minhash_cand_ctes()}
+SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
+"""
+
+
+def _sql_lsh_verified() -> str:
+    return f"""
+{_minhash_cand_ctes()},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, cm.n_common,
+       ROUND(cm.n_common / (sa.n_sh + sb.n_sh - cm.n_common), 9) AS jaccard
+FROM cand c
+JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE ROUND(cm.n_common / (sa.n_sh + sb.n_sh - cm.n_common), 9) >= 0.5
 ORDER BY doc_a, doc_b
 """
 
@@ -779,6 +816,17 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
 ORDER BY doc_a, doc_b
 """
+
+
+def q_lsh_verified(spark, sf_dir):
+    """The corpus-scale near-dedup composition: LSH candidate pairs →
+    exact Jaccard verification on candidates only (dedup.verify_pairs).
+    Never materializes the all-shingle-pairs join."""
+    docs = _docs_with_dups(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(docs)
+    return dedup.verify_pairs(cand, docs, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -945,6 +993,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
     "dedup_ngram_jaccard": (q_dedup_jaccard, _sql_jaccard()),
+    "dedup_lsh_verified": (q_lsh_verified, _sql_lsh_verified()),
     "simhash_pairs": (q_simhash_pairs, None),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_scores": (q_quality, SQL_QUALITY),

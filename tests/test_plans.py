@@ -85,6 +85,31 @@ def test_flagship_join_has_single_shuffle(spark):
     assert p.count("Exchange") == 1, p
 
 
+def test_minhash_signatures_are_map_side(spark):
+    """MinHash signature computation must be shuffle-free (array
+    higher-order functions over the shingle array, no explode+groupBy):
+    zero Exchange in the signature plan, and the full LSH candidate job
+    must shuffle only band keys — one Exchange for banding plus the
+    pair-dedup aggregation, never the shingle rows."""
+    from europe_gis_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sig = dedup.minhash_signatures(docs)
+    p = plan_str(sig, mode="simple")
+    assert "Exchange" not in p, p
+    assert "Generate" not in p  # no explode anywhere in signature calc
+
+    pairs = dedup.lsh_candidate_pairs(docs)
+    pairs.collect()  # materialize so AQE finalizes the plan
+    pp = pairs._jdf.queryExecution().executedPlan().toString()
+    # the self-join's two sides must share ONE band-key exchange —
+    # without reuse the whole text-hashing pipeline runs twice
+    assert "ReusedExchange" in pp, pp
+    assert "BroadcastHashJoin" not in pp, pp
+
+
 def test_whole_stage_codegen_covers_agg(spark):
     from europe_gis_spark.queries import q_pricing_summary
 
