@@ -82,19 +82,28 @@ def assign_points(
     px: np.ndarray,
     py: np.ndarray,
     boundary: str = "include",
-    first_match: bool = True,
+    match: str = "last",
 ):
     """Assign each point to covering polygon id(s).
 
-    Returns (row_idx, poly_ordinal) int arrays. ``first_match=True`` keeps
-    the lowest ordinal per point (MergeAlg.replace semantics, G4,
-    ``raster_processor.py:167-175``); ``False`` keeps all covering
-    polygons (MergeAlg.add overlap counting, G3, ``:176-188``).
+    Returns (row_idx, poly_ordinal) int arrays. ``match`` selects the
+    overlap rule:
+
+      * ``'last'`` (default) — highest ordinal wins per point. This is
+        rasterio ``MergeAlg.replace`` semantics: each burn OVERWRITES
+        earlier burns, so the last polygon in input order wins (G4,
+        ``raster_processor.py:167-175``; value burns at ``:279-291``).
+      * ``'first'`` — lowest ordinal wins (kept for pipelines that
+        pre-sort polygons by priority descending).
+      * ``'all'`` — every covering polygon, one pair per hit
+        (MergeAlg.add overlap counting, G3, ``:176-188``).
 
     Vectorized per candidate polygon: points are grouped by cell, cells
     by candidate set, then one ``points_in_polygon`` call per polygon over
     all its candidate points.
     """
+    if match not in ("last", "first", "all"):
+        raise ValueError(f"match must be 'last'|'first'|'all', got {match!r}")
     n = len(px)
     if n == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
@@ -122,10 +131,13 @@ def assign_points(
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
     rows = np.concatenate(out_rows)
     polys = np.concatenate(out_polys)
-    if first_match:
-        order = np.lexsort((polys, rows))
+    if match != "all":
+        order = np.lexsort((polys, rows))  # by row, then ordinal asc
         rows, polys = rows[order], polys[order]
         keep = np.ones(len(rows), dtype=bool)
-        keep[1:] = rows[1:] != rows[:-1]
+        if match == "first":
+            keep[1:] = rows[1:] != rows[:-1]
+        else:  # 'last': keep the final (highest-ordinal) entry per row
+            keep[:-1] = rows[:-1] != rows[1:]
         rows, polys = rows[keep], polys[keep]
     return rows.astype(np.int64), polys

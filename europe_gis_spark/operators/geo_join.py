@@ -128,7 +128,7 @@ def assign_polygons(
     resolved: DataFrame,
     idx_bc,
     boundary: str = "include",
-    first_match: bool = True,
+    match: str = "last",
     keep_cols: tuple[str, ...] = ("url",),
 ) -> DataFrame:
     """Exact point→polygon assignment via the broadcast index.
@@ -136,6 +136,11 @@ def assign_polygons(
     Map-side only (no shuffle): each Arrow batch probes the index and
     emits (keep_cols…, x, y, cell, poly_id). Unresolved / unmatched rows
     emit poly_id = NULL so downstream can count coverage.
+
+    ``match='last'`` (default) = reference MergeAlg.replace burn order
+    (last polygon wins, ``raster_processor.py:167-175``); ``'first'`` =
+    priority-ordered input; ``'all'`` = one row per covering polygon
+    (overlap counting, G3).
     """
     in_cols = list(keep_cols) + ["x", "y"]
     out_schema = ", ".join(
@@ -153,10 +158,10 @@ def assign_polygons(
             ok = np.isfinite(x) & np.isfinite(y)
             if ok.any():
                 rows, ords = gindex.assign_points(
-                    idx, x[ok], y[ok], boundary=boundary, first_match=first_match
+                    idx, x[ok], y[ok], boundary=boundary, match=match
                 )
                 ok_idx = np.nonzero(ok)[0]
-                if first_match:
+                if match != "all":
                     for r, o in zip(rows, ords):
                         poly[ok_idx[r]] = idx.poly_ids[o]
                 else:
@@ -234,7 +239,7 @@ def tag_pages(
             poly = np.array([None] * n, dtype=object)
             if ok.any():
                 rows, ords = gindex.assign_points(
-                    idx, x[ok], y[ok], boundary=boundary, first_match=True
+                    idx, x[ok], y[ok], boundary=boundary, match="last"
                 )
                 ok_idx = np.nonzero(ok)[0]
                 for r, o in zip(rows, ords):

@@ -113,13 +113,32 @@ def ann_topk(
 
 
 def pairwise_cosine_dups(
-    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 6, seed: int = 7
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 7,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket-local pairwise cosine
-    (LSH prefilter keeps it from being all-pairs at scale)."""
+    (LSH prefilter keeps it from being all-pairs at scale).
+
+    ``max_bucket`` caps bucket size (a degenerate bucket — e.g. all-zero
+    embeddings landing together — would be a quadratic join); oversized
+    buckets are dropped wholesale via a windowed count over the same
+    (bucket) exchange the self-join uses, so the embedding scan runs
+    once (ReusedExchange), mirroring dedup.lsh_candidate_pairs."""
+    from pyspark.sql.window import Window
+
     b = lsh_buckets(embeddings, n_planes, seed)
     e = embeddings.join(b, "vec_id")
-    left = e.alias("a")
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket")
+        e = (
+            e.withColumn("n_in_bucket", F.count("*").over(w))
+            .filter(F.col("n_in_bucket") <= max_bucket)
+            .drop("n_in_bucket")
+        )
+    left = e.alias("a").hint("shuffle_hash")
     right = e.alias("b")
     pairs = left.join(
         right,

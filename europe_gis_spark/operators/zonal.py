@@ -171,14 +171,27 @@ def recode_layers(cells: DataFrame) -> DataFrame:
     )
 
 
-def overlap_stats(pairs: DataFrame, key_cols=("url",)) -> DataFrame:
+def overlap_stats(pairs: DataFrame, key_cols=("url",), wins: str = "last") -> DataFrame:
     """G3/G4 on point×polygon multi-match pairs: per point, the covering
-    count and the first-wins assignment in one aggregation.
-    border ⇔ cover_n ≥ 2 (shared-border pixels, raster_processor.py:
-    154-188 consumed at dataset_creation.py:243-247)."""
+    count and the burn-winner assignment in one aggregation.
+
+    ``wins='last'`` (default) keeps the LAST polygon in burn order —
+    rasterio MergeAlg.replace overwrites earlier burns
+    (``raster_processor.py:167-175``); ``'first'`` keeps the first.
+    Requires a ``poly_rank`` column carrying the burn order (falls back
+    to lexicographic poly_id when absent, which matches ordinal order
+    for the fixture ids). border ⇔ cover_n ≥ 2 (shared-border pixels,
+    raster_processor.py:154-188, consumed at dataset_creation.py:
+    243-247)."""
+    rank = "poly_rank" if "poly_rank" in pairs.columns else "poly_id"
+    winner = (
+        F.max_by("poly_id", F.col(rank))
+        if wins == "last"
+        else F.min_by("poly_id", F.col(rank))
+    )
     return pairs.groupBy(*key_cols).agg(
         F.count("poly_id").alias("cover_n"),
-        F.min("poly_id").alias("first_poly"),
+        winner.alias("win_poly"),
         (F.count("poly_id") >= 2).alias("on_border"),
     )
 

@@ -545,8 +545,10 @@ def q_geo_pip(spark, sf_dir):
 
 
 def _sql_geo_pip() -> str:
+    # last-wins burn order (MergeAlg.replace): the CASE probes polygons
+    # in REVERSE input order so the last-burned polygon takes the pixel
     cases = " ".join(
-        f"WHEN {_halfplane_sql(v)} THEN '{pid}'" for pid, v in PIP_POLYS
+        f"WHEN {_halfplane_sql(v)} THEN '{pid}'" for pid, v in reversed(PIP_POLYS)
     )
     return f"""
 WITH pts AS ({EVENT_POINTS_SQL}),
@@ -555,6 +557,48 @@ assigned AS (
 )
 SELECT poly_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
 FROM assigned GROUP BY poly_id ORDER BY poly_id NULLS FIRST
+"""
+
+
+def q_geo_burn_values(spark, sf_dir):
+    """G4 value burn with MergeAlg.replace semantics: overlapping valued
+    polygons, the LAST polygon's value wins per point
+    (raster_processor.py:279-291 burns TOT_P values with replace)."""
+    pts = event_points(spark, sf_dir)
+    polys = [(pid, _poly_wkb(v)) for pid, v in PIP_POLYS]
+    import pandas as pd
+
+    polys_df = spark.createDataFrame(
+        pd.DataFrame(polys, columns=["nuts_id", "geometry"])
+    )
+    idx_bc = geo_join.build_polygon_index_bc(spark, polys_df)
+    assigned = geo_join.assign_polygons(
+        pts, idx_bc, keep_cols=("event_id",), match="last"
+    )
+    burn_val = (
+        F.when(F.col("poly_id") == "P1", 10.0)
+        .when(F.col("poly_id") == "P2", 20.0)
+        .when(F.col("poly_id") == "P3", 30.0)
+    )
+    return (
+        assigned.filter(F.col("poly_id").isNotNull())
+        .select("event_id", burn_val.alias("burned"))
+        .groupBy("burned")
+        .agg(F.count("*").alias("n_px"))
+        .orderBy("burned")
+    )
+
+
+def _sql_geo_burn_values() -> str:
+    vals = {"P1": 10.0, "P2": 20.0, "P3": 30.0}
+    cases = " ".join(
+        f"WHEN {_halfplane_sql(v)} THEN {vals[pid]!r}" for pid, v in reversed(PIP_POLYS)
+    )
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+burned AS (SELECT CASE {cases} ELSE NULL END AS burned FROM pts)
+SELECT burned, COUNT(*) AS n_px FROM burned
+WHERE burned IS NOT NULL GROUP BY burned ORDER BY burned
 """
 
 
@@ -572,7 +616,7 @@ def q_geo_border(spark, sf_dir):
     )
     idx_bc = geo_join.build_polygon_index_bc(spark, polys_df)
     pairs = geo_join.assign_polygons(
-        pts, idx_bc, keep_cols=("event_id",), first_match=False
+        pts, idx_bc, keep_cols=("event_id",), match="all"
     )
     per_event = pairs.groupBy("event_id").agg(
         F.count("poly_id").alias("cover_n")
@@ -960,10 +1004,30 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.ann_topk(e, QUERY_VEC, k=10)
 
 
-def q_embed_dups(spark, sf_dir):
-    """Embedding near-dup pairs via LSH buckets — rows-only check."""
+def _embeddings_with_dups(spark, sf_dir):
+    """Planted near-duplicates: every 50th vector reappears (vec_id +
+    100000) scaled by 1.5 — cosine exactly 1.0 and the same
+    sign-projection LSH bucket (scale-invariant), so the pairs MUST be
+    recalled. Mirrors _docs_with_dups for the text dedup queries."""
     e = _read(spark, sf_dir, "embeddings")
-    return similarity.pairwise_cosine_dups(e, threshold=0.9)
+    dup = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda v: (v * F.lit(1.5)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return e.unionByName(dup)
+
+
+def q_embed_dups(spark, sf_dir):
+    """Embedding near-dup pairs via LSH buckets over the planted-dup
+    table — rows-only driver check; exact planted-pair recall is
+    pytest-gated (test_pipeline_ops)."""
+    e = _embeddings_with_dups(spark, sf_dir)
+    return similarity.pairwise_cosine_dups(e, threshold=0.95).orderBy(
+        "vec_a", "vec_b"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -987,6 +1051,7 @@ QUERIES = {
     "approx_cardinality": (q_approx_cardinality, None),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
     "geo_border_overlap": (q_geo_border, _sql_geo_border()),
+    "geo_burn_values": (q_geo_burn_values, _sql_geo_burn_values()),
     "geo_knn": (q_geo_knn, _sql_geo_knn()),
     "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),

@@ -30,7 +30,8 @@ def level3():
 
 def brute_force_assign(pages_pdf: pd.DataFrame, polys: pd.DataFrame) -> dict:
     """Oracle: decode every polygon, test every resolvable page point,
-    first (table-order) valid polygon wins — same rule as the engine."""
+    LAST (table-order) valid polygon wins — rasterio MergeAlg.replace
+    burn order, the same rule as the engine's default match='last'."""
     hints = {r.host: (r.lat, r.lon) for r in pgen.host_city_hints().itertuples()}
     out = {}
     decoded = []
@@ -49,10 +50,9 @@ def brute_force_assign(pages_pdf: pd.DataFrame, polys: pd.DataFrame) -> dict:
         lat, lon = got
         x, y = proj.forward(np.array([lon]), np.array([lat]))
         hit = None
-        for pid, parts in decoded:
+        for pid, parts in decoded:  # later burns overwrite earlier ones
             if geom.points_in_polygon(x, y, parts, boundary="include")[0]:
                 hit = pid
-                break
         out[row.url] = hit
     return out
 
@@ -106,7 +106,7 @@ def test_pages_per_region_counts(spark, fixture_pages, level3):
 
 
 def test_multi_match_overlap_counting(spark, level3):
-    """first_match=False emits one row per covering polygon — the G3
+    """match='all' emits one row per covering polygon — the G3
     border/overlap semantics: exact planar points on shared borders must
     hit ≥2 polygons (all_touched=True burn twice, raster_processor.py:
     154-188; consumed as border detect at dataset_creation.py:243-247)."""
@@ -129,7 +129,7 @@ def test_multi_match_overlap_counting(spark, level3):
         }
     )
     resolved = spark.createDataFrame(pts)
-    multi = geo_join.assign_polygons(resolved, idx_bc, first_match=False)
+    multi = geo_join.assign_polygons(resolved, idx_bc, match="all")
     counts = {
         r.url: r["count"]
         for r in multi.where("poly_id is not null").groupBy("url").count().collect()

@@ -179,9 +179,13 @@ def test_index_assign_points_first_and_all():
     assert idx.poly_ids == ["A", "B"]  # invalid dropped
     px = np.array([1.0, 3.0, 5.0, 9.0])
     py = np.array([1.0, 1.0, 1.0, 1.0])
-    rows, ords = index.assign_points(idx, px, py, first_match=False)
+    rows, ords = index.assign_points(idx, px, py, match="all")
     pairs = {(int(r), idx.poly_ids[o]) for r, o in zip(rows, ords)}
     assert pairs == {(0, "A"), (1, "A"), (1, "B"), (2, "B")}
-    rows, ords = index.assign_points(idx, px, py, first_match=True)
+    # last-wins (MergeAlg.replace): B burned after A overwrites at overlap
+    rows, ords = index.assign_points(idx, px, py, match="last")
+    pairs = {(int(r), idx.poly_ids[o]) for r, o in zip(rows, ords)}
+    assert pairs == {(0, "A"), (1, "B"), (2, "B")}
+    rows, ords = index.assign_points(idx, px, py, match="first")
     pairs = {(int(r), idx.poly_ids[o]) for r, o in zip(rows, ords)}
     assert pairs == {(0, "A"), (1, "A"), (2, "B")}

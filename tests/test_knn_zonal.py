@@ -121,5 +121,11 @@ def test_overlap_stats(spark):
             }
         )
     )
-    got = {r.url: (r.cover_n, r.first_poly, r.on_border) for r in zonal.overlap_stats(pairs).collect()}
-    assert got == {"a": (2, "P1", True), "b": (1, "P1", False), "c": (3, "P1", True)}
+    got = {r.url: (r.cover_n, r.win_poly, r.on_border) for r in zonal.overlap_stats(pairs).collect()}
+    # last-wins (MergeAlg.replace): the highest-ranked poly overwrites
+    assert got == {"a": (2, "P2", True), "b": (1, "P1", False), "c": (3, "P3", True)}
+    got_first = {
+        r.url: r.win_poly
+        for r in zonal.overlap_stats(pairs, wins="first").collect()
+    }
+    assert got_first == {"a": "P1", "b": "P1", "c": "P1"}

@@ -268,6 +268,26 @@ def test_verify_pairs_matches_bruteforce_jaccard(spark):
         assert brute[pair] == vals
 
 
+def test_embedding_dups_find_planted_pairs(spark):
+    """pairwise_cosine_dups must recall EVERY planted scaled clone:
+    cosine(v, 1.5v) = 1.0 and sign-projection buckets are
+    scale-invariant, so recall of the planted pairs is exact."""
+    from europe_gis_spark.queries import _embeddings_with_dups, q_embed_dups
+
+    sf = "/root/testdata/sf0.01"
+    e = _embeddings_with_dups(spark, sf)
+    planted = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in e.filter("vec_id % 50 = 0 AND vec_id < 100000").collect()
+    }
+    assert planted, "datagen produced no plantable vectors"
+    got = {(r.vec_a, r.vec_b): r.cosine for r in q_embed_dups(spark, sf).collect()}
+    missing = planted - set(got)
+    assert not missing, f"planted pairs missed: {sorted(missing)[:5]}"
+    for p in planted:
+        assert got[p] == pytest.approx(1.0, abs=1e-6)
+
+
 def test_ann_recall_vs_brute_force(spark):
     sf = "/root/testdata/sf0.01"
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
