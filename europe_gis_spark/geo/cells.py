@@ -42,11 +42,18 @@ def cell_size(res: int) -> float:
 
 
 def cell_id(x, y, res: int):
-    """Vectorized point → cell id. Accepts scalars or numpy arrays."""
+    """Vectorized point → cell id. Accepts scalars or numpy arrays.
+
+    Out-of-domain coordinates (negative ix/iy — e.g. crawl-extracted
+    points far west/south of the EPSG:3035 false origin — or beyond the
+    29-bit grid) map to the -1 sentinel instead of bleeding into
+    adjacent bit fields and aliasing a valid cell."""
     size = cell_size(res)
     ix = np.floor(np.asarray(x, dtype=np.float64) / size).astype(np.int64)
     iy = np.floor(np.asarray(y, dtype=np.float64) / size).astype(np.int64)
-    return (np.int64(res) << np.int64(58)) | (iy << np.int64(_IX_BITS)) | ix
+    cid = (np.int64(res) << np.int64(58)) | (iy << np.int64(_IX_BITS)) | ix
+    bad = (ix < 0) | (iy < 0) | (ix > _IX_MASK) | (iy > _IX_MASK)
+    return np.where(bad, np.int64(-1), cid)
 
 
 def cell_res(cid) -> np.ndarray:
@@ -121,16 +128,89 @@ def grid_ring(cid: int, k: int) -> np.ndarray:
     return np.array([c for c in disk.tolist() if c not in inner], dtype=np.int64)
 
 
+def _part_interior(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Even-odd interior test (shell minus holes) for point arrays,
+    chunked to bound the (points × edges) ray-cast matrix."""
+    out = np.zeros(len(px), dtype=bool)
+    for s in range(0, len(px), 16384):
+        e = min(s + 16384, len(px))
+        inside = geom._crossings(px[s:e], py[s:e], rings[0])
+        for hole in rings[1:]:
+            inside &= ~geom._crossings(px[s:e], py[s:e], hole)
+        out[s:e] = inside
+    return out
+
+
+def _edges_hit_cells(ax, ay, bx, by, cxmin, cymin, size: float) -> np.ndarray:
+    """Closed segment × closed cell-rect intersection, broadcast over
+    (edges, cell rows, cell cols). Same predicate as
+    ``geom._segments_intersect_rect``: endpoint-in-rect OR (not
+    same-side-rejected AND crossing one of the 4 rect edges)."""
+    # corner offsets from segment endpoints (reused everywhere below);
+    # cxmax/cymax are computed on the exact dyadic grid BEFORE the
+    # subtraction so every offset rounds exactly once, matching the
+    # scalar predicate bit-for-bit
+    cxmax = cxmin + size
+    cymax = cymin + size
+    tx0 = cxmin - ax
+    ty0 = cymin - ay
+    tx1 = cxmax - ax
+    ty1 = cymax - ay
+    ux0 = cxmin - bx
+    uy0 = cymin - by
+    ux1 = cxmax - bx
+    uy1 = cymax - by
+    # endpoint-in-rect (closed)
+    hit = ((tx0 <= 0) & (tx1 >= 0) & (ty0 <= 0) & (ty1 >= 0)) | (
+        (ux0 <= 0) & (ux1 >= 0) & (uy0 <= 0) & (uy1 >= 0)
+    )
+    # same-side trivial rejection
+    rej = (
+        ((tx0 > 0) & (ux0 > 0))
+        | ((tx1 < 0) & (ux1 < 0))
+        | ((ty0 > 0) & (uy0 > 0))
+        | ((ty1 < 0) & (uy1 < 0))
+    )
+    # side of each rect corner w.r.t. the segment line: the rect edges
+    # are axis-aligned, so the generic d3*d4 straddle test collapses to
+    # coordinate-offset products (signs identical to the generic form)
+    dxe = bx - ax
+    dye = by - ay
+    s00 = dxe * ty0 - dye * tx0
+    s10 = dxe * ty0 - dye * tx1
+    s11 = dxe * ty1 - dye * tx1
+    s01 = dxe * ty1 - dye * tx0
+    cross = (
+        ((s00 * s10 <= 0) & (ty0 * uy0 <= 0))  # bottom
+        | ((s10 * s11 <= 0) & (tx1 * ux1 <= 0))  # right
+        | ((s11 * s01 <= 0) & (ty1 * uy1 <= 0))  # top
+        | ((s01 * s00 <= 0) & (tx0 * ux0 <= 0))  # left
+    )
+    hit |= cross & ~rej
+    return hit.any(axis=0) if hit.ndim == 3 else hit
+
+
 def cover_polygon(
     parts: list[list[np.ndarray]], res: int, max_cells: int = 250_000
 ) -> np.ndarray:
     """Exact conservative cell cover of a (multi)polygon at resolution
-    ``res``: every cell whose square intersects the polygon (boundary
-    included). Unlike H3 polyfill's center rule this can never drop a
-    covering cell (SURVEY.md §7.4 risk 5).
+    ``res``: every cell whose CLOSED square intersects the polygon
+    (boundary included). Unlike H3 polyfill's center rule this can never
+    drop a covering cell (SURVEY.md §7.4 risk 5).
+
+    Fully vectorized (no per-cell Python): a cell square intersects the
+    polygon iff (a) one of its corners is strictly interior, or (b) some
+    ring edge touches the closed square. (a) is one ray-cast pass over
+    the corner-node grid; (b) is a per-edge segment×rect test vectorized
+    over the cells of the edge's own bbox sub-grid (near-linear in edge
+    count — an edge only overlaps a handful of cells). Cell sizes are
+    powers of two, so every coordinate here is an exact dyadic float and
+    the result is bit-identical to the per-cell scalar predicate
+    (``geom.rect_intersects_polygon``), which property tests enforce.
+    An index over 1e5 LAU-scale polygons builds in seconds, not hours.
     """
     size = cell_size(res)
-    out: list[int] = []
+    covers: list[np.ndarray] = []
     for rings in parts:
         xmin, ymin, xmax, ymax = geom.ring_bbox(rings[0])
         # widen by one cell so boundary-touching neighbors are kept —
@@ -140,21 +220,64 @@ def cover_polygon(
         ix1 = int(np.floor(xmax / size)) + 1
         iy0 = max(int(np.floor(ymin / size)) - 1, 0)
         iy1 = int(np.floor(ymax / size)) + 1
-        if (ix1 - ix0 + 1) * (iy1 - iy0 + 1) > max_cells:
+        nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+        if nx * ny > max_cells:
             raise ValueError(
                 f"cover at res {res} would exceed {max_cells} cells; "
                 "use a coarser res for this polygon"
             )
-        one = [rings]
-        for iy in range(iy0, iy1 + 1):
-            cy0, cy1 = iy * size, (iy + 1) * size
-            for ix in range(ix0, ix1 + 1):
-                cx0, cx1 = ix * size, (ix + 1) * size
-                if geom.rect_intersects_polygon(cx0, cy0, cx1, cy1, one):
-                    out.append(
-                        (res << 58) | (iy << _IX_BITS) | ix
-                    )
-    return np.unique(np.array(out, dtype=np.int64))
+        # (a) corner strictly interior: evaluate once per grid NODE and
+        # OR each node into its (up to 4) adjacent cells
+        node_x = np.arange(ix0, ix1 + 2, dtype=np.float64) * size
+        node_y = np.arange(iy0, iy1 + 2, dtype=np.float64) * size
+        gx = np.tile(node_x, ny + 1)
+        gy = np.repeat(node_y, nx + 1)
+        inside = _part_interior(gx, gy, rings).reshape(ny + 1, nx + 1)
+        hit = inside[:-1, :-1] | inside[:-1, 1:] | inside[1:, :-1] | inside[1:, 1:]
+        # (b) ring edges: closed segment × closed cell-rect intersection
+        ax = np.concatenate([r[:-1, 0] for r in rings])
+        ay = np.concatenate([r[:-1, 1] for r in rings])
+        bx = np.concatenate([r[1:, 0] for r in rings])
+        by = np.concatenate([r[1:, 1] for r in rings])
+        m = len(ax)
+        if m * nx * ny <= 200_000:
+            # small part: broadcast ALL edges × the full cell grid at
+            # once (no per-edge Python loop — the LAU-scale fast path)
+            cxmin = np.arange(ix0, ix1 + 1, dtype=np.float64)[None, None, :] * size
+            cymin = np.arange(iy0, iy1 + 1, dtype=np.float64)[None, :, None] * size
+            hit |= _edges_hit_cells(
+                ax[:, None, None], ay[:, None, None],
+                bx[:, None, None], by[:, None, None],
+                cxmin, cymin, size,
+            )
+        else:
+            # large part (country shells): per-edge sub-grid keeps the
+            # working set bounded — an edge only overlaps a few cells
+            for j in range(m):
+                exmin, exmax = (ax[j], bx[j]) if ax[j] <= bx[j] else (bx[j], ax[j])
+                eymin, eymax = (ay[j], by[j]) if ay[j] <= by[j] else (by[j], ay[j])
+                # cells whose closed rect overlaps the edge bbox (closed)
+                jx0 = max(int(np.ceil(exmin / size)) - 1, ix0)
+                jx1 = min(int(np.floor(exmax / size)), ix1)
+                jy0 = max(int(np.ceil(eymin / size)) - 1, iy0)
+                jy1 = min(int(np.floor(eymax / size)), iy1)
+                if jx0 > jx1 or jy0 > jy1:
+                    continue
+                cxmin = np.arange(jx0, jx1 + 1, dtype=np.float64)[None, None, :] * size
+                cymin = np.arange(jy0, jy1 + 1, dtype=np.float64)[None, :, None] * size
+                ehit = _edges_hit_cells(
+                    ax[j], ay[j], bx[j], by[j], cxmin, cymin, size
+                )
+                hit[jy0 - iy0 : jy1 - iy0 + 1, jx0 - ix0 : jx1 - ix0 + 1] |= ehit
+        ys, xs = np.nonzero(hit)
+        covers.append(
+            (np.int64(res) << np.int64(58))
+            | ((ys.astype(np.int64) + iy0) << np.int64(_IX_BITS))
+            | (xs.astype(np.int64) + ix0)
+        )
+    if not covers:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(covers))
 
 
 def cover_geom_wkb(wkb_bytes: bytes, res: int) -> np.ndarray:
@@ -167,11 +290,12 @@ def adaptive_cover(
     res_fine: int,
     budget: int = 4096,
 ) -> np.ndarray:
-    """Multi-resolution cover: start coarse, split cells while staying
-    under ``budget`` total cells. Mirrors the adaptive cell-splitting
-    strategy for hot cells (SURVEY.md §4 custom item 2) applied at index
-    build time. Returned ids carry mixed resolutions; lookups must probe
-    each res present (the index records which)."""
+    """Budgeted cover: start at ``res_coarse`` and re-cover wholesale at
+    successively finer resolutions while the next refinement stays under
+    ``budget`` total cells. The returned cover is a SINGLE uniform
+    resolution (the finest affordable one) — callers probe exactly one
+    res. Mirrors the adaptive cell-splitting strategy for hot cells
+    (SURVEY.md §4 custom item 2) applied at index build time."""
     cur = cover_polygon(parts, res_coarse)
     res = res_coarse
     while res < res_fine and len(cur) * 4 <= budget:

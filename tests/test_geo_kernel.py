@@ -158,6 +158,88 @@ def test_cover_polygon_exact_vs_bruteforce():
     assert len(cover) == 6 * 5
 
 
+def _scalar_cover(parts, res):
+    """The original per-cell predicate loop — the oracle the vectorized
+    cover must reproduce bit-for-bit."""
+    size = cells.cell_size(res)
+    out = []
+    for rings in parts:
+        xmin, ymin, xmax, ymax = geom.ring_bbox(rings[0])
+        ix0 = max(int(np.floor(xmin / size)) - 1, 0)
+        ix1 = int(np.floor(xmax / size)) + 1
+        iy0 = max(int(np.floor(ymin / size)) - 1, 0)
+        iy1 = int(np.floor(ymax / size)) + 1
+        for iy in range(iy0, iy1 + 1):
+            for ix in range(ix0, ix1 + 1):
+                if geom.rect_intersects_polygon(
+                    ix * size, iy * size, (ix + 1) * size, (iy + 1) * size, [rings]
+                ):
+                    out.append((res << 58) | (iy << 29) | ix)
+    return np.unique(np.array(out, dtype=np.int64))
+
+
+def test_cover_polygon_vectorized_matches_scalar_random():
+    """Property: the vectorized cover is identical to the per-cell
+    scalar predicate on random polygons (incl. holes and multiparts)."""
+    rng = np.random.default_rng(1234)
+    res = 18  # 32 m cells
+    size = cells.cell_size(res)
+    for trial in range(25):
+        n = int(rng.integers(3, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(0.6, 6.0, n) * size
+        cx0, cy0 = rng.uniform(5, 50, 2) * size
+        ring = np.stack([cx0 + rad * np.cos(ang), cy0 + rad * np.sin(ang)], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        parts = [[ring]]
+        if trial % 3 == 0:  # add a hole
+            hole = np.stack(
+                [cx0 + 0.3 * rad.min() * np.cos(ang), cy0 + 0.3 * rad.min() * np.sin(ang)],
+                axis=1,
+            )[::-1]
+            hole = np.vstack([hole, hole[:1]])
+            parts = [[ring, hole]]
+        if trial % 5 == 0:  # multipart
+            parts = parts + [[ring + np.array([10 * size, 3 * size])]]
+        got = cells.cover_polygon(parts, res)
+        want = _scalar_cover(parts, res)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_cover_build_scales_to_lau_counts():
+    """1e5 small polygons must index in seconds (the LAU-scale story) —
+    the old per-cell Python loop took minutes-to-hours."""
+    import time
+
+    from europe_gis_spark.geo import index as gindex, wkb as gwkb
+
+    rng = np.random.default_rng(7)
+    size = cells.cell_size(cells.RES_DEFAULT)
+    polys = []
+    for i in range(100_000):
+        x0 = (900 + float(rng.uniform(0, 5000))) * 1000.0
+        y0 = (900 + float(rng.uniform(0, 3500))) * 1000.0
+        w, h = float(rng.uniform(0.5, 3)) * size, float(rng.uniform(0.5, 3)) * size
+        ring = np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]
+        )
+        polys.append((f"LAU{i}", gwkb.encode_polygon([ring])))
+    t0 = time.time()
+    idx = gindex.build_index(polys, res=cells.RES_DEFAULT)
+    dt = time.time() - t0
+    assert len(idx.poly_ids) == 100_000
+    assert dt < 30, f"LAU-scale index build took {dt:.1f}s"
+
+
+def test_cell_id_out_of_domain_is_sentinel():
+    cid = cells.cell_id(
+        np.array([-5.0, 4_321_000.0, 1e12]), np.array([100.0, -0.001, 100.0]), 13
+    )
+    assert cid[0] == -1 and cid[1] == -1 and cid[2] == -1
+    ok = cells.cell_id(np.array([4_321_000.0]), np.array([3_210_000.0]), 13)
+    assert ok[0] > 0
+
+
 def test_proj_roundtrip():
     lons = np.array([10.0, -5.2, 24.9, 10.0])
     lats = np.array([52.0, 40.1, 60.3, 35.0])
