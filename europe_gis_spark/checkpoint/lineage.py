@@ -61,20 +61,56 @@ CHECKPOINT_SCHEMA = T.StructType(
 )
 
 
-def completed_units(spark: SparkSession, ckpt_path: str, run_id: str) -> DataFrame:
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the classpath (capability
+    check — this container ships no Iceberg jars, so the MERGE INTO path
+    is exercised through its SQL generation only)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def checkpoint_merge_sql(table: str, updates_view: str = "ckpt_updates") -> str:
+    """The Iceberg form of the checkpoint append: an idempotent MERGE
+    keyed by (run_id, unit_id) — re-checkpointing a unit after a retry
+    updates its row instead of duplicating it (on parquet the same
+    safety comes from append + anti-join-on-distinct)."""
+    return (
+        f"MERGE INTO {table} t\n"
+        f"USING {updates_view} s\n"
+        "ON t.run_id = s.run_id AND t.unit_id = s.unit_id\n"
+        "WHEN MATCHED THEN UPDATE SET *\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def completed_units(
+    spark: SparkSession, ckpt_path: str, run_id: str, fmt: str = "parquet"
+) -> DataFrame:
     """Unit ids already checkpointed for this run (empty if no table)."""
     try:
-        df = spark.read.parquet(ckpt_path)
+        if fmt == "iceberg":
+            df = spark.read.table(ckpt_path)
+        else:
+            df = spark.read.parquet(ckpt_path)
     except Exception:
         return spark.createDataFrame([], "unit_id long")
     return df.filter(F.col("run_id") == run_id).select("unit_id").distinct()
 
 
 def pending_units(
-    spark: SparkSession, all_units: DataFrame, ckpt_path: str, run_id: str
+    spark: SparkSession,
+    all_units: DataFrame,
+    ckpt_path: str,
+    run_id: str,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Resume anti-join: units not yet completed (SURVEY.md §4 item 5)."""
-    done = completed_units(spark, ckpt_path, run_id)
+    done = completed_units(spark, ckpt_path, run_id, fmt=fmt)
     return all_units.join(done, "unit_id", "left_anti")
 
 
@@ -101,8 +137,13 @@ def write_checkpoint(
     ckpt_path: str,
     run_id: str,
     files: list[tuple[str, str, str]] | None = None,
+    fmt: str = "parquet",
 ) -> None:
-    """Append lineage rows (one per completed unit)."""
+    """Append lineage rows (one per completed unit).
+
+    ``fmt='iceberg'`` upserts via MERGE INTO (``checkpoint_merge_sql``)
+    when the Iceberg runtime is present and raises a clear capability
+    error otherwise; ``'parquet'`` (default) appends."""
     cols = [
         F.lit(run_id).alias("run_id"),
         F.col("unit_id").cast("long").alias("unit_id"),
@@ -133,7 +174,17 @@ def write_checkpoint(
         )).alias("files")
     )
     cols.append(F.current_timestamp().alias("inserted_utc"))
-    metrics.select(*cols).write.mode("append").parquet(ckpt_path)
+    rows = metrics.select(*cols)
+    if fmt == "iceberg":
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "fmt='iceberg' requested but the Iceberg Spark runtime is "
+                "not on the classpath (iceberg_available=False)"
+            )
+        rows.createOrReplaceTempView("ckpt_updates")
+        spark.sql(checkpoint_merge_sql(ckpt_path))
+    else:
+        rows.write.mode("append").parquet(ckpt_path)
 
 
 def reset_checkpoint(spark: SparkSession, ckpt_path: str) -> None:
@@ -151,6 +202,7 @@ def run_with_checkpoint(
     ckpt_path: str,
     run_id: str,
     unit_col: str = "unit_id",
+    ckpt_fmt: str = "parquet",
 ) -> int:
     """Process only pending units; write output partitioned by unit;
     checkpoint afterwards. Returns number of units processed.
@@ -160,7 +212,7 @@ def run_with_checkpoint(
     partition exactly; the checkpoint row is written only after the data
     write succeeds (write-ahead of nothing, checkpoint-behind).
     """
-    pend = pending_units(spark, units, ckpt_path, run_id)
+    pend = pending_units(spark, units, ckpt_path, run_id, fmt=ckpt_fmt)
     n_pending = pend.count()
     if n_pending == 0:
         return 0
@@ -174,5 +226,7 @@ def run_with_checkpoint(
     done = spark.read.parquet(out_path).join(
         pend.select(unit_col), unit_col, "left_semi"
     )
-    write_checkpoint(spark, lineage_rows(done, unit_col), ckpt_path, run_id)
+    write_checkpoint(
+        spark, lineage_rows(done, unit_col), ckpt_path, run_id, fmt=ckpt_fmt
+    )
     return n_pending

@@ -142,3 +142,206 @@ def polygonize(tiles: DataFrame, tile_w: int = 16) -> DataFrame:
     return tiles.groupBy("layer", "tile_row", "tile_col").applyInPandas(
         fn, schema=POLYGONIZE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------- F9 exact
+# connected-region polygonize (features.shapes semantics): one row per
+# 4-connected constant-value region, across tile boundaries.
+
+_CC_SCHEMA = (
+    "kind int, layer string, tile_row int, tile_col int, local_id int, "
+    "value double, n_px int, ymin int, xmin int, ymax int, xmax int, "
+    "vert boolean, pos int"
+)
+
+
+def _label_tile(a: np.ndarray, tile_w: int) -> np.ndarray:
+    """Two-pass 4-connectivity labeling of equal-value pixels (no scipy):
+    row runs get provisional labels, vertical merges go through a tiny
+    union-find over runs."""
+    labels = np.zeros((tile_w, tile_w), dtype=np.int32)
+    parent: list[int] = [0]  # 1-based labels; parent[0] unused
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nxt = 1
+    for i in range(tile_w):
+        j = 0
+        while j < tile_w:
+            j2 = j
+            v = a[i, j]
+            while j2 + 1 < tile_w and a[i, j2 + 1] == v:
+                j2 += 1
+            # labels of the row above overlapping this run with equal value
+            lab = 0
+            if i > 0:
+                above = labels[i - 1, j : j2 + 1][a[i - 1, j : j2 + 1] == v]
+                for u in np.unique(above):
+                    u = find(int(u))
+                    if lab == 0:
+                        lab = u
+                    elif u != lab:
+                        parent[u] = lab  # merge
+            if lab == 0:
+                parent.append(nxt)
+                lab = nxt
+                nxt += 1
+            labels[i, j : j2 + 1] = lab
+            j = j2 + 1
+    # path-compress to roots, then densify to 1..k
+    flat = labels.ravel()
+    roots = np.array([find(int(x)) for x in flat], dtype=np.int32)
+    _, dense = np.unique(roots, return_inverse=True)
+    return (dense + 1).astype(np.int32).reshape(tile_w, tile_w)
+
+
+def polygonize_regions(tiles: DataFrame, tile_w: int = 16) -> DataFrame:
+    """F9 with exact ``features.shapes`` region semantics
+    (``scripts/jobs/process_raster_layer.py:99-117``): ONE row per
+    4-connected constant-value region — including regions that span tile
+    boundaries — with pixel count and bbox. (Geometry output stays the
+    rectangle decomposition of :func:`polygonize`; join it on the same
+    tiles to reconstruct region shapes.)
+
+    Plan: per-tile two-pass connected-component labeling inside one
+    ``applyInPandas`` (shared by region rows and boundary strips via the
+    reused groupBy exchange), then cross-tile label equivalences from
+    matching boundary pixels. The equivalence graph is merged with a
+    driver-side union-find: its size is O(region crossings of tile
+    borders) — perimeter-scale, orders of magnitude below pixel count
+    (the same small-side-collect pattern as the broadcast polygon
+    index). The merged local→global map is broadcast back and the final
+    per-region aggregation is one partial+final hash agg.
+    """
+    spark = tiles.sparkSession
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        layer, trow, tcol = key
+        rows = []
+        for t in pdf.itertuples():
+            a = np.asarray(t.tile, dtype=np.float32).reshape(tile_w, tile_w)
+            lab = _label_tile(a, tile_w)
+            for lid in np.unique(lab):
+                m = lab == lid
+                ys, xs = np.nonzero(m)
+                rows.append(
+                    (
+                        0, layer, int(trow), int(tcol), int(lid),
+                        float(a[ys[0], xs[0]]), int(m.sum()),
+                        int(ys.min()), int(xs.min()), int(ys.max()), int(xs.max()),
+                        None, None,
+                    )
+                )
+            # boundary strips: east column (vert boundary with col+1) and
+            # south row (horiz boundary with row+1); the neighbor emits
+            # its west/north strip under the SAME (tile_row,tile_col) key
+            for p in range(tile_w):
+                rows.append((1, layer, int(trow), int(tcol), int(lab[p, -1]),
+                             float(a[p, -1]), None, None, None, None, None, True, p))
+                rows.append((2, layer, int(trow), int(tcol), int(lab[p, 0]),
+                             float(a[p, 0]), None, None, None, None, None, True, p))
+                rows.append((1, layer, int(trow), int(tcol), int(lab[-1, p]),
+                             float(a[-1, p]), None, None, None, None, None, False, p))
+                rows.append((2, layer, int(trow), int(tcol), int(lab[0, p]),
+                             float(a[0, p]), None, None, None, None, None, False, p))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "kind", "layer", "tile_row", "tile_col", "local_id", "value",
+                "n_px", "ymin", "xmin", "ymax", "xmax", "vert", "pos",
+            ],
+        )
+
+    tagged = tiles.groupBy("layer", "tile_row", "tile_col").applyInPandas(
+        fn, schema=_CC_SCHEMA
+    )
+    regions = tagged.filter(F.col("kind") == 0)
+
+    # equivalences: east strip of (r,c) meets west strip of (r,c+1);
+    # south strip of (r,c) meets north strip of (r+1,c)
+    lo = tagged.filter(F.col("kind") == 1).select(
+        "layer", "tile_row", "tile_col", "vert", "pos", "value",
+        F.col("local_id").alias("lid_a"),
+    )
+    hi = tagged.filter(F.col("kind") == 2).select(
+        "layer",
+        F.when(F.col("vert"), F.col("tile_row")).otherwise(F.col("tile_row") - 1).alias("tile_row"),
+        F.when(F.col("vert"), F.col("tile_col") - 1).otherwise(F.col("tile_col")).alias("tile_col"),
+        "vert", "pos", "value",
+        F.col("local_id").alias("lid_b"),
+    )
+    pairs = (
+        lo.join(hi, ["layer", "tile_row", "tile_col", "vert", "pos", "value"])
+        .select(
+            "layer", "tile_row", "tile_col", "vert", "lid_a", "lid_b"
+        )
+        .distinct()
+        .collect()
+    )
+
+    # driver union-find over (layer, trow, tcol, local_id) keys
+    parent: dict = {}
+
+    def find(k):
+        r = k
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(k, k) != k:
+            parent[k], k = r, parent[k]
+        return r
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for p in pairs:
+        a = (p.layer, p.tile_row, p.tile_col, p.lid_a)
+        b = (
+            (p.layer, p.tile_row, p.tile_col + 1, p.lid_b)
+            if p.vert
+            else (p.layer, p.tile_row + 1, p.tile_col, p.lid_b)
+        )
+        union(a, b)
+    merged = {k: find(k) for k in list(parent)}
+    bc = spark.sparkContext.broadcast(merged)
+
+    def to_global(it):
+        for b in it:
+            m = bc.value
+            rid = [
+                "{}|{}|{}|{}".format(
+                    *m.get((la, tr, tc, li), (la, tr, tc, li))
+                )
+                for la, tr, tc, li in zip(
+                    b["layer"], b["tile_row"], b["tile_col"], b["local_id"]
+                )
+            ]
+            out = b[["layer", "value", "n_px"]].copy()
+            out["region_id"] = rid
+            out["ymin"] = b["tile_row"] * tile_w + b["ymin"]
+            out["xmin"] = b["tile_col"] * tile_w + b["xmin"]
+            out["ymax"] = b["tile_row"] * tile_w + b["ymax"]
+            out["xmax"] = b["tile_col"] * tile_w + b["xmax"]
+            yield out
+
+    out_schema = (
+        "layer string, value double, n_px int, region_id string, "
+        "ymin int, xmin int, ymax int, xmax int"
+    )
+    return (
+        regions.mapInPandas(to_global, schema=out_schema)
+        .groupBy("layer", "region_id")
+        .agg(
+            F.first("value").alias("value"),
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.min("ymin").alias("ymin"),
+            F.min("xmin").alias("xmin"),
+            F.max("ymax").alias("ymax"),
+            F.max("xmax").alias("xmax"),
+        )
+    )

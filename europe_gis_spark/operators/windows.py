@@ -108,27 +108,84 @@ def extract_patches(
     groupBy (layer, tile_row, tile_col) over halo-augmented strips, then
     numpy ``sliding_window_view`` inside one applyInPandas — the
     distributed form of dataset_creation.py:20-36.
+
+    ``label_layer`` implements W3 cross-layer labeling: the label is the
+    patch-center pixel of THAT layer (the reference's output raster,
+    dataset_creation.py:30,66), joined into each feature layer's group
+    as halo-augmented label strips. Layers equal to ``label_layer`` are
+    labels only, never features. Without it, the label falls back to the
+    center pixel of the patch's own layer.
+
+    Tiles absent from the input emit NOTHING even when a neighbor sent
+    them an apron strip (a halo-only group is not a tile).
     """
-    halo = tile_with_halo(tiles, tile_w, win)
     h = win - 1
+    if label_layer is None:
+        halo = tile_with_halo(tiles, tile_w, win).withColumn(
+            "is_label", F.lit(False)
+        )
+    else:
+        feats = tiles.filter(F.col("layer") != label_layer)
+        halo = tile_with_halo(feats, tile_w, win).withColumn(
+            "is_label", F.lit(False)
+        )
+        # replicate the label layer's tiles under EVERY feature layer's
+        # key (feature layer set is tiny — broadcast cross join), then
+        # halo them the same way so edge-tile centers resolve too
+        feat_layers = feats.select("layer").distinct()
+        lab = (
+            tiles.filter(F.col("layer") == label_layer)
+            .drop("layer")
+            .crossJoin(F.broadcast(feat_layers))
+        )
+        halo = halo.unionByName(
+            tile_with_halo(lab, tile_w, win).withColumn("is_label", F.lit(True))
+        )
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         layer, trow, tcol = key
+        empty = pd.DataFrame(
+            {
+                "layer": pd.Series(dtype=object),
+                "i": pd.Series(dtype=np.int32),
+                "j": pd.Series(dtype=np.int32),
+                "label": pd.Series(dtype=np.float32),
+                "patch": pd.Series(dtype=object),
+                "valid": pd.Series(dtype=bool),
+            }
+        )
         big = np.full((tile_w + h, tile_w + h), BAD_VALUE, dtype=np.float32)
+        lab_big = None
+        base_present = False
         for r in pdf.itertuples():
             block = np.asarray(r.block, dtype=np.float32).reshape(tile_w, tile_w)
             r0, c0 = r.dr * tile_w, r.dc * tile_w
+            if r.is_label:
+                if lab_big is None:
+                    lab_big = np.full(
+                        (tile_w + h, tile_w + h), BAD_VALUE, dtype=np.float32
+                    )
+                seg = lab_big[r0 : r0 + tile_w, c0 : c0 + tile_w]
+                lab_big[r0 : r0 + tile_w, c0 : c0 + tile_w] = block[
+                    : seg.shape[0], : seg.shape[1]
+                ]
+                continue
+            if r.dr == 0 and r.dc == 0:
+                base_present = True
             seg = big[r0 : r0 + tile_w, c0 : c0 + tile_w]
             big[r0 : r0 + tile_w, c0 : c0 + tile_w] = block[: seg.shape[0], : seg.shape[1]]
+        if not base_present:
+            # halo-only group: a neighbor emitted an apron strip keyed to
+            # a tile that does not exist — no phantom patches
+            return empty
         sw = np.lib.stride_tricks.sliding_window_view(big, (win, win))
         sw = sw[:tile_w, :tile_w]  # origins inside this tile
         n = tile_w * tile_w
         patches = sw.reshape(n, win * win)
         valid = patches.min(axis=1) > min_valid
         ii, jj = np.meshgrid(np.arange(tile_w), np.arange(tile_w), indexing="ij")
-        center = big[
-            (ii + win // 2).ravel(), (jj + win // 2).ravel()
-        ]
+        src = big if lab_big is None else lab_big
+        center = src[(ii + win // 2).ravel(), (jj + win // 2).ravel()]
         return pd.DataFrame(
             {
                 "layer": layer,
@@ -156,6 +213,36 @@ def train_test_split(df: DataFrame, test_frac: float = 0.2, seed: int = 42):
     """O4: 80/20 split (dataset_creation.py:32-35)."""
     train, test = df.randomSplit([1.0 - test_frac, test_frac], seed)
     return train, test
+
+
+def weighted_interleave(
+    dfs: list[DataFrame], weights: list[float], seed: int = 42
+) -> DataFrame:
+    """O6: weighted dataset interleave — the Spark form of
+    ``tf.data.sample_from_datasets`` with size-proportional weights
+    (ref ``scripts/jobs/dataset_creation.py:365-373``).
+
+    Each source is down-sampled with a seeded Bernoulli fraction so the
+    expected output composition matches ``weights`` (normalized), using
+    as much data as the scarcest source allows (c_i = w_i · s with
+    s = min n_i/w_i), then union + seeded permutation so downstream
+    batches mix sources — the interleave property. Deterministic under
+    a fixed seed.
+    """
+    if len(dfs) != len(weights) or not dfs:
+        raise ValueError("need one weight per DataFrame")
+    total_w = float(sum(weights))
+    ws = [w / total_w for w in weights]
+    ns = [df.count() for df in dfs]
+    s = min(n / w for n, w in zip(ns, ws) if w > 0)
+    out = None
+    for df, w, n in zip(dfs, ws, ns):
+        if w == 0 or n == 0:
+            continue
+        frac = min(w * s / n, 1.0)
+        part = df if frac >= 1.0 else df.sample(fraction=frac, seed=seed)
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy(F.rand(seed))
 
 
 def batched_inference(

@@ -700,6 +700,27 @@ FROM pts GROUP BY 1, 2 ORDER BY xb, yb
 """
 
 
+def q_raster_regions(spark, sf_dir):
+    """F9 connected-region polygonize (features.shapes semantics) over a
+    density raster derived from event points — rows-only driver check
+    (flood-fill is not DuckDB-expressible); exactness vs a whole-raster
+    BFS oracle is pytest-gated (test_polygonize.py)."""
+    from .operators import layers as L
+    from .operators import zonal
+
+    pts = event_points(spark, sf_dir)
+    cellsdf = (
+        pts.groupBy(
+            F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("x"),
+            F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("y"),
+        )
+        .agg((F.count("*") > 16).cast("float").alias("value"))
+        .withColumn("layer", F.lit("density"))
+    )
+    tiles = zonal.cells_to_tiles(cellsdf, tile_w=16)
+    return L.polygonize_regions(tiles, tile_w=16).orderBy("region_id")
+
+
 def q_geo_bbox(spark, sf_dir):
     """Bounding-box aggregate (G1) per event type."""
     pts = event_points(spark, sf_dir)
@@ -1055,6 +1076,7 @@ QUERIES = {
     "geo_knn": (q_geo_knn, _sql_geo_knn()),
     "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
+    "raster_regions": (q_raster_regions, None),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
     "dedup_ngram_jaccard": (q_dedup_jaccard, _sql_jaccard()),

@@ -42,6 +42,24 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
     }
 
 
+def test_iceberg_seam_sql_and_capability(spark):
+    """MERGE INTO generation is format-correct; fmt='iceberg' without
+    the runtime raises a clear capability error; parquet default
+    untouched (covered by the resume tests)."""
+    sql = lineage.checkpoint_merge_sql("glue.ckpt.lineage")
+    assert sql.startswith("MERGE INTO glue.ckpt.lineage t")
+    assert "USING ckpt_updates s" in sql
+    assert "ON t.run_id = s.run_id AND t.unit_id = s.unit_id" in sql
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+    assert lineage.iceberg_available(spark) is False  # no jars here
+    metrics = spark.createDataFrame(
+        pd.DataFrame({"unit_id": [1], "row_count": [5]})
+    )
+    with pytest.raises(RuntimeError, match="iceberg_available=False"):
+        lineage.write_checkpoint(spark, metrics, "tbl", "r1", fmt="iceberg")
+
+
 # ------------------------------------------------------------- 2-D windows
 def test_patch_extraction_matches_numpy(spark):
     tiles = geodata.raster_tiles()
@@ -66,6 +84,58 @@ def test_patch_extraction_matches_numpy(spark):
         np.testing.assert_array_equal(np.array(r.patch, dtype=np.float32), want_patch)
         assert r.valid == bool(want_patch.min() > windows.BAD_VALUE)
         assert r.label == full[r.i + win // 2, r.j + win // 2]
+
+
+def test_patch_labels_come_from_label_layer(spark):
+    """W3 cross-layer labeling: label = center pixel of the LABEL
+    layer's raster, including centers that fall in the halo region."""
+    tiles = geodata.raster_tiles()
+    both = tiles[tiles.layer.isin(["dem", "pop"])]
+    df = spark.createDataFrame(both)
+    win = 5
+    got = windows.extract_patches(df, tile_w=16, win=win, label_layer="pop").toPandas()
+    assert set(got.layer.unique()) == {"dem"}  # label layer is not a feature
+
+    sub = tiles[tiles.layer == "pop"]
+    H = (sub.tile_row.max() + 1) * 16
+    W = (sub.tile_col.max() + 1) * 16
+    full = np.full((H + win - 1, W + win - 1), windows.BAD_VALUE, dtype=np.float32)
+    for r in sub.itertuples():
+        full[r.tile_row * 16 : r.tile_row * 16 + 16, r.tile_col * 16 : r.tile_col * 16 + 16] = (
+            np.array(r.tile, dtype=np.float32).reshape(16, 16)
+        )
+    for r in got.sample(200, random_state=2).itertuples():
+        assert r.label == full[r.i + win // 2, r.j + win // 2]
+
+
+def test_halo_only_groups_emit_no_phantom_patches(spark):
+    """A tile absent from the input must produce NO patch rows even when
+    a neighbor emits an apron strip keyed to it."""
+    tiles = geodata.raster_tiles()
+    sub = tiles[(tiles.layer == "dem") & ~((tiles.tile_row == 0) & (tiles.tile_col == 0))]
+    df = spark.createDataFrame(sub)
+    got = windows.extract_patches(df, tile_w=16, win=5).toPandas()
+    assert len(got) == len(sub) * 16 * 16
+    assert not ((got.i < 16) & (got.j < 16)).any()
+
+
+def test_weighted_interleave_proportions_and_determinism(spark):
+    a = spark.range(0, 8000).select(F.col("id"), F.lit("a").alias("src"))
+    b = spark.range(0, 2000).select(
+        (F.col("id") + 100000).alias("id"), F.lit("b").alias("src")
+    )
+    out = windows.weighted_interleave([a, b], [0.5, 0.5], seed=11)
+    counts = {r.src: r["count"] for r in out.groupBy("src").count().collect()}
+    # scarcest source: b (2000 rows at weight .5 → s=4000, c_i≈2000 each)
+    assert counts["b"] == 2000
+    assert counts["a"] == pytest.approx(2000, rel=0.1)
+    # deterministic under reseed
+    again = windows.weighted_interleave([a, b], [0.5, 0.5], seed=11)
+    assert out.collect() == again.collect()
+    # 90/10 weighting
+    out2 = windows.weighted_interleave([a, b], [0.9, 0.1], seed=11)
+    c2 = {r.src: r["count"] for r in out2.groupBy("src").count().collect()}
+    assert c2["a"] / (c2["a"] + c2["b"]) == pytest.approx(0.9, abs=0.03)
 
 
 def test_batched_inference(spark):
