@@ -31,10 +31,13 @@ HEADLINE = [
     "sliding_window",
     "geo_pip_join",
     "geo_border_overlap",
+    "geo_burn_values",
     "geo_knn",
     "geo_rebin",
+    "raster_regions",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",
     "token_stats",
     "quality_scores",
     "fingerprint",
@@ -89,11 +92,15 @@ def run_bench(sf_dir: str, n_pages: int, skip_pages: bool, quiet: bool = True) -
         timings["spatial_join_pages"] = round(best, 3)
         pages_per_sec = round(n_pages / best, 1)
         # fused geo-tag + per-page metrics variant (tokens + simhash)
-        t0 = time.perf_counter()
-        geo_join.pages_per_region(
-            spark, pages_df, polys_df, host_hints=hints, level=3, with_metrics=True
-        ).collect()
-        timings["spatial_join_metrics"] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            geo_join.pages_per_region(
+                spark, pages_df, polys_df, host_hints=hints, level=3, with_metrics=True
+            ).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings["spatial_join_metrics"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

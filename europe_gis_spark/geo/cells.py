@@ -120,12 +120,23 @@ def grid_disk(cid: int, k: int) -> np.ndarray:
 
 
 def grid_ring(cid: int, k: int) -> np.ndarray:
-    """Only the cells at exactly Chebyshev distance k."""
+    """Only the cells at exactly Chebyshev distance k — built directly
+    as the 8k perimeter offsets (top/bottom rows + side columns), not by
+    diffing two disks (that was O(k²) per ring; kNN expansion probes
+    rings up to k=128)."""
     if k == 0:
         return np.array([np.int64(cid)], dtype=np.int64)
-    disk = grid_disk(cid, k)
-    inner = set(grid_disk(cid, k - 1).tolist())
-    return np.array([c for c in disk.tolist() if c not in inner], dtype=np.int64)
+    ix, iy, res = cell_xy(np.int64(cid))
+    full = np.arange(-k, k + 1, dtype=np.int64)
+    side = np.arange(-k + 1, k, dtype=np.int64)
+    dx = np.concatenate([full, full, np.full(len(side), -k), np.full(len(side), k)])
+    dy = np.concatenate(
+        [np.full(len(full), -k), np.full(len(full), k), side, side]
+    )
+    nx = ix + dx
+    ny = iy + dy
+    keep = (nx >= 0) & (ny >= 0) & (nx <= _IX_MASK) & (ny <= _IX_MASK)
+    return (res << np.int64(58)) | (ny[keep] << np.int64(_IX_BITS)) | nx[keep]
 
 
 def _part_interior(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
