@@ -216,6 +216,77 @@ def rect_intersects_polygon(
     return False
 
 
+def clip_ring_rect(
+    ring: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float
+) -> np.ndarray | None:
+    """Sutherland–Hodgman clip of one ring against an axis-aligned
+    rectangle. Returns the CLOSED clipped ring, or None when the
+    intersection is empty/degenerate (< 3 vertices)."""
+    poly = ring[:-1]  # open form
+    for side in range(4):
+        if len(poly) == 0:
+            return None
+        nxt = []
+        n = len(poly)
+        for i in range(n):
+            ax, ay = poly[i]
+            bx, by = poly[(i + 1) % n]
+            if side == 0:
+                ina, inb = ax >= xmin, bx >= xmin
+            elif side == 1:
+                ina, inb = ax <= xmax, bx <= xmax
+            elif side == 2:
+                ina, inb = ay >= ymin, by >= ymin
+            else:
+                ina, inb = ay <= ymax, by <= ymax
+            if ina:
+                nxt.append((ax, ay))
+            if ina != inb:
+                if side == 0:
+                    t = (xmin - ax) / (bx - ax)
+                    nxt.append((xmin, ay + t * (by - ay)))
+                elif side == 1:
+                    t = (xmax - ax) / (bx - ax)
+                    nxt.append((xmax, ay + t * (by - ay)))
+                elif side == 2:
+                    t = (ymin - ay) / (by - ay)
+                    nxt.append((ax + t * (bx - ax), ymin))
+                else:
+                    t = (ymax - ay) / (by - ay)
+                    nxt.append((ax + t * (bx - ax), ymax))
+        poly = np.array(nxt) if nxt else np.empty((0, 2))
+    if len(poly) < 3:
+        return None
+    return np.vstack([poly, poly[:1]])
+
+
+def clip_polygon_rect(
+    parts: list[list[np.ndarray]],
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+) -> list[list[np.ndarray]]:
+    """Polygon ∩ rectangle as GEOMETRY (the ``gpd.overlay(…,
+    'intersection')`` output shape, ``process_raster_layer.py:398-403``):
+    each part's shell and holes are clipped independently; parts whose
+    shell vanishes are dropped. Valid for a convex clip window (a cell
+    rect always is) — the intersection of each ring with the rect is a
+    single ring."""
+    out: list[list[np.ndarray]] = []
+    for rings in parts:
+        shell = clip_ring_rect(rings[0], xmin, ymin, xmax, ymax)
+        if shell is None or abs(shoelace_area(shell)) == 0.0:
+            continue
+        clipped = [shell]
+        for hole in rings[1:]:
+            h = clip_ring_rect(hole, xmin, ymin, xmax, ymax)
+            if h is not None and abs(shoelace_area(h)) > 0.0:
+                clipped.append(h)
+        out.append(clipped)
+    return out
+
+
 def clip_area_rect(
     parts: list[list[np.ndarray]],
     xmin: float,
@@ -229,48 +300,13 @@ def clip_area_rect(
     ``process_raster_layer.py:398-403``): weight = clip_area / cell_area.
     """
 
-    def clip_ring(ring: np.ndarray) -> float:
-        poly = ring[:-1]  # open form
-        for side in range(4):
-            if len(poly) == 0:
-                return 0.0
-            nxt = []
-            n = len(poly)
-            for i in range(n):
-                ax, ay = poly[i]
-                bx, by = poly[(i + 1) % n]
-                if side == 0:
-                    ina, inb = ax >= xmin, bx >= xmin
-                elif side == 1:
-                    ina, inb = ax <= xmax, bx <= xmax
-                elif side == 2:
-                    ina, inb = ay >= ymin, by >= ymin
-                else:
-                    ina, inb = ay <= ymax, by <= ymax
-                if ina:
-                    nxt.append((ax, ay))
-                if ina != inb:
-                    if side == 0:
-                        t = (xmin - ax) / (bx - ax)
-                        nxt.append((xmin, ay + t * (by - ay)))
-                    elif side == 1:
-                        t = (xmax - ax) / (bx - ax)
-                        nxt.append((xmax, ay + t * (by - ay)))
-                    elif side == 2:
-                        t = (ymin - ay) / (by - ay)
-                        nxt.append((ax + t * (bx - ax), ymin))
-                    else:
-                        t = (ymax - ay) / (by - ay)
-                        nxt.append((ax + t * (bx - ax), ymax))
-            poly = np.array(nxt) if nxt else np.empty((0, 2))
-        if len(poly) < 3:
-            return 0.0
-        closed = np.vstack([poly, poly[:1]])
-        return abs(shoelace_area(closed))
+    def ring_area(ring: np.ndarray) -> float:
+        clipped = clip_ring_rect(ring, xmin, ymin, xmax, ymax)
+        return abs(shoelace_area(clipped)) if clipped is not None else 0.0
 
     total = 0.0
     for rings in parts:
-        total += clip_ring(rings[0])
+        total += ring_area(rings[0])
         for hole in rings[1:]:
-            total -= clip_ring(hole)
+            total -= ring_area(hole)
     return max(total, 0.0)

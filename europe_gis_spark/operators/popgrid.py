@@ -117,6 +117,66 @@ def overlay_weights(
     return src.mapInPandas(fn, schema="grd_id string, zone_id string, area_frac double")
 
 
+def overlay_intersection(
+    grid: DataFrame,
+    polygons: list[tuple[str, bytes]],
+    res: int = gcells.RES_DEFAULT,
+) -> DataFrame:
+    """J3 with GEOMETRY output — the full ``gpd.overlay(grid, zones,
+    how='intersection')`` shape (``process_raster_layer.py:398-403``):
+    one row per intersecting (grid square, zone) pair carrying the
+    intersection polygon as WKB plus its exact area. Same cell-cover
+    candidate pruning and Arrow batching as :func:`overlay_weights`;
+    the clip itself is Sutherland–Hodgman against the (convex) square.
+    """
+    decoded = []
+    for pid, buf in polygons:
+        parts = wkb.polygon_parts(wkb.decode(buf))
+        if geom.is_valid_polygon(parts):
+            cover = set(gcells.cover_polygon(parts, res).tolist())
+            decoded.append((pid, parts, cover))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"grd_id": [], "zone_id": [], "geometry": [], "area": []}
+            x0 = b["x0"].to_numpy()
+            y0 = b["y0"].to_numpy()
+            size = b["size"].to_numpy()
+            grd = b["grd_id"].tolist()
+            for i in range(len(b)):
+                cx0, cy0, s = x0[i], y0[i], size[i]
+                ring = np.array(
+                    [[cx0, cy0], [cx0 + s, cy0], [cx0 + s, cy0 + s],
+                     [cx0, cy0 + s], [cx0, cy0]]
+                )
+                ccells = set(gcells.cover_polygon([[ring]], res).tolist())
+                for pid, parts, cover in decoded:
+                    if not (ccells & cover):
+                        continue
+                    clipped = geom.clip_polygon_rect(
+                        parts, cx0, cy0, cx0 + s, cy0 + s
+                    )
+                    if not clipped:
+                        continue
+                    area = geom.polygon_area(clipped)
+                    if area <= 0:
+                        continue
+                    out["grd_id"].append(grd[i])
+                    out["zone_id"].append(pid)
+                    out["geometry"].append(wkb.encode_multipolygon(clipped))
+                    out["area"].append(area)
+            yield pd.DataFrame(out)
+
+    src = grid.select(
+        "grd_id", "x0", "y0", F.lit(1000.0).alias("size")
+        if "size" not in grid.columns
+        else F.col("size"),
+    )
+    return src.mapInPandas(
+        fn, schema="grd_id string, zone_id string, geometry binary, area double"
+    )
+
+
 def zonal_population(
     grid_attrs: DataFrame, weights: DataFrame
 ) -> DataFrame:

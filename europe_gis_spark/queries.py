@@ -721,6 +721,98 @@ def q_raster_regions(spark, sf_dir):
     return L.polygonize_regions(tiles, tile_w=16).orderBy("region_id")
 
 
+def q_overlay_rects(spark, sf_dir):
+    """J3 overlay with GEOMETRY output (gpd.overlay 'intersection'):
+    2 km grid squares (from event-point buckets, translated coords) ×
+    rectangular zones → intersection polygon per pair; the checked area
+    is recomputed from the DECODED clip geometry, so the WKB path itself
+    is under the oracle. Zones are axis-aligned so DuckDB can state the
+    exact area arithmetically."""
+    from .operators import popgrid
+
+    pts = event_points(spark, sf_dir)
+    grid = (
+        pts.select(
+            F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("xb"),
+            F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("yb"),
+        )
+        .distinct()
+        .select(
+            F.concat_ws("|", F.lit("g"), F.col("xb"), F.col("yb")).alias("grd_id"),
+            (F.col("xb") * 2000.0).alias("x0"),
+            (F.col("yb") * 2000.0).alias("y0"),
+            F.lit(2000.0).alias("size"),
+        )
+    )
+    polys = [
+        (
+            pid,
+            _poly_wkb(
+                [
+                    (x0 - AA_X0, y0 - AA_Y0),
+                    (x1 - AA_X0, y0 - AA_Y0),
+                    (x1 - AA_X0, y1 - AA_Y0),
+                    (x0 - AA_X0, y1 - AA_Y0),
+                ]
+            ),
+        )
+        for pid, x0, y0, x1, y1 in BORDER_RECTS
+    ]
+    out = popgrid.overlay_intersection(grid, polys, res=16)
+
+    # recompute the area from the decoded geometry inside the engine —
+    # proves the emitted WKB is the true intersection polygon
+    import pandas as pd
+    from .geo import geom as ggeom
+
+    def check(batches):
+        for b in batches:
+            areas = [
+                ggeom.polygon_area(wkb.polygon_parts(wkb.decode(bytes(g))))
+                for g in b["geometry"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "grd_id": b["grd_id"],
+                    "zone_id": b["zone_id"],
+                    "area": np.round(np.array(areas), 4),
+                }
+            )
+
+    return (
+        out.mapInPandas(check, schema="grd_id string, zone_id string, area double")
+        .orderBy("grd_id", "zone_id")
+    )
+
+
+def _sql_overlay_rects() -> str:
+    rects = ", ".join(
+        f"('{pid}', {x0 - AA_X0!r}, {y0 - AA_Y0!r}, {x1 - AA_X0!r}, {y1 - AA_Y0!r})"
+        for pid, x0, y0, x1, y1 in BORDER_RECTS
+    )
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+g AS (
+  SELECT DISTINCT CAST(FLOOR((x - {AA_X0}) / 2000.0) AS INT) AS xb,
+                  CAST(FLOOR((y - {AA_Y0}) / 2000.0) AS INT) AS yb
+  FROM pts
+),
+cellsq AS (
+  SELECT 'g' || '|' || xb || '|' || yb AS grd_id,
+         xb * 2000.0 AS cx0, yb * 2000.0 AS cy0 FROM g
+),
+rects(zone_id, rx0, ry0, rx1, ry1) AS (VALUES {rects}),
+ov AS (
+  SELECT grd_id, zone_id,
+         GREATEST(LEAST(cx0 + 2000.0, rx1) - GREATEST(cx0, rx0), 0)
+         * GREATEST(LEAST(cy0 + 2000.0, ry1) - GREATEST(cy0, ry0), 0) AS a
+  FROM cellsq, rects
+)
+SELECT grd_id, zone_id, ROUND(a, 4) AS area FROM ov WHERE a > 0
+ORDER BY grd_id, zone_id
+"""
+
+
 def q_geo_bbox(spark, sf_dir):
     """Bounding-box aggregate (G1) per event type."""
     pts = event_points(spark, sf_dir)
@@ -1077,6 +1169,7 @@ QUERIES = {
     "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "raster_regions": (q_raster_regions, None),
+    "overlay_rects": (q_overlay_rects, _sql_overlay_rects()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
     "dedup_ngram_jaccard": (q_dedup_jaccard, _sql_jaccard()),

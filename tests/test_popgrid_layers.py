@@ -74,6 +74,53 @@ def test_overlay_fractional_weights(spark):
     assert got[("c2", "Z")] == pytest.approx(0.5)
 
 
+def test_overlay_intersection_geometry(spark):
+    """J3 geometry output: the clipped WKB decodes to a polygon fully
+    inside the cell square whose exact area equals the area-weight path;
+    holes survive the clip."""
+    grid = pd.DataFrame(
+        {"grd_id": ["c1", "c2"], "x0": [0.0, 1000.0], "y0": [0.0, 0.0]}
+    )
+    half_rect = wkb.encode_polygon(
+        [np.array([[0.0, 0.0], [2000.0, 0.0], [2000.0, 500.0], [0.0, 500.0], [0.0, 0.0]])]
+    )
+    # donut: outer square over both cells, square hole in its middle
+    donut = wkb.encode_multipolygon(
+        [
+            [
+                np.array([[100.0, 100.0], [1900.0, 100.0], [1900.0, 900.0],
+                          [100.0, 900.0], [100.0, 100.0]]),
+                np.array([[800.0, 300.0], [800.0, 700.0], [1200.0, 700.0],
+                          [1200.0, 300.0], [800.0, 300.0]]),  # CW hole
+            ]
+        ]
+    )
+    gdf = spark.createDataFrame(grid)
+    rows = popgrid.overlay_intersection(
+        gdf, [("Z", half_rect), ("D", donut)], res=18
+    ).collect()
+    got = {(r.grd_id, r.zone_id): r for r in rows}
+    # area parity with the weights path
+    w = popgrid.overlay_weights(gdf, [("Z", half_rect), ("D", donut)], res=18).collect()
+    fr = {(r.grd_id, r.zone_id): r.area_frac for r in w}
+    assert set(got) == set(fr)
+    for key, r in got.items():
+        assert r.area == pytest.approx(fr[key] * 1000.0 * 1000.0)
+        parts = wkb.polygon_parts(wkb.decode(bytes(r.geometry)))
+        assert geom.polygon_area(parts) == pytest.approx(r.area)
+        cx0 = 0.0 if key[0] == "c1" else 1000.0
+        for rings in parts:
+            for ring in rings:
+                assert (ring[:, 0] >= cx0 - 1e-9).all()
+                assert (ring[:, 0] <= cx0 + 1000.0 + 1e-9).all()
+                assert (ring[:, 1] >= -1e-9).all() and (ring[:, 1] <= 1000.0 + 1e-9).all()
+    # the donut's hole reduces the clipped area in each cell:
+    # per cell, outer 900x800 strip minus the 200x400 half-hole
+    assert got[("c1", "D")].area == pytest.approx(900 * 800 - 200 * 400)
+    assert got[("c2", "D")].area == pytest.approx(900 * 800 - 200 * 400)
+    assert len(wkb.polygon_parts(wkb.decode(bytes(got[("c1", "D")].geometry)))[0]) == 2
+
+
 @pytest.fixture(scope="module")
 def cells_df(spark):
     tiles = geodata.raster_tiles()
