@@ -26,18 +26,40 @@ from pyspark.sql import DataFrame
 IMAGE_META_SCHEMA = "width int, height int, channels int, format string"
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+def codecs_available() -> bool:
+    """True iff a real image codec (PIL) is importable (not in this
+    container — the capability gate mirrors lineage.iceberg_available)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def decode_image(payload: bytes, fake: bool | None = None) -> np.ndarray:
     """Decode an image payload to (H, W, C) uint8.
 
-    STUB: real decode requires PIL/libjpeg (not installed). The
-    deterministic fake derives an 8×8×3 array from the payload digest so
-    pipelines are testable end-to-end.
+    STUB: real decode requires PIL/libjpeg (not installed). The default
+    (``fake=None``) auto-detects: real codec when available, else the
+    deterministic fake decoder (8×8×3 from the payload digest) — so
+    PIPELINES NEVER HIT A RAISE at runtime. Pass ``fake=False`` to
+    require a real codec (raises loudly when absent).
     """
+    if fake is None:
+        fake = not codecs_available()
     if not fake:
-        raise NotImplementedError(
-            "image codecs not available in this environment; pass fake=True "
-            "for the deterministic test decoder"
-        )
+        if not codecs_available():
+            raise NotImplementedError(
+                "image codecs not available in this environment; pass "
+                "fake=True (or leave the default) for the deterministic "
+                "test decoder"
+            )
+        import io
+
+        import PIL.Image
+
+        return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
     digest = hashlib.sha256(payload or b"").digest()
     arr = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
     return arr.reshape(8, 8, 3).copy()

@@ -251,6 +251,42 @@ def test_proj_roundtrip():
     np.testing.assert_allclose(lat2, lats, atol=1e-9)
 
 
+def test_proj_is_true_ellipsoidal_epsg3035():
+    """Three pins on the ellipsoidal LAEA: (1) the published EPSG:3035
+    example point (IOGP Guidance 7-2: 5°E 50°N → 3962799.45,
+    2999718.85); (2) the equal-area property — the finite-difference
+    Jacobian |∂(x,y)/∂(λ,φ)| equals the GRS80 surface element M·N·cosφ
+    to 1e-6 relative everywhere (the old spherical approximation fails
+    this at ~1e-3); (3) roundtrip over the whole European domain."""
+    x, y = proj.forward(np.array([5.0]), np.array([50.0]))
+    assert x[0] == pytest.approx(3962799.45, abs=0.01)
+    assert y[0] == pytest.approx(2999718.85, abs=0.01)
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-10, 30, 500)
+    lat = rng.uniform(35, 70, 500)
+    h = 1e-6
+    d = np.deg2rad(2 * h)
+    xl1, yl1 = proj.forward(lon + h, lat)
+    xl0, yl0 = proj.forward(lon - h, lat)
+    xp1, yp1 = proj.forward(lon, lat + h)
+    xp0, yp0 = proj.forward(lon, lat - h)
+    jac = np.abs(
+        (xl1 - xl0) / d * (yp1 - yp0) / d - (yl1 - yl0) / d * (xp1 - xp0) / d
+    )
+    phi = np.deg2rad(lat)
+    s2 = 1 - proj.E2 * np.sin(phi) ** 2
+    element = (
+        proj.A * (1 - proj.E2) / s2**1.5 * (proj.A / np.sqrt(s2)) * np.cos(phi)
+    )
+    np.testing.assert_allclose(jac, element, rtol=1e-6)
+
+    x, y = proj.forward(lon, lat)
+    lon2, lat2 = proj.inverse(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-7)
+
+
 def test_index_assign_points_first_and_all():
     polys = [
         ("A", wkb.encode_polygon(SQUARE)),
