@@ -256,8 +256,16 @@ def polygonize_regions(tiles: DataFrame, tile_w: int = 16) -> DataFrame:
             ],
         )
 
-    tagged = tiles.groupBy("layer", "tile_row", "tile_col").applyInPandas(
-        fn, schema=_CC_SCHEMA
+    # three consumers (boundary pairs collect, lo strips, region rows) —
+    # persist so the labeling UDF runs once; the tagged table is
+    # region+perimeter-scale (≈ regions + 4·tile_w rows per tile), not
+    # pixel-scale, so MEMORY_AND_DISK is safe at raster scale
+    from pyspark import StorageLevel
+
+    tagged = (
+        tiles.groupBy("layer", "tile_row", "tile_col")
+        .applyInPandas(fn, schema=_CC_SCHEMA)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     regions = tagged.filter(F.col("kind") == 0)
 

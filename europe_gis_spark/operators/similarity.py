@@ -112,6 +112,121 @@ def ann_topk(
     return brute_force_topk(cand, query_vec, k)
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 64,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained on the driver from a
+    deterministic sample (the IVF 'train' step — FAISS IVF's exact
+    shape). Returns L2-normalized centroids (n_lists, dim).
+
+    The sample is tiny and the iteration count fixed, so training cost
+    is independent of corpus size; only assignment scans the corpus.
+    """
+    pdf = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(1_000_003)))
+        .limit(sample)
+        .toPandas()
+    )
+    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    ids = h64(np.arange(len(x), dtype=np.uint64), seed, 61)
+    init = np.argsort(ids)[:n_lists]
+    c = x[init].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                v = x[m].sum(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def ivf_assign(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Assign every vector to its nearest (max-dot, normalized) coarse
+    centroid: (vec_id, list_id). One vectorized Arrow pass, no shuffle.
+    At corpus scale this output is WRITTEN partitioned by list_id (see
+    write_ivf_index) so probing becomes partition pruning."""
+    c = centroids
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            mat = np.array(b["embedding"].tolist(), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            lists = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": b["vec_id"], "list_id": lists})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        fn, schema="vec_id long, list_id int"
+    )
+
+
+def write_ivf_index(
+    embeddings: DataFrame, path: str, centroids: np.ndarray
+) -> None:
+    """Materialize the IVF index: rows partitioned BY LIST so a probe of
+    p lists scans only p/n_lists of the data (parquet partition pruning
+    — plan-asserted in tests)."""
+    embeddings.join(ivf_assign(embeddings, centroids), "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path)
+
+
+def probe_lists(centroids: np.ndarray, query_vec: list[float], n_probe: int) -> list[int]:
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    return np.argsort(-(centroids @ q))[:n_probe].astype(int).tolist()
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 64,
+    n_probe: int = 16,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: exact cosine top-k inside the ``n_probe`` inverted lists
+    nearest to the query — candidates ≈ n_probe/n_lists of the corpus.
+    Defaults scan ~24 % for recall ≈ 0.6 on UNIFORM-random embeddings
+    (ANN's worst case: true neighbors are barely above random and
+    scatter across lists; measured 8→0.40, 16→0.60, 32→0.90 on the
+    test corpus). Real embedding distributions cluster, where the same
+    probe count buys far higher recall — tune per corpus. Recall is
+    pytest-gated against brute force; pass a prebuilt ``centroids`` to
+    amortize training across queries (the production shape)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_lists=n_lists, seed=seed)
+    probe = probe_lists(centroids, query_vec, n_probe)
+    assigned = ivf_assign(embeddings, centroids).filter(
+        F.col("list_id").isin(probe)
+    )
+    cand = embeddings.join(assigned, "vec_id", "left_semi")
+    return brute_force_topk(cand, query_vec, k)
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 16,
+) -> DataFrame:
+    """The at-rest form: read the list-partitioned index with a probe
+    filter that Catalyst turns into PartitionFilters — only the probed
+    lists' files are scanned."""
+    probe = probe_lists(centroids, query_vec, n_probe)
+    cand = spark.read.parquet(index_path).filter(F.col("list_id").isin(probe))
+    return brute_force_topk(cand, query_vec, k)
+
+
 def pairwise_cosine_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

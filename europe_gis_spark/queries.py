@@ -709,12 +709,19 @@ def q_raster_regions(spark, sf_dir):
     from .operators import zonal
 
     pts = event_points(spark, sf_dir)
+    counts = pts.groupBy(
+        F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("x"),
+        F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("y"),
+    ).agg(F.count("*").alias("cnt"))
+    # scale-invariant binarization: above/below the global mean density
+    mean_cnt = counts.agg(F.avg("cnt").alias("mu"))
     cellsdf = (
-        pts.groupBy(
-            F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("x"),
-            F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("y"),
+        counts.crossJoin(F.broadcast(mean_cnt))
+        .select(
+            "x",
+            "y",
+            (F.col("cnt") > F.col("mu")).cast("float").alias("value"),
         )
-        .agg((F.count("*") > 16).cast("float").alias("value"))
         .withColumn("layer", F.lit("density"))
     )
     tiles = zonal.cells_to_tiles(cellsdf, tile_w=16)
@@ -1133,6 +1140,15 @@ def _embeddings_with_dups(spark, sf_dir):
     return e.unionByName(dup)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (spherical k-means coarse quantizer, probe-limited exact
+    rerank) — rows-only driver check; recall + probe-fraction are
+    pytest-gated. The scale path writes the index partitioned by
+    list_id so probes become partition pruning."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, QUERY_VEC, k=10)
+
+
 def q_embed_dups(spark, sf_dir):
     """Embedding near-dup pairs via LSH buckets over the planted-dup
     table — rows-only driver check; exact planted-pair recall is
@@ -1181,5 +1197,6 @@ QUERIES = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_lsh_topk": (q_ann_lsh, None),
+    "ann_ivf_topk": (q_ivf_topk, None),
     "embedding_dups": (q_embed_dups, None),
 }

@@ -367,3 +367,46 @@ def test_ann_recall_vs_brute_force(spark):
     ann = [r.vec_id for r in similarity.ann_topk(e, QUERY_VEC, 10).collect()]
     recall = len(set(bf) & set(ann)) / 10
     assert recall >= 0.5, f"ANN recall {recall} too low"
+
+
+def test_ivf_recall_probe_fraction_and_pruning(spark, tmp_path):
+    """IVF ANN: decent recall while scanning only ~n_probe/n_lists of
+    the corpus; the at-rest index reads with PartitionFilters."""
+    sf = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    from europe_gis_spark.queries import QUERY_VEC
+
+    cents = similarity.train_ivf_centroids(e, n_lists=64)
+    bf = [r.vec_id for r in similarity.brute_force_topk(e, QUERY_VEC, 10).collect()]
+    ivf = [
+        r.vec_id
+        for r in similarity.ivf_topk(e, QUERY_VEC, 10, centroids=cents).collect()
+    ]
+    recall = len(set(bf) & set(ivf)) / 10
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # probe fraction: candidates must be a small slice, not half the corpus
+    probe = similarity.probe_lists(cents, QUERY_VEC, 16)
+    n_cand = (
+        similarity.ivf_assign(e, cents).filter(F.col("list_id").isin(probe)).count()
+    )
+    total = e.count()
+    assert n_cand / total <= 0.35, f"probed {n_cand}/{total}"
+    # at-rest index: probing = parquet partition pruning
+    idx = str(tmp_path / "ivf")
+    similarity.write_ivf_index(e, idx, cents)
+    q = spark.read.parquet(idx).filter(F.col("list_id").isin(probe))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "list_id" in p.split("PartitionFilters", 1)[1][:400]
+    got = [
+        r.vec_id
+        for r in similarity.ivf_topk_from_index(
+            spark, idx, cents, QUERY_VEC, 10, n_probe=16
+        ).collect()
+    ]
+    assert got == ivf
