@@ -45,6 +45,66 @@ def incremental_ingest(
     q.awaitTermination()
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events int, sum_value double"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n int, s double"
+
+
+def stateful_sessionize(events: DataFrame, gap_sec: int = 3600) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY.md §2.9 / the
+    'applyInPandasWithState for custom stateful operators' slot):
+    per-user gap-based sessionization whose OPEN session survives in the
+    state store across micro-batches AND across availableNow restarts
+    (checkpointed) — the streaming twin of the batch ``sessionize``
+    window query.
+
+    Emits one row per CLOSED session (append semantics): a session
+    closes when a later event for the same user arrives more than
+    ``gap_sec`` after its last event. Input columns: (user_id long,
+    ts timestamp, value double). Timestamps are carried as epoch
+    seconds in both output and state to keep the state row fixed-width.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values("ts")
+        ts = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
+        vals = rows["value"].to_numpy(dtype=float)
+        if state.exists:
+            start, last, n, s = state.get
+        else:
+            start, last, n, s = None, None, 0, 0.0
+        closed = []
+        for t, v in zip(ts.tolist(), vals.tolist()):
+            if start is None:
+                start, last, n, s = t, t, 1, v
+            elif t - last > gap_sec:
+                closed.append((key[0], start, last, n, s))
+                start, last, n, s = t, t, 1, v
+            else:
+                last, n, s = t, n + 1, s + v
+        state.update((start, last, n, s))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_start", "session_end", "n_events", "sum_value",
+                ],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_dur: str = "1 hour",

@@ -203,6 +203,76 @@ def test_windowed_event_counts_batch(spark):
     assert got == {(0, 2, 3.0), (1, 1, 3.0)}
 
 
+def test_stateful_sessionize_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: the open session lives in the CHECKPOINTED
+    state store — a second availableNow run (new files, same checkpoint)
+    must close a session opened by the first run."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "ts", "value"]
+        ).astype({"user_id": "int64", "value": "float64"})
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    dst = str(tmp_path / "sessions")
+
+    def run(_name):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .parquet(src)
+        )
+        from europe_gis_spark.streaming import incremental
+
+        q = (
+            incremental.stateful_sessionize(stream, gap_sec=3600)
+            .writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+            for r in spark.read.parquet(dst).collect()
+        }
+
+    sec = lambda m: int((t0 + dt.timedelta(minutes=m)).timestamp())
+    # batch 1: user 1 has two sessions (gap > 1h) — first closes in-batch;
+    # user 2 one open session
+    write_batch(
+        "b1",
+        [
+            (1, t0, 1.0),
+            (1, t0 + dt.timedelta(minutes=10), 2.0),
+            (1, t0 + dt.timedelta(minutes=100), 4.0),
+            (2, t0 + dt.timedelta(minutes=5), 8.0),
+        ],
+    )
+    got1 = run("sess1")
+    assert got1 == {(1, sec(0), sec(10), 2, 3.0)}
+    # batch 2 (same checkpoint): closes user 1's open session AND user 2's
+    write_batch(
+        "b2",
+        [
+            (1, t0 + dt.timedelta(minutes=300), 16.0),
+            (2, t0 + dt.timedelta(minutes=400), 32.0),
+        ],
+    )
+    got2 = run("sess2")  # parquet sink accumulates: batch-1 rows + new closes
+    assert got2 == got1 | {
+        (1, sec(100), sec(100), 1, 4.0),
+        (2, sec(5), sec(5), 1, 8.0),
+    }
+
+
 # ------------------------------------------------------------- multimodal
 def test_multimodal_stub_plumbing(spark):
     pdf = pd.DataFrame(
