@@ -27,12 +27,20 @@ def tokens_col(col: str = "text"):
     return F.split(F.trim(F.col(col)), r"\s+")
 
 
+# BPE-ish tokenizer regex: letter runs, digit runs, single punctuation —
+# the coarse shape of GPT-2-style pretokenization; identical semantics
+# in Java regex (Spark) and RE2 (DuckDB)
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Token count + char count + avg token length per document."""
+    """Token counts (whitespace + BPE-ish regex) + char count + avg
+    token length per document."""
     toks = tokens_col()
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPEISH_PATTERN)).alias("n_bpeish"),
         F.length("text").alias("n_chars_actual"),
         (F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
          / F.greatest(F.size(toks), F.lit(1))).alias("avg_token_len"),
@@ -92,6 +100,56 @@ def lang_hits(docs: DataFrame) -> DataFrame:
         F.lit("es")
     )
     return out.withColumn("pred_lang", pred)
+
+
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # minima window width
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W, digest: bool = True
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting scheme): rolling char k-grams
+    of the normalized text are hashed, and each w-window of consecutive
+    hashes contributes its MINIMUM; the distinct minima are the doc's
+    fingerprint set. Guarantees any shared substring of length
+    ≥ k + w − 1 yields a shared fingerprint.
+
+    Entirely map-side array higher-order functions (no explode, no
+    shuffle, no Python); hash = first 8 hex chars of md5 so the DuckDB
+    oracle reproduces it verbatim. Output per doc: fingerprint-set size
+    and an md5 digest of the sorted set (compact, hash-comparable).
+    """
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    base = docs.select("doc_id", norm.alias("nt"))
+    n = F.length("nt")
+    grams_idx = F.sequence(F.lit(1), n - (k - 1))
+    hs = F.when(
+        n >= k,
+        F.transform(grams_idx, lambda i: F.substring(F.md5(F.col("nt").substr(i, F.lit(k))), 1, 8)),
+    ).otherwise(F.array().cast("array<string>"))
+    hdf = base.select("doc_id", hs.alias("hs"))
+    m = F.size("hs")
+    mins = (
+        F.when(
+            m >= w,
+            F.transform(
+                F.sequence(F.lit(1), m - (w - 1)),
+                lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
+            ),
+        )
+        .when(m > 0, F.array(F.array_min("hs")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    fset = F.array_sort(F.array_distinct(mins))
+    if not digest:
+        return hdf.select("doc_id", F.explode(fset).alias("fp"))
+    return hdf.select(
+        "doc_id",
+        F.size(fset).alias("n_fps"),
+        F.md5(F.concat_ws("", fset)).alias("fp_digest"),
+    )
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

