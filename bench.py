@@ -102,6 +102,10 @@ def run_bench(sf_dir: str, n_pages: int, skip_pages: bool, quiet: bool = True) -
             best = dt if best is None or dt < best else best
         timings["spatial_join_metrics"] = round(best, 3)
 
+    match_rate = None
+    if not skip_pages:
+        match_rate = assignment_match_rate(spark, n_sample=3000)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -113,8 +117,58 @@ def run_bench(sf_dir: str, n_pages: int, skip_pages: bool, quiet: bool = True) -
     if pages_per_sec is not None:
         out["pages_per_sec"] = pages_per_sec
         out["n_pages"] = n_pages
+    if match_rate is not None:
+        out["tile_assignment_match_rate"] = match_rate
     spark.stop()
     return out
+
+
+def assignment_match_rate(spark, n_sample: int = 3000) -> float:
+    """The BASELINE.json metric's second half: fraction of pages whose
+    engine polygon/tile assignment equals an exhaustive numpy oracle
+    (every resolvable point tested against every polygon, last-wins
+    burn order — rasterio MergeAlg.replace). 1.0 = row-for-row match."""
+    import numpy as np
+
+    from europe_gis_spark.datagen import geodata, pages as pgen
+    from europe_gis_spark.extract import html as hx
+    from europe_gis_spark.geo import geom, proj, wkb
+    from europe_gis_spark.operators import geo_join
+
+    pages_pdf = pgen.pages_pandas(np.arange(n_sample), seed=99)
+    polys = geodata.admin_polygons()
+    level3 = polys[polys.levl_code == 3].reset_index(drop=True)
+    hints = pgen.host_city_hints()
+
+    idx_bc = geo_join.build_polygon_index_bc(
+        spark, spark.createDataFrame(level3)
+    )
+    tagged = geo_join.tag_pages(
+        spark.createDataFrame(pages_pdf), idx_bc, host_hints=hints
+    ).collect()
+    got = {r.url: r.poly_id for r in tagged}
+
+    hint_map = {r.host: (r.lat, r.lon) for r in hints.itertuples()}
+    decoded = []
+    for r in level3.itertuples():
+        parts = wkb.polygon_parts(wkb.decode(r.geometry))
+        if geom.is_valid_polygon(parts):
+            decoded.append((r.nuts_id, parts))
+    n_match = 0
+    for row in pages_pdf.itertuples():
+        coords = hx.extract_coords(row.html, row.text)
+        if coords is None:
+            coords = hint_map.get(hx.extract_host(row.url))
+        want = None
+        if coords is not None:
+            lat, lon = coords
+            x, y = proj.forward(np.array([lon]), np.array([lat]))
+            for pid, parts in decoded:  # later burns overwrite earlier
+                if geom.points_in_polygon(x, y, parts, boundary="include")[0]:
+                    want = pid
+        if got[row.url] == want:
+            n_match += 1
+    return round(n_match / n_sample, 6)
 
 
 if __name__ == "__main__":
