@@ -5,6 +5,6 @@ The reference leans on GEOS/GDAL for geometry predicates
 this container has none of those libraries, so the engine vendors a small,
 deterministic, vectorized kernel: WKB codec, ray-cast point-in-polygon,
 rect×polygon intersection, shoelace area, a hierarchical planar cell grid
-(the H3/S2 stand-in), and a spherical Lambert-azimuthal-equal-area
+(the H3/S2 stand-in), and the ellipsoidal Lambert-azimuthal-equal-area
 projection matching EPSG:3035's parameters.
 """

@@ -8,7 +8,8 @@ Four strategies, scale-ranked:
   * ngram-jaccard — exact verification of candidate pairs (or, at test
                    scale, of all shingle-sharing pairs)
   * simhash      — 64-bit bitwise fingerprint, hamming-close pairs via
-                   band rotation (pandas-UDF bit ops)
+                   8x8-bit band buckets (guaranteed recall for
+                   hamming <= 7 by pigeonhole)
 
 MinHash uses lexicographic min over md5 hex digests (a hash-min is a
 hash-min; strings avoid engine-specific int hashing) so the DuckDB

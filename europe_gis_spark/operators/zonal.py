@@ -9,7 +9,8 @@ zero Python in the hot path:
   * G3 overlap counting / border detect — rasterize replace+add and
     ``a[a>2]=1; a[a==2]=0`` (``raster_processor.py:154-188``;
     ``scripts/jobs/dataset_creation.py:243-247``)
-  * G4 "replace" first-wins per pixel (``raster_processor.py:167-175``)
+  * G4 "replace" LAST-wins per pixel — later burns overwrite
+    (``raster_processor.py:167-175``)
   * G5 area-weighted zonal sum — areal interpolation
     (``scripts/jobs/process_raster_layer.py:398-432``)
   * G1/G8 bbox & min/max statistics; F1–F5 elementwise recodes
