@@ -83,6 +83,126 @@ def nearest_for_cell(
     return best_i, np.where(best_i >= 0, best_d, np.nan)
 
 
+def knn_for_cell(
+    px: np.ndarray,
+    py: np.ndarray,
+    cell: int,
+    bundle,
+    k_neighbors: int,
+    max_k: int = 128,
+):
+    """Vectorized k-nearest-centroids for all points sharing one cell.
+
+    Ring expansion with the k-th-best bound: having probed rings 0..r,
+    a point whose CURRENT k-th best distance d_k ≤ r·cell_size cannot
+    have any of its true k nearest in ring r+1 (min distance r·size) or
+    beyond. Returns (n, k) ordinal + distance arrays, −1/NaN padded,
+    each row sorted by (distance, ordinal) for determinism.
+    """
+    xs, ys, _ids, res, buckets = bundle
+    size = gcells.cell_size(res)
+    n = len(px)
+    acc: list[np.ndarray] = []
+    r = 0
+    while r <= max_k:
+        ring = (
+            gcells.grid_ring(cell, r)
+            if r > 0
+            else np.array([cell], dtype=np.int64)
+        )
+        cand = [buckets[int(cc)] for cc in ring.tolist() if int(cc) in buckets]
+        if cand:
+            acc.append(np.concatenate(cand))
+        total = sum(len(a) for a in acc)
+        if total >= k_neighbors:
+            idxs = np.concatenate(acc)
+            d2 = (px[:, None] - xs[idxs][None, :]) ** 2 + (
+                py[:, None] - ys[idxs][None, :]
+            ) ** 2
+            kth = np.sqrt(np.partition(d2, k_neighbors - 1, axis=1)[:, k_neighbors - 1])
+            if np.all(kth <= r * size):
+                break
+        r += 1
+    if not acc:
+        return (
+            np.full((n, k_neighbors), -1, dtype=np.int64),
+            np.full((n, k_neighbors), np.nan),
+        )
+    idxs = np.concatenate(acc)
+    d = np.sqrt(
+        (px[:, None] - xs[idxs][None, :]) ** 2
+        + (py[:, None] - ys[idxs][None, :]) ** 2
+    )
+    kk = min(k_neighbors, len(idxs))
+    # deterministic (distance, ordinal) order
+    ord_keys = np.lexsort((idxs[None, :].repeat(n, axis=0), d), axis=1)[:, :kk]
+    rows = np.arange(n)[:, None]
+    out_i = np.full((n, k_neighbors), -1, dtype=np.int64)
+    out_d = np.full((n, k_neighbors), np.nan)
+    out_i[:, :kk] = idxs[ord_keys]
+    out_d[:, :kk] = d[rows, ord_keys]
+    return out_i, out_d
+
+
+def k_nearest_centroids(
+    points: DataFrame,
+    bundle_bc,
+    k_neighbors: int = 3,
+    keep_cols: tuple[str, ...] = ("url",),
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Map-side kNN (k ≥ 1): one output row per (point, rank) with
+    rank 1..k ordered by distance (ties by centroid ordinal)."""
+    in_cols = list(keep_cols)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in points.select(*in_cols).schema.fields
+    ) + ", rank int, settlement_id string, dist double"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bundle = bundle_bc.value
+        ids = bundle[2]
+        res = bundle[3]
+        for b in batches:
+            xs = b[x_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            ys = b[y_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            ok = np.isfinite(xs) & np.isfinite(ys)
+            frames = []
+            if ok.any():
+                pcell = gcells.cell_id(
+                    np.where(ok, xs, 0.0), np.where(ok, ys, 0.0), res
+                )
+                ok_idx = np.nonzero(ok)[0]
+                cells_ok = pcell[ok_idx]
+                for c in np.unique(cells_ok):
+                    m = ok_idx[cells_ok == c]
+                    bi, bd = knn_for_cell(xs[m], ys[m], int(c), bundle, k_neighbors)
+                    for rk in range(k_neighbors):
+                        hit = bi[:, rk] >= 0
+                        if not hit.any():
+                            continue
+                        rows = m[hit]
+                        f = b[in_cols].iloc[rows].copy()
+                        f["rank"] = np.int32(rk + 1)
+                        f["settlement_id"] = [ids[i] for i in bi[hit, rk]]
+                        f["dist"] = bd[hit, rk]
+                        frames.append(f)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {
+                        **{c: pd.Series(dtype=b[c].dtype) for c in in_cols},
+                        "rank": pd.Series(dtype=np.int32),
+                        "settlement_id": pd.Series(dtype=object),
+                        "dist": pd.Series(dtype=float),
+                    }
+                )
+
+    return points.mapInPandas(fn, schema=out_schema)
+
+
 def nearest_centroid(
     points: DataFrame,
     bundle_bc,

@@ -675,6 +675,44 @@ FROM d GROUP BY event_id ORDER BY event_id
 """
 
 
+def q_geo_knn3(spark, sf_dir):
+    """k=3 ring-expansion kNN (J9 generalized) — exhaustive
+    rank-over-distance oracle."""
+    pts = event_points(spark, sf_dir).filter(F.col("event_id") % 13 == 0)
+    xs = np.array([a[1] for a in KNN_ANCHORS])
+    ys = np.array([a[2] for a in KNN_ANCHORS])
+    ids = [a[0] for a in KNN_ANCHORS]
+    bundle = knn.build_centroid_buckets(xs, ys, ids)
+    bc = spark.sparkContext.broadcast(bundle)
+    out = knn.k_nearest_centroids(pts, bc, k_neighbors=3, keep_cols=("event_id",))
+    return out.select(
+        "event_id",
+        "rank",
+        F.col("settlement_id").alias("anchor_id"),
+        F.round("dist", 6).alias("dist"),
+    ).orderBy("event_id", "rank")
+
+
+def _sql_geo_knn3() -> str:
+    anchors = ", ".join(f"('{a}', {x!r}, {y!r})" for a, x, y in KNN_ANCHORS)
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+anchors(aid, ax, ay) AS (VALUES {anchors}),
+d AS (
+  SELECT event_id, aid,
+         SQRT((x - ax) * (x - ax) + (y - ay) * (y - ay)) AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_id
+           ORDER BY (x - ax) * (x - ax) + (y - ay) * (y - ay), aid
+         ) AS rank
+  FROM pts, anchors WHERE event_id % 13 = 0
+)
+SELECT event_id, CAST(rank AS INT) AS rank, aid AS anchor_id,
+       ROUND(dist, 6) AS dist
+FROM d WHERE rank <= 3 ORDER BY event_id, rank
+"""
+
+
 def q_geo_rebin(spark, sf_dir):
     """Average-downsample re-bin (G2): 4 km cells over event points."""
     pts = event_points(spark, sf_dir)
@@ -1220,6 +1258,7 @@ QUERIES = {
     "geo_border_overlap": (q_geo_border, _sql_geo_border()),
     "geo_burn_values": (q_geo_burn_values, _sql_geo_burn_values()),
     "geo_knn": (q_geo_knn, _sql_geo_knn()),
+    "geo_knn3": (q_geo_knn3, _sql_geo_knn3()),
     "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "raster_regions": (q_raster_regions, None),

@@ -110,6 +110,41 @@ def test_minhash_signatures_are_map_side(spark):
     assert "BroadcastHashJoin" not in pp, pp
 
 
+def test_bucketed_tables_join_without_shuffle(spark):
+    """The 'bucketing for co-located joins' scale claim, demonstrated:
+    two tables bucketed+sorted on the join key join with ZERO Exchange
+    (each bucket pair joins in place — at 100 TB this removes the
+    biggest shuffle of repeated fact-fact joins)."""
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS o_bkt")
+    spark.sql("DROP TABLE IF EXISTS c_bkt")
+    (
+        o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("o_bkt")
+    )
+    (
+        c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("c_bkt")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("o_bkt")
+            .join(spark.table("c_bkt"), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "c_name")
+        )
+        p = plan_str(j, mode="simple")
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS o_bkt")
+        spark.sql("DROP TABLE IF EXISTS c_bkt")
+
+
 def test_whole_stage_codegen_covers_agg(spark):
     from europe_gis_spark.queries import q_pricing_summary
 
