@@ -858,6 +858,47 @@ ORDER BY grd_id, zone_id
 """
 
 
+def q_salted_skew_join(spark, sf_dir):
+    """Skew-handled shuffle equi-join under the correctness gate: event
+    points bucket to coarse cells (skewed in practice — few buckets),
+    the build side is a per-cell dimension, and the join runs through
+    skew.salted_join (sampled frequencies → per-cell salt factor →
+    build-side replication). Salting is multiplicity-preserving, so the
+    aggregated result equals the plain join the oracle computes —
+    regardless of which cells the sampler decided to salt."""
+    from .operators import skew
+
+    pts = event_points(spark, sf_dir)
+    probe = pts.select(
+        "event_id",
+        "value",
+        F.floor((F.col("x") - AA_X0) / 6000.0).cast("long").alias("cell"),
+    )
+    build = probe.select("cell").distinct().select(
+        "cell",
+        F.concat(F.lit("R"), F.pmod("cell", F.lit(4)).cast("string")).alias("region"),
+    )
+    freq = skew.cell_frequencies(probe, sample_frac=0.2, seed=7)
+    salts = skew.salt_map(freq, rows_per_task=200.0, max_salt=16)
+    joined = skew.salted_join(probe, build, salts)
+    return (
+        joined.groupBy("region")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("region")
+    )
+
+
+SQL_SALTED_JOIN = f"""
+WITH pts AS ({EVENT_POINTS_SQL})
+SELECT 'R' || (CAST(FLOOR((x - {AA_X0}) / 6000.0) AS BIGINT) % 4) AS region,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM pts GROUP BY 1 ORDER BY region
+"""
+
+
 def q_geo_bbox(spark, sf_dir):
     """Bounding-box aggregate (G1) per event type."""
     pts = event_points(spark, sf_dir)
@@ -1263,6 +1304,7 @@ QUERIES = {
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "raster_regions": (q_raster_regions, None),
     "overlay_rects": (q_overlay_rects, _sql_overlay_rects()),
+    "salted_skew_join": (q_salted_skew_join, SQL_SALTED_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
     "dedup_ngram_jaccard": (q_dedup_jaccard, _sql_jaccard()),
