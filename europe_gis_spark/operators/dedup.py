@@ -289,6 +289,63 @@ def verify_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: distributed connected
+    components by iterative min-label propagation (the standard
+    large-graph CC — each round every node takes the min label among
+    itself and its neighbors; converges in O(component diameter)
+    rounds, checked by a driver-side changed-count). This is what a
+    real dedup pipeline keeps: one representative per cluster.
+
+    Output: (doc_id, component) where component = min doc_id reachable.
+    Each round is one join + one agg; ``localCheckpoint`` truncates the
+    growing lineage so round N doesn't replay rounds 1..N−1.
+    """
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        merged = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            merged.alias("m")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("m.label") < F.col("l.label"))
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
 SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 _SHIFTS = np.arange(64, dtype=np.uint64)

@@ -1072,6 +1072,57 @@ def q_lsh_verified(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate clusters: LSH candidates → exact Jaccard verify →
+    distributed connected components (min-label propagation). Oracle:
+    the same pair set closed with a recursive CTE in DuckDB."""
+    docs = _docs_with_dups(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(docs)
+    verified = dedup.verify_pairs(cand, docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    comp = dedup.connected_components(verified)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc"))
+        .orderBy("component")
+    )
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+{_minhash_cand_ctes()},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT c.doc_a AS doc_a, c.doc_b AS doc_b
+  FROM cand c
+  JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE ROUND(cm.n_common / (sa.n_sh + sb.n_sh - cm.n_common), 9) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION SELECT doc_b, doc_a FROM vpairs
+),
+rch AS (
+  WITH RECURSIVE reach(node, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+  )
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+)
+SELECT component, COUNT(*) AS n_docs, MAX(node) AS max_doc
+FROM rch GROUP BY component ORDER BY component
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs — non-SQL-expressible (blake2b bit ops);
     rows-only driver check, exactness covered in pytest."""
@@ -1309,6 +1360,7 @@ QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
     "dedup_ngram_jaccard": (q_dedup_jaccard, _sql_jaccard()),
     "dedup_lsh_verified": (q_lsh_verified, _sql_lsh_verified()),
+    "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "simhash_pairs": (q_simhash_pairs, None),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_scores": (q_quality, SQL_QUALITY),

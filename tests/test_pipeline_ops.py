@@ -411,6 +411,25 @@ def test_lsh_hot_bucket_cap_drops_boilerplate(spark):
     assert sum(1 for a, b in got_full if a < 10 and b < 10) == 45  # C(10,2)
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must close multi-hop chains (diameter >
+    one round's reach is the classic CC bug) and keep islands apart."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # chain 1-2-3-4-5 (only consecutive pairs), island 10-11,
+                # singleton edge 20-21
+                "doc_a": [1, 2, 3, 4, 10, 20],
+                "doc_b": [2, 3, 4, 5, 11, 21],
+            }
+        )
+    )
+    comp = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == 20
+
+
 def test_verify_pairs_matches_bruteforce_jaccard(spark):
     """verify_pairs on LSH candidates must agree exactly with the
     all-pairs ngram_jaccard_pairs on every candidate pair."""
