@@ -104,3 +104,52 @@ def frame_sample_stub(payload: bytes, every_n: int = 10, fake: bool = False) -> 
     if not fake:
         raise NotImplementedError("video codecs not available; pass fake=True")
     return [decode_image(payload + bytes([i]), fake=True) for i in range(3)]
+
+
+def decode_audio(payload: bytes, fake: bool | None = None) -> np.ndarray:
+    """Decode an audio payload to a mono float32 waveform in [-1, 1].
+
+    STUB: real decode needs libsndfile/ffmpeg (absent here); the default
+    auto-detect falls back to a deterministic fake (1024 samples from
+    the payload digest) so pipelines never raise. ``fake=False``
+    requires a real codec and raises loudly."""
+    if fake is None:
+        fake = True  # no audio codec is importable in this container
+    if not fake:
+        raise NotImplementedError("audio codecs not available; pass fake=True")
+    digest = hashlib.sha256(b"audio:" + (payload or b"")).digest()
+    raw = np.frombuffer((digest * 128)[: 1024 * 2], dtype="<i2")
+    return (raw.astype(np.float32) / 32768.0).copy()
+
+
+AUDIO_SCHEMA = "key string, n_samples int, rms double, zero_crossings int"
+
+
+def audio_features(
+    df: DataFrame, key_col: str = "url", payload_col: str = "payload", fake: bool = True
+) -> DataFrame:
+    """Decode → RMS energy + zero-crossing count per clip, one Arrow
+    batch at a time — the same typed-binary-column plumbing as
+    image_features applied to the audio modality."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            ns = np.zeros(n, dtype=np.int32)
+            rms = np.zeros(n)
+            zc = np.zeros(n, dtype=np.int32)
+            for i, payload in enumerate(b[payload_col].tolist()):
+                w = decode_audio(payload, fake=fake)
+                ns[i] = len(w)
+                rms[i] = float(np.sqrt(np.mean(w * w)))
+                zc[i] = int(np.count_nonzero(np.diff(np.signbit(w))))
+            yield pd.DataFrame(
+                {
+                    "key": b[key_col],
+                    "n_samples": ns,
+                    "rms": rms,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(fn, schema=AUDIO_SCHEMA)

@@ -294,6 +294,21 @@ def test_multimodal_stub_plumbing(spark):
         multimodal.decode_image(b"real", fake=False)
 
 
+def test_audio_features_plumbing(spark):
+    pdf = pd.DataFrame({"url": ["a1", "a2"], "payload": [b"wav1", b""]})
+    out = multimodal.audio_features(spark.createDataFrame(pdf)).toPandas()
+    assert set(out.columns) == {"key", "n_samples", "rms", "zero_crossings"}
+    assert (out.n_samples == 1024).all()
+    assert (out.rms > 0).all()
+    out2 = multimodal.audio_features(spark.createDataFrame(pdf)).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("key").reset_index(drop=True),
+        out2.sort_values("key").reset_index(drop=True),
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"real", fake=False)
+
+
 # ------------------------------------------------------------- dedup & ANN
 def test_simhash_finds_planted_near_dups(spark):
     """Banded retrieval guarantee: 8×8-bit bands always catch pairs
