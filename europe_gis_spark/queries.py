@@ -481,6 +481,69 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
 """
 
 
+def q_time_rollup(spark, sf_dir):
+    """Multi-granularity time rollup in ONE pass (GROUP BY ROLLUP —
+    the hypertable continuous-aggregate shape): per (day, hour),
+    per day, and grand total, distinguished by grouping flags."""
+    ev = _read(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts")).alias("day")
+    hour = F.hour(F.col("ts")).alias("hour")
+    return (
+        ev.select(day, hour, "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+        )
+        .select(  # DATE → string so both engines agree on the dtype
+            F.col("day").cast("string").alias("day"),
+            "hour", "n", "sum_value", "g_day", "g_hour",
+        )
+        .orderBy(
+            F.asc_nulls_first("day"), F.asc_nulls_first("hour"), "g_day", "g_hour"
+        )
+    )
+
+
+SQL_TIME_ROLLUP = """
+SELECT CAST(day AS VARCHAR) AS day, hour, n, sum_value, g_day, g_hour FROM (
+  SELECT CAST(ts AS DATE) AS day, EXTRACT(hour FROM ts) AS hour,
+         COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+         CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day,
+         CAST(GROUPING(EXTRACT(hour FROM ts)) AS INT) AS g_hour
+  FROM events
+  GROUP BY ROLLUP(CAST(ts AS DATE), EXTRACT(hour FROM ts))
+)
+ORDER BY day NULLS FIRST, hour NULLS FIRST, g_day, g_hour
+"""
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentiles per group (linear interpolation — Spark
+    percentile == SQL percentile_cont)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_approx_cardinality(spark, sf_dir):
     """Approximate distinct aggregate (HLL sketch) — the monitoring-path
     variant of user_cardinality; rows-only check (estimator values are
@@ -1346,6 +1409,8 @@ QUERIES = {
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
     "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
     "approx_cardinality": (q_approx_cardinality, None),
+    "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
+    "value_percentiles": (q_value_percentiles, SQL_PERCENTILES),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
     "geo_border_overlap": (q_geo_border, _sql_geo_border()),
     "geo_burn_values": (q_geo_burn_values, _sql_geo_burn_values()),
