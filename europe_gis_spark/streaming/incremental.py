@@ -45,6 +45,29 @@ def incremental_ingest(
     q.awaitTermination()
 
 
+def dedup_stream(
+    docs: DataFrame,
+    key_cols: tuple[str, ...] = ("fp",),
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: the first occurrence of each key passes,
+    later ones are dropped — ACROSS micro-batches and restarts, because
+    seen keys live in the checkpointed state store. With ``ts_col`` the
+    state is bounded by the watermark (keys older than it are evicted —
+    the production form for unbounded streams); without it state grows
+    with distinct keys (fine for bounded backfills).
+
+    The streaming twin of dedup.exact_dup_groups: on a crawl ingest this
+    is 'keep the first copy of each page fingerprint ever seen'.
+    """
+    if ts_col is not None:
+        return docs.withWatermark(ts_col, watermark).dropDuplicates(
+            [*key_cols, ts_col]
+        )
+    return docs.dropDuplicates(list(key_cols))
+
+
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start long, session_end long, n_events int, sum_value double"
 )

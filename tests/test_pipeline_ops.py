@@ -273,6 +273,45 @@ def test_stateful_sessionize_across_restarts(spark, tmp_path):
     }
 
 
+def test_streaming_dedup_across_restarts(spark, tmp_path):
+    """dropDuplicates on a stream: a fingerprint seen in run 1 must be
+    suppressed when it reappears in run 2 (state store persists)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+
+    def write(rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "fp"])
+        ).write.mode("append").parquet(src)
+
+    def run():
+        from europe_gis_spark.streaming import incremental
+
+        stream = spark.readStream.schema("doc_id long, fp string").parquet(src)
+        q = (
+            incremental.dedup_stream(stream, key_cols=("fp",))
+            .writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.doc_id, r.fp) for r in spark.read.parquet(dst).collect()
+        )
+
+    write([(1, "aaa"), (2, "bbb"), (3, "aaa")])  # in-batch dup
+    got1 = run()
+    assert sorted(fp for _, fp in got1) == ["aaa", "bbb"]  # one copy each
+    write([(4, "aaa"), (5, "ccc")])  # cross-restart dup + fresh key
+    got2 = run()
+    assert sorted(fp for _, fp in got2) == ["aaa", "bbb", "ccc"]
+    assert 4 not in {d for d, _ in got2}
+
+
 # ------------------------------------------------------------- multimodal
 def test_multimodal_stub_plumbing(spark):
     pdf = pd.DataFrame(
