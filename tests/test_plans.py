@@ -145,6 +145,40 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS c_bkt")
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling must actually engage on a skewed shuffle
+    join: one hot key holds ~all rows; with thresholds scaled to the
+    test data, the FINAL adaptive plan marks the sort-merge join
+    skew-handled (isSkew/skew=true), i.e. the hot partition was split."""
+    conf_keys = {
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in conf_keys}
+    try:
+        for k, v in conf_keys.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-payload-payload-"), F.col("id")).alias("v"),
+        )
+        dim = spark.range(0, 400_000).select(
+            F.col("id").alias("k"), F.lit("d").alias("name")
+        )
+        j = big.join(dim, "k").select(F.count("*").alias("n"))
+        j.collect()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p, p
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_whole_stage_codegen_covers_agg(spark):
     from europe_gis_spark.queries import q_pricing_summary
 
