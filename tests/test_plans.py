@@ -145,6 +145,28 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS c_bkt")
 
 
+def test_no_query_regresses_to_cartesian_or_row_python(spark):
+    """Registry-wide guardrail: building every registered query's
+    physical plan, none may contain a non-broadcast cartesian product
+    or a row-at-a-time Python UDF (BatchEvalPython) — Arrow-batched
+    evaluation (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+    is the only sanctioned Python path."""
+    from europe_gis_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, (fn, _sql) in sorted(QUERIES.items()):
+        p = plan_str(fn(spark, sf), mode="simple")
+        bad = []
+        if "CartesianProduct" in p:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in p:
+            bad.append("BatchEvalPython")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE skew-join handling must actually engage on a skewed shuffle
     join: one hot key holds ~all rows; with thresholds scaled to the
