@@ -201,6 +201,23 @@ def _edges_hit_cells(ax, ay, bx, by, cxmin, cymin, size: float) -> np.ndarray:
     return hit.any(axis=0) if hit.ndim == 3 else hit
 
 
+def _axis_rect_bounds(rings) -> tuple[float, float, float, float] | None:
+    """If the part is a hole-free axis-aligned rectangle ring, return
+    its bounds, else None. (Grid squares — the dominant cover input in
+    overlay jobs — take the arithmetic fast path below.)"""
+    if len(rings) != 1 or len(rings[0]) != 5:
+        return None
+    r = rings[0]
+    for j in range(4):
+        if r[j, 0] != r[j + 1, 0] and r[j, 1] != r[j + 1, 1]:
+            return None  # a diagonal edge
+    xmin, ymin = float(r[:, 0].min()), float(r[:, 1].min())
+    xmax, ymax = float(r[:, 0].max()), float(r[:, 1].max())
+    if xmax <= xmin or ymax <= ymin:
+        return None
+    return xmin, ymin, xmax, ymax
+
+
 def cover_polygon(
     parts: list[list[np.ndarray]], res: int, max_cells: int = 250_000
 ) -> np.ndarray:
@@ -223,6 +240,29 @@ def cover_polygon(
     size = cell_size(res)
     covers: list[np.ndarray] = []
     for rings in parts:
+        rect = _axis_rect_bounds(rings)
+        if rect is not None:
+            # closed-rect × closed-cell overlap is pure index arithmetic
+            # — identical to the generic predicate for rectangles
+            rx0, ry0, rx1, ry1 = rect
+            jx0 = max(int(np.ceil(rx0 / size)) - 1, 0)
+            jx1 = int(np.floor(rx1 / size))
+            jy0 = max(int(np.ceil(ry0 / size)) - 1, 0)
+            jy1 = int(np.floor(ry1 / size))
+            if (jx1 - jx0 + 1) * (jy1 - jy0 + 1) > max_cells:
+                raise ValueError(
+                    f"cover at res {res} would exceed {max_cells} cells; "
+                    "use a coarser res for this polygon"
+                )
+            xs = np.arange(jx0, jx1 + 1, dtype=np.int64)
+            ys = np.arange(jy0, jy1 + 1, dtype=np.int64)
+            covers.append(
+                (np.int64(res) << np.int64(58))
+                | (ys[:, None] << np.int64(_IX_BITS))
+                | xs[None, :]
+            )
+            covers[-1] = covers[-1].ravel()
+            continue
         xmin, ymin, xmax, ymax = geom.ring_bbox(rings[0])
         # widen by one cell so boundary-touching neighbors are kept —
         # exact "closed cell rect intersects polygon" semantics, matching

@@ -201,6 +201,17 @@ def test_cover_polygon_vectorized_matches_scalar_random():
             parts = [[ring, hole]]
         if trial % 5 == 0:  # multipart
             parts = parts + [[ring + np.array([10 * size, 3 * size])]]
+        if trial % 4 == 0:  # axis-aligned rect part (the fast path),
+            # including exactly-on-grid edges every other time
+            if trial % 8 == 0:
+                x0, y0 = 12 * size, 7 * size
+            else:
+                x0, y0 = float(rng.uniform(5, 40)) * size, float(rng.uniform(5, 30)) * size
+            w, h = float(rng.uniform(0.3, 4)) * size, float(rng.uniform(0.3, 4)) * size
+            rect = np.array(
+                [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]
+            )
+            parts = parts + [[rect]]
         got = cells.cover_polygon(parts, res)
         want = _scalar_cover(parts, res)
         np.testing.assert_array_equal(got, want)
