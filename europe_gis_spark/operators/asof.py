@@ -1,0 +1,67 @@
+"""As-of join — the temporal operator Spark lacks natively.
+
+For every left row, attach the LATEST right row whose timestamp is ≤
+the left timestamp (per key): the standard training-data alignment of
+events against slowly-changing snapshots (rates, configs, model
+versions). DuckDB has it built in (``ASOF JOIN``), which is exactly
+what the oracle uses.
+
+Plan shape: the classic scalable form — tag both sides, UNION, one
+shuffle+sort on (keys, ts) and a running ``last(ignorenulls)`` window
+fills each event with the most recent snapshot values. No range
+explosion, no per-key collect; cost is one sort-based exchange over
+left+right (right is usually tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: left rows gain ``value_cols`` from the latest
+    right row with ``right.ts_col <= left.ts_col`` per ``on`` key
+    (NULLs when no prior right row exists). Both inputs must carry
+    ``on`` + ``ts_col``; at equal timestamps the right row matches
+    (<= semantics, same as DuckDB ASOF JOIN)."""
+    lcols = [c for c in left.columns if c not in value_cols]
+    l_tag = left.select(
+        *lcols,
+        *[F.lit(None).cast(right.schema[v].dataType).alias(v) for v in value_cols],
+        F.lit(0).alias("_is_right"),
+    )
+    r_tag = right.select(
+        *[
+            F.col(c)
+            if c in right.columns
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        *value_cols,
+        F.lit(1).alias("_is_right"),
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows sort BEFORE left rows at equal ts so <= matches
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *lcols,
+        "_is_right",
+        *[
+            F.last(F.when(F.col("_is_right") == 1, F.col(v)), ignorenulls=True)
+            .over(w)
+            .alias(v)
+            for v in value_cols
+        ],
+    )
+    return filled.filter(F.col("_is_right") == 0).drop("_is_right")

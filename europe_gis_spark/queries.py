@@ -481,6 +481,72 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (events ← latest prior snapshot per bucket) via the
+    scalable union+window form; DuckDB's native ASOF JOIN is the
+    oracle. Snapshots are a deterministic 600 s grid per bucket."""
+    from .operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.pmod(F.col("user_id"), F.lit(8)).alias("b"),
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+    )
+    bounds = ev.agg(F.min("ts_s").alias("mn"), F.max("ts_s").alias("mx"))
+    snaps = (
+        spark.range(8)
+        .select(F.col("id").alias("b"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "b",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor((F.col("mx") - F.col("mn")) / 600).cast("long")
+                )
+            ).alias("r"),
+            "mn",
+        )
+        .select(
+            "b",
+            (F.col("mn") + F.col("r") * 600).alias("ts_s"),
+            F.pmod(F.col("b") * 7 + F.col("r") * 5, F.lit(13)).alias("factor"),
+        )
+    )
+    joined = asof_join(ev, snaps, on=["b"], ts_col="ts_s", value_cols=["factor"])
+    return (
+        joined.groupBy("factor")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("factor")
+    )
+
+
+SQL_ASOF = """
+WITH e AS (
+  SELECT event_id, value, user_id % 8 AS b,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+bounds AS (
+  SELECT MIN(ts_s) AS mn,
+         CAST(FLOOR((MAX(ts_s) - MIN(ts_s)) / 600.0) AS BIGINT) AS k
+  FROM e
+),
+rs AS (SELECT mn, UNNEST(generate_series(0, k)) AS r FROM bounds),
+snaps AS (
+  SELECT b.range AS b, mn + r * 600 AS ts_s,
+         (b.range * 7 + r * 5) % 13 AS factor
+  FROM range(0, 8) b, rs
+)
+SELECT factor, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM e ASOF LEFT JOIN snaps s ON e.b = s.b AND e.ts_s >= s.ts_s
+GROUP BY factor ORDER BY factor
+"""
+
+
 def q_time_rollup(spark, sf_dir):
     """Multi-granularity time rollup in ONE pass (GROUP BY ROLLUP —
     the hypertable continuous-aggregate shape): per (day, hour),
@@ -1409,6 +1475,7 @@ QUERIES = {
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
     "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
     "approx_cardinality": (q_approx_cardinality, None),
+    "asof_join": (q_asof_join, SQL_ASOF),
     "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
     "value_percentiles": (q_value_percentiles, SQL_PERCENTILES),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
