@@ -65,3 +65,39 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("_is_right") == 0).drop("_is_right")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket: float,
+) -> DataFrame:
+    """Point-in-interval range join (``left.point ∈ [right.lo,
+    right.hi)``) without a nested-loop: each interval is exploded to
+    the coarse buckets it covers, points carry their single bucket, the
+    join is a plain EQUI-join on bucket + exact refine. Each matching
+    (point, interval) pair meets in exactly one bucket — the point's —
+    so no distinct pass is needed. Work scales with
+    Σ interval_width/bucket instead of |left|·|right|; pick ``bucket``
+    near the median interval width (same coarse-cover-then-refine
+    shape as the spatial cell join)."""
+    lb = left.withColumn(
+        "_bk", F.floor(F.col(point_col) / bucket).cast("long")
+    )
+    rb = right.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket).cast("long"),
+                F.floor(F.col(hi_col) / bucket).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "_bk")
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("_bk")
+    )

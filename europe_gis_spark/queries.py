@@ -547,6 +547,40 @@ GROUP BY factor ORDER BY factor
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Range join (value ∈ [lo, hi), overlapping intervals) via
+    interval bucketing + equi-join + refine — never a nested loop;
+    oracle is the plain inequality join."""
+    from .operators.asof import range_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    iv = spark.range(10).select(
+        F.col("id").alias("label"),
+        (F.col("id") * 55.0).alias("lo"),
+        (F.col("id") * 55.0 + 80.0).alias("hi"),
+    )
+    joined = range_join(ev, iv, "value", "lo", "hi", bucket=50.0)
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (
+  SELECT r.range AS label, r.range * 55.0 AS lo, r.range * 55.0 + 80.0 AS hi
+  FROM range(0, 10) r
+)
+SELECT label, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
+GROUP BY label ORDER BY label
+"""
+
+
 def q_time_rollup(spark, sf_dir):
     """Multi-granularity time rollup in ONE pass (GROUP BY ROLLUP —
     the hypertable continuous-aggregate shape): per (day, hour),
@@ -1476,6 +1510,7 @@ QUERIES = {
     "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
     "approx_cardinality": (q_approx_cardinality, None),
     "asof_join": (q_asof_join, SQL_ASOF),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
     "value_percentiles": (q_value_percentiles, SQL_PERCENTILES),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
