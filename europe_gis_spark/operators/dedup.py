@@ -261,13 +261,15 @@ def verify_pairs(
     form). Mirrors the reference's coarse-candidates-then-exact-refine
     pattern (``scripts/jobs/process_raster_layer.py:398-403``).
     """
-    # NB (corpus scale): materialize the candidate pairs first (write or
-    # localCheckpoint) and semi-filter docs to candidate ids before
-    # tokenizing — candidates are a vanishing fraction of the corpus.
-    # Done lazily here instead: referencing `candidates` three times
-    # (two id projections + the join base) defeats exchange reuse
-    # because column pruning specializes each reference, re-running the
-    # whole LSH pipeline per reference — measured 2.5x slower.
+    # Plan shape notes (both alternatives measured SLOWER at any scale
+    # that matters): (a) semi-filtering docs to candidate ids before
+    # tokenizing re-runs the LSH pipeline once per `candidates`
+    # reference (column pruning specializes each, defeating exchange
+    # reuse) — 2.5x slower lazily; do it only after MATERIALIZING
+    # candidates. (b) melting pairs to join the docs table once shuffles
+    # shingle ARRAYS through a groupBy — heavier than tokenizing twice
+    # map-side while the broadcast candidate side keeps both joins
+    # shuffle-free on the big side.
     sets = docs.select("doc_id", shingle_array(k, distinct=True).alias("sh_set"))
     j = (
         candidates.join(
