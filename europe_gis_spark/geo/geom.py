@@ -270,9 +270,17 @@ def clip_polygon_rect(
     """Polygon ∩ rectangle as GEOMETRY (the ``gpd.overlay(…,
     'intersection')`` output shape, ``process_raster_layer.py:398-403``):
     each part's shell and holes are clipped independently; parts whose
-    shell vanishes are dropped. Valid for a convex clip window (a cell
-    rect always is) — the intersection of each ring with the rect is a
-    single ring."""
+    shell vanishes are dropped.
+
+    Known Sutherland–Hodgman artifact: when a CONCAVE part's
+    intersection with the rect is disconnected (e.g. a U-shape whose
+    prongs enter the square separately), the pieces come back as ONE
+    ring connected by zero-width bridges along the clip boundary. The
+    enclosed area is still exact (bridge edges cancel in the shoelace
+    sum — what the area-weight path and the overlay oracle consume),
+    but consumers needing a topologically valid multi-part shape must
+    post-split such rings (a Weiler–Atherton clipper; out of scope
+    here, tested/documented in test_popgrid_layers)."""
     out: list[list[np.ndarray]] = []
     for rings in parts:
         shell = clip_ring_rect(rings[0], xmin, ymin, xmax, ymax)

@@ -341,7 +341,7 @@ def polygonize_regions(tiles: DataFrame, tile_w: int = 16) -> DataFrame:
         "layer string, value double, n_px int, region_id string, "
         "ymin int, xmin int, ymax int, xmax int"
     )
-    return (
+    result = (
         regions.mapInPandas(to_global, schema=out_schema)
         .groupBy("layer", "region_id")
         .agg(
@@ -352,4 +352,10 @@ def polygonize_regions(tiles: DataFrame, tile_w: int = 16) -> DataFrame:
             F.max("ymax").alias("ymax"),
             F.max("xmax").alias("xmax"),
         )
+        # region rows are tiny: materialize them eagerly so the persist
+        # below can be released instead of leaking one cached dataset
+        # per invocation into the session's block manager
+        .localCheckpoint(eager=True)
     )
+    tagged.unpersist()
+    return result

@@ -184,8 +184,14 @@ def extract_patches(
         patches = sw.reshape(n, win * win)
         valid = patches.min(axis=1) > min_valid
         ii, jj = np.meshgrid(np.arange(tile_w), np.arange(tile_w), indexing="ij")
-        src = big if lab_big is None else lab_big
-        center = src[(ii + win // 2).ravel(), (jj + win // 2).ravel()]
+        if label_layer is not None and lab_big is None:
+            # a label layer was requested but this tile has no label
+            # raster: labels must be BAD (→ filtered), never silently
+            # fall back to the FEATURE layer's own pixels
+            center = np.full(n, BAD_VALUE, dtype=np.float32)
+        else:
+            src = big if lab_big is None else lab_big
+            center = src[(ii + win // 2).ravel(), (jj + win // 2).ravel()]
         return pd.DataFrame(
             {
                 "layer": layer,
@@ -231,7 +237,11 @@ def weighted_interleave(
     """
     if len(dfs) != len(weights) or not dfs:
         raise ValueError("need one weight per DataFrame")
+    if any(w < 0 for w in weights):
+        raise ValueError(f"weights must be non-negative, got {weights}")
     total_w = float(sum(weights))
+    if total_w <= 0:
+        raise ValueError("at least one weight must be positive")
     ws = [w / total_w for w in weights]
     ns = [df.count() for df in dfs]
     s = min(n / w for n, w in zip(ns, ws) if w > 0)
@@ -242,6 +252,8 @@ def weighted_interleave(
         frac = min(w * s / n, 1.0)
         part = df if frac >= 1.0 else df.sample(fraction=frac, seed=seed)
         out = part if out is None else out.unionByName(part)
+    if out is None:  # every positively-weighted source was empty
+        return dfs[0].limit(0)
     return out.orderBy(F.rand(seed))
 
 

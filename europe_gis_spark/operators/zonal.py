@@ -172,23 +172,33 @@ def recode_layers(cells: DataFrame) -> DataFrame:
     )
 
 
-def overlap_stats(pairs: DataFrame, key_cols=("url",), wins: str = "last") -> DataFrame:
+def overlap_stats(
+    pairs: DataFrame,
+    key_cols=("url",),
+    wins: str = "last",
+    rank_col: str = "poly_rank",
+) -> DataFrame:
     """G3/G4 on point×polygon multi-match pairs: per point, the covering
     count and the burn-winner assignment in one aggregation.
 
     ``wins='last'`` (default) keeps the LAST polygon in burn order —
     rasterio MergeAlg.replace overwrites earlier burns
     (``raster_processor.py:167-175``); ``'first'`` keeps the first.
-    Requires a ``poly_rank`` column carrying the burn order (falls back
-    to lexicographic poly_id when absent, which matches ordinal order
-    for the fixture ids). border ⇔ cover_n ≥ 2 (shared-border pixels,
-    raster_processor.py:154-188, consumed at dataset_creation.py:
-    243-247)."""
-    rank = "poly_rank" if "poly_rank" in pairs.columns else "poly_id"
+    Burn order comes from ``rank_col``; when that column is absent the
+    call FAILS rather than silently falling back to lexicographic
+    poly_id (string order breaks at mixed widths: 'P9' > 'P12', which
+    would misreport the winner for any real id set). border ⇔
+    cover_n ≥ 2 (shared-border pixels, raster_processor.py:154-188,
+    consumed at dataset_creation.py:243-247)."""
+    if rank_col not in pairs.columns:
+        raise ValueError(
+            f"overlap_stats needs a burn-order column {rank_col!r}; "
+            "lexicographic poly_id is NOT a safe ordering ('P9' > 'P12')"
+        )
     winner = (
-        F.max_by("poly_id", F.col(rank))
+        F.max_by("poly_id", F.col(rank_col))
         if wins == "last"
-        else F.min_by("poly_id", F.col(rank))
+        else F.min_by("poly_id", F.col(rank_col))
     )
     return pairs.groupBy(*key_cols).agg(
         F.count("poly_id").alias("cover_n"),

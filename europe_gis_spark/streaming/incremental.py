@@ -62,8 +62,11 @@ def dedup_stream(
     is 'keep the first copy of each page fingerprint ever seen'.
     """
     if ts_col is not None:
-        return docs.withWatermark(ts_col, watermark).dropDuplicates(
-            [*key_cols, ts_col]
+        # KEY-only dedup with watermark-bounded state: a re-crawl of the
+        # same fingerprint at a different timestamp is still a duplicate
+        # (dropDuplicates([key, ts]) would leak it)
+        return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
         )
     return docs.dropDuplicates(list(key_cols))
 

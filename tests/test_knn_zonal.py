@@ -113,19 +113,24 @@ def test_minmax_normalize_bounds(spark, tiles_cells):
 
 
 def test_overlap_stats(spark):
+    # mixed-width ids: P12 burns AFTER P9 (rank order), although
+    # lexicographically 'P12' < 'P9' — the rank column must decide
     pairs = spark.createDataFrame(
         pd.DataFrame(
             {
                 "url": ["a", "a", "b", "c", "c", "c"],
-                "poly_id": ["P1", "P2", "P1", "P3", "P1", "P2"],
+                "poly_id": ["P1", "P12", "P1", "P12", "P1", "P9"],
+                "poly_rank": [1, 12, 1, 12, 1, 9],
             }
         )
     )
     got = {r.url: (r.cover_n, r.win_poly, r.on_border) for r in zonal.overlap_stats(pairs).collect()}
     # last-wins (MergeAlg.replace): the highest-ranked poly overwrites
-    assert got == {"a": (2, "P2", True), "b": (1, "P1", False), "c": (3, "P3", True)}
+    assert got == {"a": (2, "P12", True), "b": (1, "P1", False), "c": (3, "P12", True)}
     got_first = {
         r.url: r.win_poly
         for r in zonal.overlap_stats(pairs, wins="first").collect()
     }
     assert got_first == {"a": "P1", "b": "P1", "c": "P1"}
+    with pytest.raises(ValueError, match="burn-order"):
+        zonal.overlap_stats(pairs.drop("poly_rank")).collect()

@@ -108,6 +108,72 @@ def test_patch_labels_come_from_label_layer(spark):
         assert r.label == full[r.i + win // 2, r.j + win // 2]
 
 
+def test_missing_label_tile_yields_bad_labels_not_feature_values(spark):
+    """If the label layer lacks a tile the feature layer has, labels for
+    that tile must be BAD (filtered downstream) — never the feature
+    layer's own pixel values masquerading as labels."""
+    tiles = geodata.raster_tiles()
+    pop_missing = tiles[
+        ~((tiles.layer == "pop") & (tiles.tile_row == 0) & (tiles.tile_col == 0))
+    ]
+    df = spark.createDataFrame(pop_missing)
+    got = windows.extract_patches(df, tile_w=16, win=5, label_layer="pop").toPandas()
+    # centers whose label pixel (i+2, j+2) falls INSIDE the missing pop
+    # tile must be BAD; centers whose label pixel lands in a neighboring
+    # pop tile's halo strip legitimately get that tile's real labels
+    hole = got[(got.layer == "dem") & (got.i + 2 < 16) & (got.j + 2 < 16)]
+    assert len(hole) == 14 * 14
+    assert (hole.label <= windows.BAD_VALUE).all()
+    edge = got[(got.layer == "dem") & (got.i + 2 >= 16) & (got.i < 16) & (got.j < 16)]
+    assert (edge.label > windows.BAD_VALUE).any()
+
+    # drop the tile AND its S/E/SE neighbors: the dem (0,0) group now has
+    # ZERO label rows — the old code silently used dem pixels as labels
+    pop_gone = tiles[
+        ~((tiles.layer == "pop") & (tiles.tile_row <= 1) & (tiles.tile_col <= 1))
+    ]
+    got2 = windows.extract_patches(
+        spark.createDataFrame(pop_gone), tile_w=16, win=5, label_layer="pop"
+    ).toPandas()
+    tile00 = got2[(got2.layer == "dem") & (got2.i < 16) & (got2.j < 16)]
+    assert len(tile00) == 256
+    assert (tile00.label <= windows.BAD_VALUE).all()
+
+
+def test_streaming_dedup_key_only_with_watermark(spark, tmp_path):
+    """ts_col variant: the SAME key at a DIFFERENT timestamp (inside the
+    watermark) is still a duplicate and must be dropped."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "fp": ["aaa", "aaa", "bbb"],
+            "ts": [t0, t0 + dt.timedelta(minutes=5), t0 + dt.timedelta(minutes=6)],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("append").parquet(src)
+    from europe_gis_spark.streaming import incremental
+
+    stream = spark.readStream.schema("doc_id long, fp string, ts timestamp").parquet(src)
+    q = (
+        incremental.dedup_stream(stream, key_cols=("fp",), ts_col="ts")
+        .writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(dst).collect()
+    assert sorted(r.fp for r in got) == ["aaa", "bbb"]
+
+
 def test_halo_only_groups_emit_no_phantom_patches(spark):
     """A tile absent from the input must produce NO patch rows even when
     a neighbor emits an apron strip keyed to it."""
@@ -434,7 +500,8 @@ def test_winnowing_shared_substring_guarantee(spark):
         sets.setdefault(r.doc_id, set()).add(r.fp)
     assert len(shared) >= textops.WINNOW_K + textops.WINNOW_W - 1
     assert sets[1] & sets[2], "shared passage produced no shared fingerprint"
-    assert not (sets[1] & sets[3] and sets[2] & sets[3]) or True
+    assert not sets[1] & sets[3], "disjoint docs must share no fingerprints"
+    assert not sets[2] & sets[3], "disjoint docs must share no fingerprints"
     # identical text → identical digest; changed text → different digest
     dig = {r.doc_id: r.fp_digest for r in textops.winnow_fingerprints(docs).collect()}
     docs2 = docs.withColumn("text", F.col("text"))
