@@ -1,0 +1,102 @@
+"""Regenerate docs/PLANS.md: live .explain captures of the plans whose
+shapes the tests in tests/test_plans.py assert (flagship single-shuffle
+join, MinHash exchange reuse, bucketed co-located join, pushdown scan).
+
+Usage: python scripts_local/capture_plans.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def plan(df, mode="simple") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue().strip()
+
+
+def main() -> None:
+    from europe_gis_spark.session import get_spark
+
+    spark = get_spark(app_name="capture-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sections: list[tuple[str, str]] = []
+
+    from europe_gis_spark.datagen import geodata, pages as pgen
+    from europe_gis_spark.operators import dedup, geo_join
+
+    pages_df = spark.createDataFrame(pgen.pages_pandas(np.arange(500)))
+    polys_df = spark.createDataFrame(geodata.admin_polygons())
+    idx_bc = geo_join.build_polygon_index_bc(spark, polys_df.filter("levl_code = 3"))
+    counts = (
+        geo_join.tag_pages(pages_df, idx_bc, host_hints=pgen.host_city_hints())
+        .groupBy("poly_id")
+        .agg(F.count("*").alias("n"))
+    )
+    sections.append(
+        ("Flagship geo-tag join (single shuffle, map-side PIP)", plan(counts))
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pairs = dedup.lsh_candidate_pairs(docs)
+    pairs.collect()
+    sections.append(
+        (
+            "MinHash LSH candidate pairs (FINAL adaptive plan: one band "
+            "exchange, ReusedExchange, shuffle-free map-side signatures)",
+            pairs._jdf.queryExecution().executedPlan().toString().strip(),
+        )
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS o_bkt_doc")
+    spark.sql("DROP TABLE IF EXISTS c_bkt_doc")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable(
+        "o_bkt_doc"
+    )
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable(
+        "c_bkt_doc"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    j = (
+        spark.table("o_bkt_doc")
+        .join(spark.table("c_bkt_doc"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name")
+    )
+    sections.append(("Bucketed co-located join (zero Exchange)", plan(j)))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.sql("DROP TABLE IF EXISTS o_bkt_doc")
+    spark.sql("DROP TABLE IF EXISTS c_bkt_doc")
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    sections.append(
+        ("Projection + predicate pushdown (ReadSchema / PushedFilters)", plan(q, "formatted"))
+    )
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
+    with open(out, "w") as f:
+        f.write("# Captured physical plans — the evidence behind the scale claims\n\n")
+        f.write("Generated live on this box (`python scripts_local/capture_plans.py`).\n")
+        f.write("Each plan is the one the plan-assertion tests in tests/test_plans.py pin.\n\n")
+        for title, p in sections:
+            f.write(f"## {title}\n\n```\n{p}\n```\n\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
