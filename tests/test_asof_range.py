@@ -1,0 +1,50 @@
+"""Edge semantics for the temporal joins: as-of NULL-before-first and
+equal-timestamp matching; range-join closed/open interval boundaries."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from europe_gis_spark.operators.asof import asof_join, range_join
+
+
+def test_asof_edges(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2],
+                "ts_s": [5, 10, 20, 10],
+                "ev": ["before", "at", "after", "otherkey"],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts_s": [10, 15], "snap": ["s10", "s15"]})
+    )
+    got = {
+        r.ev: r.snap
+        for r in asof_join(left, right, on=["k"], ts_col="ts_s", value_cols=["snap"]).collect()
+    }
+    assert got["before"] is None  # no prior snapshot
+    assert got["at"] == "s10"  # equal timestamp matches (<=)
+    assert got["after"] == "s15"  # latest prior, not first
+    assert got["otherkey"] is None  # key isolation: k=2 has no snapshots
+
+
+def test_range_join_boundaries(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2, 3], "v": [10.0, 20.0, 19.999999]})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({"label": ["a"], "lo": [10.0], "hi": [20.0]})
+    )
+    got = {
+        r.pid
+        for r in range_join(pts, iv, "v", "lo", "hi", bucket=7.0).collect()
+    }
+    assert got == {1, 3}  # lo inclusive, hi exclusive
+    # bucket width far larger than intervals still exact
+    got2 = {
+        r.pid
+        for r in range_join(pts, iv, "v", "lo", "hi", bucket=1000.0).collect()
+    }
+    assert got2 == {1, 3}
