@@ -378,6 +378,61 @@ def test_streaming_dedup_across_restarts(spark, tmp_path):
     assert 4 not in {d for d, _ in got2}
 
 
+def test_stateful_sessionize_matches_batch_semantics(spark, tmp_path):
+    """The streaming sessionizer's CLOSED sessions must equal a batch
+    gap-sessionization of the same data (open tail sessions excluded)."""
+    import datetime as dt
+
+    rng = np.random.default_rng(3)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for uid in range(5):
+        t = t0
+        for _ in range(40):
+            t = t + dt.timedelta(seconds=int(rng.integers(60, 7200)))
+            rows.append((uid, t, float(rng.integers(1, 10))))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"]).astype(
+        {"user_id": "int64", "value": "float64"}
+    )
+
+    # batch oracle: pandas gap sessionization, drop each user's last
+    # (still-open) session
+    want = set()
+    for uid, g in pdf.sort_values("ts").groupby("user_id"):
+        ts = (g.ts.astype("int64") // 1_000_000_000).tolist()
+        vals = g.value.tolist()
+        sessions = []
+        start, last, n, s = ts[0], ts[0], 1, vals[0]
+        for t, v in zip(ts[1:], vals[1:]):
+            if t - last > 3600:
+                sessions.append((uid, start, last, n, s))
+                start, last, n, s = t, t, 1, v
+            else:
+                last, n, s = t, n + 1, s + v
+        want |= set(sessions)  # open tail excluded
+
+    src, dst, ck = str(tmp_path / "s"), str(tmp_path / "d"), str(tmp_path / "c")
+    spark.createDataFrame(pdf).write.mode("append").parquet(src)
+    from europe_gis_spark.streaming import incremental
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    q = (
+        incremental.stateful_sessionize(stream, gap_sec=3600)
+        .writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(dst).collect()
+    }
+    assert got == want
+
+
 # ------------------------------------------------------------- multimodal
 def test_multimodal_stub_plumbing(spark):
     pdf = pd.DataFrame(
