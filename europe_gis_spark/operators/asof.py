@@ -54,15 +54,21 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_is_right").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # fill ONE struct of all value_cols guarded by _is_right: the latest
+    # right ROW is carried atomically, so (a) a right row whose value is
+    # legitimately NULL still wins over an older non-NULL snapshot
+    # (DuckDB ASOF JOIN returns that row's NULL), and (b) multiple
+    # value_cols can never tear across different right rows
+    snap = F.last(
+        F.when(
+            F.col("_is_right") == 1, F.struct(*[F.col(v) for v in value_cols])
+        ),
+        ignorenulls=True,
+    ).over(w)
     filled = u.select(
         *lcols,
         "_is_right",
-        *[
-            F.last(F.when(F.col("_is_right") == 1, F.col(v)), ignorenulls=True)
-            .over(w)
-            .alias(v)
-            for v in value_cols
-        ],
+        *[snap.getField(v).alias(v) for v in value_cols],
     )
     return filled.filter(F.col("_is_right") == 0).drop("_is_right")
 

@@ -352,6 +352,14 @@ def connected_components(
         labels = merged
         if changed == 0:
             break
+    else:
+        # silent partial propagation would split duplicate clusters
+        # undetected — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); a component's diameter "
+            "exceeds max_iter — raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 

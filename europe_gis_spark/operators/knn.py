@@ -76,8 +76,10 @@ def nearest_for_cell(
             better = dj < best_d
             best_d[better] = dj[better]
             best_i[better] = idxs[j[better]]
-        # stop when no point can be beaten by ring k+1 (min dist k·size)
-        if np.all((best_i >= 0) & (best_d <= k * size)):
+        # stop when no point can be beaten by ring k+1 (min dist k·size);
+        # STRICT bound: a ring-(k+1) centroid at distance exactly best_d
+        # with a smaller ordinal must still enter the tie-break
+        if np.all((best_i >= 0) & (best_d < k * size)):
             break
         k += 1
     return best_i, np.where(best_i >= 0, best_d, np.nan)
@@ -120,7 +122,10 @@ def knn_for_cell(
                 py[:, None] - ys[idxs][None, :]
             ) ** 2
             kth = np.sqrt(np.partition(d2, k_neighbors - 1, axis=1)[:, k_neighbors - 1])
-            if np.all(kth <= r * size):
+            # STRICT bound: a ring-(r+1) centroid at distance exactly
+            # kth but with a smaller ordinal belongs in the candidate
+            # set under the deterministic (distance, ordinal) tie-break
+            if np.all(kth < r * size):
                 break
         r += 1
     if not acc:

@@ -195,6 +195,9 @@ def overlap_stats(
             f"overlap_stats needs a burn-order column {rank_col!r}; "
             "lexicographic poly_id is NOT a safe ordering ('P9' > 'P12')"
         )
+    if wins not in ("last", "first"):
+        # a typo like 'lasts' must not silently invert the burn winner
+        raise ValueError(f"wins must be 'last' or 'first', got {wins!r}")
     winner = (
         F.max_by("poly_id", F.col(rank_col))
         if wins == "last"

@@ -77,6 +77,38 @@ SESSION_OUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "start long, last long, n int, s double"
 
 
+def fold_session_events(ts, vals, state, gap_sec: int):
+    """Fold a sorted event batch into gap-session state (pure, testable).
+
+    ``state`` is (start, last, n, sum) or None; returns
+    (closed_sessions, new_state). Late data guard: an event at or
+    before the open session's ``last`` merges into it WITHOUT moving
+    ``session_end`` backwards (last = max(last, t), start = min(start,
+    t)) — the previous behaviour reset last=t, which could shrink the
+    session and merge events across an already-elapsed gap. Events
+    later than ``last + gap`` close the session. Equivalence with the
+    batch sessionizer holds when cross-batch disorder is bounded by
+    ``gap_sec`` (the watermark analogue); events later than that have
+    no correct streaming answer without retracting emitted sessions.
+    """
+    if state is None:
+        start, last, n, s = None, None, 0, 0.0
+    else:
+        start, last, n, s = state
+    closed = []
+    for t, v in zip(ts, vals):
+        if start is None:
+            start, last, n, s = t, t, 1, v
+        elif t - last > gap_sec:
+            closed.append((start, last, n, s))
+            start, last, n, s = t, t, 1, v
+        else:
+            start = min(start, t)
+            last = max(last, t)
+            n, s = n + 1, s + v
+    return closed, (start, last, n, s)
+
+
 def stateful_sessionize(events: DataFrame, gap_sec: int = 3600) -> DataFrame:
     """Custom stateful streaming operator (SURVEY.md §2.9 / the
     'applyInPandasWithState for custom stateful operators' slot):
@@ -100,20 +132,12 @@ def stateful_sessionize(events: DataFrame, gap_sec: int = 3600) -> DataFrame:
         rows = rows.sort_values("ts")
         ts = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
         vals = rows["value"].to_numpy(dtype=float)
-        if state.exists:
-            start, last, n, s = state.get
-        else:
-            start, last, n, s = None, None, 0, 0.0
-        closed = []
-        for t, v in zip(ts.tolist(), vals.tolist()):
-            if start is None:
-                start, last, n, s = t, t, 1, v
-            elif t - last > gap_sec:
-                closed.append((key[0], start, last, n, s))
-                start, last, n, s = t, t, 1, v
-            else:
-                last, n, s = t, n + 1, s + v
-        state.update((start, last, n, s))
+        prev = state.get if state.exists else None
+        closed_raw, new_state = fold_session_events(
+            ts.tolist(), vals.tolist(), prev, gap_sec
+        )
+        state.update(new_state)
+        closed = [(key[0], *c) for c in closed_raw]
         if closed:
             yield pd.DataFrame(
                 closed,

@@ -30,6 +30,36 @@ def test_asof_edges(spark):
     assert got["otherkey"] is None  # key isolation: k=2 has no snapshots
 
 
+def test_asof_null_values_carried_atomically(spark):
+    """A right row whose value column is legitimately NULL must win over
+    an OLDER non-NULL snapshot (DuckDB ASOF semantics), and multiple
+    value_cols must come from the SAME right row — never torn."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts_s": [12, 30], "ev": ["mid", "late"]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1],
+                "ts_s": [5, 10, 20],
+                "a": [1.0, None, 3.0],
+                "b": [None, 2.0, None],
+            }
+        )
+    )
+    got = {
+        r.ev: (r.a, r.b)
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts_s", value_cols=["a", "b"]
+        ).collect()
+    }
+    # at ts 12 the latest snapshot is ts=10: a=NULL (not the older 1.0),
+    # b=2.0 — both from the ts=10 row
+    assert got["mid"] == (None, 2.0)
+    # at ts 30 the latest is ts=20: a=3.0, b=NULL (not torn to b=2.0)
+    assert got["late"] == (3.0, None)
+
+
 def test_range_join_boundaries(spark):
     pts = spark.createDataFrame(
         pd.DataFrame({"pid": [1, 2, 3], "v": [10.0, 20.0, 19.999999]})

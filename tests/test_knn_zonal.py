@@ -134,3 +134,6 @@ def test_overlap_stats(spark):
     assert got_first == {"a": "P1", "b": "P1", "c": "P1"}
     with pytest.raises(ValueError, match="burn-order"):
         zonal.overlap_stats(pairs.drop("poly_rank")).collect()
+    # a typo'd wins value must raise, not silently pick first-wins
+    with pytest.raises(ValueError, match="wins"):
+        zonal.overlap_stats(pairs, wins="lasts").collect()

@@ -606,6 +606,34 @@ def test_connected_components_chain_and_islands(spark):
     assert comp[20] == comp[21] == 20
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """A diameter larger than max_iter must FAIL loudly, not return
+    silently split clusters."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 3, 4], "doc_b": [2, 3, 4, 5]})
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
+def test_fold_session_events_late_data():
+    """An out-of-order event at or before the open session's last event
+    must merge WITHOUT moving session_end backwards (late-data guard)."""
+    from europe_gis_spark.streaming.incremental import fold_session_events
+
+    # batch 1: events at t=100, 200 → open session [100, 200]
+    closed, st = fold_session_events([100, 200], [1.0, 1.0], None, gap_sec=150)
+    assert closed == [] and st == (100, 200, 2, 2.0)
+    # batch 2: late event at t=170 (≤ last) merges; end stays 200
+    closed, st = fold_session_events([170], [1.0], st, gap_sec=150)
+    assert closed == [] and st == (100, 200, 3, 3.0)
+    # batch 3: t=360 closes (360-200 = 160 > 150)
+    closed, st = fold_session_events([360], [5.0], st, gap_sec=150)
+    assert closed == [(100, 200, 3, 3.0)] and st == (360, 360, 1, 5.0)
+    # regression shape of the old bug: had the late 170 reset last=170,
+    # 260 would have closed at session_end=170 and merged wrongly
+
+
 def test_verify_pairs_matches_bruteforce_jaccard(spark):
     """verify_pairs on LSH candidates must agree exactly with the
     all-pairs ngram_jaccard_pairs on every candidate pair."""
