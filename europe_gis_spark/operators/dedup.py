@@ -8,8 +8,10 @@ Four strategies, scale-ranked:
   * ngram-jaccard — exact verification of candidate pairs (or, at test
                    scale, of all shingle-sharing pairs)
   * simhash      — 64-bit bitwise fingerprint, hamming-close pairs via
-                   8x8-bit band buckets (guaranteed recall for
-                   hamming <= 7 by pigeonhole)
+                   4x16-bit band buckets with within-band hamming-1
+                   multi-probe (guaranteed recall for hamming <= 7 by
+                   pigeonhole; 65536 buckets/band keeps candidate
+                   generation sub-quadratic at corpus scale)
 
 MinHash uses lexicographic min over md5 hex digests (a hash-min is a
 hash-min; strings avoid engine-specific int hashing) so the DuckDB
@@ -421,30 +423,25 @@ def simhash(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(fn, schema=SIMHASH_SCHEMA)
 
 
-SIMHASH_BANDS = 8  # 8 bands × 8 bits
+SIMHASH_BANDS = 4  # 4 bands × 16 bits, multi-probed at hamming ≤ 1
+SIMHASH_BAND_BITS = 64 // SIMHASH_BANDS
+SIMHASH_MAX_BUCKET = 200  # hot-bucket cap, same role as MAX_BUCKET
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
-    """Hamming-close pairs via 8×8-bit band buckets.
-
-    Recall guarantee (pigeonhole): a pair with hamming distance ≤ 7
-    cannot differ in all 8 bands, so it shares ≥1 band key and becomes a
-    candidate; ``bit_count`` then verifies exactly. The default
-    ``max_hamming=7`` matches that bound by construction. Asking for
-    ``max_hamming > 7`` still verifies correctly on candidates but the
-    band filter can miss pairs whose ≥8 differing bits spread across all
-    8 bands — recall < 1 there, so it is rejected loudly.
-    """
-    if max_hamming > SIMHASH_BANDS - 1:
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds the recall guarantee of "
-            f"{SIMHASH_BANDS} bands (hamming <= {SIMHASH_BANDS - 1}); "
-            "candidate generation would silently miss pairs"
-        )
-    width = 64 // SIMHASH_BANDS
+def _simhash_band_key(b: int, width: int = SIMHASH_BAND_BITS):
     mask = (1 << width) - 1
-    sh = simhash(docs)
-    bands = sh.select(
+    return (
+        F.shiftrightunsigned(F.col("simhash"), width * b)
+        .bitwiseAND(F.lit(mask))
+    )
+
+
+def simhash_band_keys(sh: DataFrame) -> DataFrame:
+    """(doc_id, simhash) → one (doc_id, simhash, band, key) row per band
+    — the BASE bucket table. Exposed so tests can assert bucket-space
+    statistics (16-bit keys: up to 65 536 buckets/band, growing with the
+    corpus, vs the old 8-bit scheme's hard 256/band ceiling)."""
+    return sh.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -452,31 +449,98 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), width * b)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
+                        _simhash_band_key(b).alias("key"),
                     )
                     for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
-    pairs = (
-        bands.alias("a")
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 7,
+    max_bucket: int | None = SIMHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Hamming-close pairs via 4×16-bit bands with within-band hamming-≤1
+    multi-probe — sub-quadratic candidate generation at corpus scale.
+
+    The previous 8×8-bit banding had only 256 possible buckets per band,
+    so EVERY bucket was hot by construction and the self-join generated
+    Θ(n²/32) candidates regardless of data. Here each band has 65 536
+    possible keys (bucket count grows with the corpus until saturation
+    ~n), and each doc probes 17 keys per band (identity + all 16
+    hamming-1 flips): a pair differing by ≤ 1 bit in SOME band meets in
+    that band's bucket.
+
+    Recall guarantee (pigeonhole): hamming ≤ 7 across 4 bands forces
+    some band to differ in ≤ 1 bit (all four differing by ≥ 2 would need
+    ≥ 8), so every such pair becomes a candidate; ``bit_count`` then
+    verifies exactly. ``max_hamming > 7`` would silently under-recall
+    and is rejected loudly.
+
+    ``max_bucket`` caps BASE-side bucket size (same role and default as
+    ``lsh_candidate_pairs``): a band key shared by more docs carries no
+    dedup signal (boilerplate) and would make a quadratic bucket.
+    Because each probe row meets exactly one capped bucket, candidates
+    are ≤ 68·max_bucket per doc — linear in n. The join uses
+    ``doc_id != doc_id`` + least/greatest so a pair is still found when
+    only ONE member's base bucket survives the cap.
+    """
+    if max_hamming > 2 * SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the recall guarantee of "
+            f"{SIMHASH_BANDS} bands with hamming-1 probes "
+            f"(hamming <= {2 * SIMHASH_BANDS - 1}); candidate generation "
+            "would silently miss pairs"
+        )
+    width = SIMHASH_BAND_BITS
+    # the text-hashing pass runs ONCE: both join sides (base buckets and
+    # probe rows) branch off this materialized (doc_id, simhash) table —
+    # 16 bytes/doc, safe to checkpoint at any corpus size
+    sh = simhash(docs).localCheckpoint(eager=True)
+    base = simhash_band_keys(sh)
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "key")
+        base = (
+            base.withColumn("n_in_bucket", F.count("*").over(w))
+            .filter(F.col("n_in_bucket") <= max_bucket)
+            .drop("n_in_bucket")
+        )
+    probes = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _simhash_band_key(b).bitwiseXOR(F.lit(flip)).alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                    for flip in [0] + [1 << i for i in range(width)]
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    return (
+        probes.alias("a")
         .join(
-            bands.alias("b"),
+            base.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.withColumn(
-        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")

@@ -496,11 +496,12 @@ def test_simhash_finds_planted_near_dups(spark):
 
 
 def test_simhash_band_recall_guarantee_spread_bits(spark):
-    """Counter-example that killed the old 4×16-bit scheme: a pair whose
-    simhashes differ in exactly 7 bits spread across 7 DIFFERENT 8-bit
-    bands still shares band 7 and must be found; and asking for a
-    max_hamming beyond the pigeonhole guarantee raises instead of
-    silently under-recalling."""
+    """Worst-case bit spread for 4×16-bit multi-probe banding: 7 bits at
+    positions 0,8,16,24,32,40,48 land 2,2,2,1 across the four 16-bit
+    bands — no band is equal, only band 3 is within hamming 1, so the
+    pair is found ONLY via the hamming-1 probes (the pigeonhole bound is
+    tight here); and asking for a max_hamming beyond the guarantee
+    raises instead of silently under-recalling."""
     import pyspark.sql.functions as F
 
     docs = spark.createDataFrame(
@@ -528,6 +529,74 @@ def test_simhash_band_recall_guarantee_spread_bits(spark):
 
     with pytest.raises(ValueError, match="recall guarantee"):
         dedup.simhash_near_pairs(docs, max_hamming=8)
+
+
+def test_simhash_bucket_space_grows_with_corpus(spark):
+    """Scale property of the 16-bit banding: on a random corpus the
+    bucket count grows with n (the old 8-bit scheme saturated at a hard
+    256/band, making every bucket hot and pair generation Θ(n²/32)).
+    With 3000 random fingerprints, each band must occupy far more than
+    256 distinct buckets and no bucket may be hot."""
+    rng = np.random.default_rng(7)
+    n = 3000
+    sh = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "simhash": rng.integers(
+                    -(2**63), 2**63, size=n, dtype=np.int64
+                ),
+            }
+        )
+    )
+    stats = (
+        dedup.simhash_band_keys(sh)
+        .groupBy("band", "key")
+        .count()
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("count").alias("max_bucket_size"),
+        )
+        .collect()
+    )
+    assert len(stats) == dedup.SIMHASH_BANDS
+    for r in stats:
+        assert r.n_buckets > 1000, f"band {r.band}: only {r.n_buckets} buckets"
+        assert r.max_bucket_size <= 5, f"band {r.band} has a hot bucket"
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """max_bucket drops boilerplate buckets wholesale (no quadratic
+    blowup), while a hamming-1 pair in ordinary buckets is still found
+    via the multi-probe path."""
+    import unittest.mock as mock
+
+    # 50 docs share identical fingerprint 0 (a degenerate boilerplate
+    # cluster); docs 100, 101 differ by one bit in band 2
+    a = 0x0123456789ABCDEF
+    b = a ^ (1 << 33)
+    ids = list(range(50)) + [100, 101]
+    hashes = [0] * 50 + [a, b]
+    sh = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "simhash": np.array(hashes, dtype=np.int64),
+            }
+        )
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "text": ["x"] * len(ids)})
+    )
+    with mock.patch.object(dedup, "simhash", lambda _docs: sh):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.simhash_near_pairs(docs, max_bucket=10).collect()
+        }
+    # the 50-doc boilerplate cluster is capped away entirely (its C(50,2)
+    # pairs carry no signal), the planted pair survives
+    assert got == {(100, 101)}
 
 
 def test_winnowing_shared_substring_guarantee(spark):
