@@ -154,6 +154,16 @@ _CC_SCHEMA = (
     "vert boolean, pos int"
 )
 
+# node key for cross-tile label equivalence: zero-padded so STRING order
+# equals (layer, tile_row, tile_col, local_id) tuple order — both merge
+# paths (driver union-find, distributed min-label propagation) then
+# produce identical min-root region ids
+_NODE_FMT = "%s|%09d|%09d|%09d"
+
+
+def _node_key(layer, trow, tcol, lid) -> str:
+    return f"{layer}|{trow:09d}|{tcol:09d}|{lid:09d}"
+
 
 def _label_tile(a: np.ndarray, tile_w: int) -> np.ndarray:
     """Two-pass 4-connectivity labeling of equal-value pixels (no scipy):
@@ -199,25 +209,13 @@ def _label_tile(a: np.ndarray, tile_w: int) -> np.ndarray:
     return (dense + 1).astype(np.int32).reshape(tile_w, tile_w)
 
 
-def polygonize_regions(tiles: DataFrame, tile_w: int = 16) -> DataFrame:
-    """F9 with exact ``features.shapes`` region semantics
-    (``scripts/jobs/process_raster_layer.py:99-117``): ONE row per
-    4-connected constant-value region — including regions that span tile
-    boundaries — with pixel count and bbox. (Geometry output stays the
-    rectangle decomposition of :func:`polygonize`; join it on the same
-    tiles to reconstruct region shapes.)
-
-    Plan: per-tile two-pass connected-component labeling inside one
-    ``applyInPandas`` (shared by region rows and boundary strips via the
-    reused groupBy exchange), then cross-tile label equivalences from
-    matching boundary pixels. The equivalence graph is merged with a
-    driver-side union-find: its size is O(region crossings of tile
-    borders) — perimeter-scale, orders of magnitude below pixel count
-    (the same small-side-collect pattern as the broadcast polygon
-    index). The merged local→global map is broadcast back and the final
-    per-region aggregation is one partial+final hash agg.
-    """
-    spark = tiles.sparkSession
+def _tile_cc_tagged(tiles: DataFrame, tile_w: int, with_rects: bool) -> DataFrame:
+    """Per-tile two-pass CC labeling inside one ``applyInPandas``:
+    kind=0 region rows, kind=1/2 boundary strips (east+south / west+
+    north, meeting the neighbor's under the SAME join key), and — when
+    ``with_rects`` — kind=3 greedy maximal-rectangle rows per LOCAL
+    label (global pixel bounds in ymin..xmax), the building blocks for
+    region geometry reconstruction."""
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         layer, trow, tcol = key
@@ -236,9 +234,6 @@ def polygonize_regions(tiles: DataFrame, tile_w: int = 16) -> DataFrame:
                         None, None,
                     )
                 )
-            # boundary strips: east column (vert boundary with col+1) and
-            # south row (horiz boundary with row+1); the neighbor emits
-            # its west/north strip under the SAME (tile_row,tile_col) key
             for p in range(tile_w):
                 rows.append((1, layer, int(trow), int(tcol), int(lab[p, -1]),
                              float(a[p, -1]), None, None, None, None, None, True, p))
@@ -248,6 +243,37 @@ def polygonize_regions(tiles: DataFrame, tile_w: int = 16) -> DataFrame:
                              float(a[-1, p]), None, None, None, None, None, False, p))
                 rows.append((2, layer, int(trow), int(tcol), int(lab[0, p]),
                              float(a[0, p]), None, None, None, None, None, False, p))
+            if with_rects:
+                # greedy row-run rectangle decomposition per LABEL (a
+                # run never crosses labels: equal-value contiguity IS
+                # 4-connectivity within a row/block)
+                used = np.zeros_like(lab, dtype=bool)
+                oy, ox = trow * tile_w, tcol * tile_w
+                for i in range(tile_w):
+                    j = 0
+                    while j < tile_w:
+                        if used[i, j]:
+                            j += 1
+                            continue
+                        lid = lab[i, j]
+                        j2 = j
+                        while j2 + 1 < tile_w and not used[i, j2 + 1] and lab[i, j2 + 1] == lid:
+                            j2 += 1
+                        i2 = i
+                        while i2 + 1 < tile_w and np.all(
+                            (~used[i2 + 1, j : j2 + 1]) & (lab[i2 + 1, j : j2 + 1] == lid)
+                        ):
+                            i2 += 1
+                        used[i : i2 + 1, j : j2 + 1] = True
+                        rows.append(
+                            (
+                                3, layer, int(trow), int(tcol), int(lid),
+                                float(a[i, j]), int((i2 - i + 1) * (j2 - j + 1)),
+                                oy + i, ox + j, oy + i2, ox + j2,
+                                None, None,
+                            )
+                        )
+                        j = j2 + 1
         return pd.DataFrame(
             rows,
             columns=[
@@ -256,21 +282,32 @@ def polygonize_regions(tiles: DataFrame, tile_w: int = 16) -> DataFrame:
             ],
         )
 
-    # three consumers (boundary pairs collect, lo strips, region rows) —
-    # persist so the labeling UDF runs once; the tagged table is
-    # region+perimeter-scale (≈ regions + 4·tile_w rows per tile), not
-    # pixel-scale, so MEMORY_AND_DISK is safe at raster scale
-    from pyspark import StorageLevel
-
-    tagged = (
-        tiles.groupBy("layer", "tile_row", "tile_col")
-        .applyInPandas(fn, schema=_CC_SCHEMA)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return tiles.groupBy("layer", "tile_row", "tile_col").applyInPandas(
+        fn, schema=_CC_SCHEMA
     )
-    regions = tagged.filter(F.col("kind") == 0)
 
-    # equivalences: east strip of (r,c) meets west strip of (r,c+1);
-    # south strip of (r,c) meets north strip of (r+1,c)
+
+def _label_mapping(
+    tagged: DataFrame, distributed_threshold: int = 100_000
+) -> DataFrame:
+    """Cross-tile label equivalences → (node, root) mapping DataFrame
+    (zero-padded string keys; root = min node of the component).
+
+    The boundary-pair edge list is perimeter-scale (one row per
+    (tile-edge, label pair)) — tiny next to pixel count, but up to
+    O(#tiles) for a region crossing every edge. Two merge paths:
+
+      * ≤ ``distributed_threshold`` edges → collect + driver union-find
+        (the small-raster fast path, same small-side-collect pattern as
+        the broadcast polygon index);
+      * above it → distributed min-label propagation reusing
+        :func:`europe_gis_spark.operators.dedup.connected_components`
+        (O(diameter) join+agg rounds), so a 10¹²-pixel raster never
+        funnels its boundary graph through the driver.
+
+    Both paths compute min-over-identical-string-keys, so region ids are
+    IDENTICAL regardless of path (property-tested)."""
+    spark = tagged.sparkSession
     lo = tagged.filter(F.col("kind") == 1).select(
         "layer", "tile_row", "tile_col", "vert", "pos", "value",
         F.col("local_id").alias("lid_a"),
@@ -282,16 +319,29 @@ def polygonize_regions(tiles: DataFrame, tile_w: int = 16) -> DataFrame:
         "vert", "pos", "value",
         F.col("local_id").alias("lid_b"),
     )
-    pairs = (
+    edges = (
         lo.join(hi, ["layer", "tile_row", "tile_col", "vert", "pos", "value"])
         .select(
-            "layer", "tile_row", "tile_col", "vert", "lid_a", "lid_b"
+            F.format_string(
+                _NODE_FMT, "layer", "tile_row", "tile_col", "lid_a"
+            ).alias("a"),
+            F.format_string(
+                _NODE_FMT,
+                "layer",
+                F.when(F.col("vert"), F.col("tile_row")).otherwise(F.col("tile_row") + 1),
+                F.when(F.col("vert"), F.col("tile_col") + 1).otherwise(F.col("tile_col")),
+                "lid_b",
+            ).alias("b"),
         )
         .distinct()
-        .collect()
     )
+    n_edges = edges.count()
+    if n_edges > distributed_threshold:
+        from .dedup import connected_components
 
-    # driver union-find over (layer, trow, tcol, local_id) keys
+        return connected_components(edges, "a", "b", max_iter=200).select(
+            F.col("doc_id").alias("node"), F.col("component").alias("root")
+        )
     parent: dict = {}
 
     def find(k):
@@ -302,60 +352,218 @@ def polygonize_regions(tiles: DataFrame, tile_w: int = 16) -> DataFrame:
             parent[k], k = r, parent[k]
         return r
 
-    def union(a, b):
-        ra, rb = find(a), find(b)
+    for e in edges.collect():
+        ra, rb = find(e.a), find(e.b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-
-    for p in pairs:
-        a = (p.layer, p.tile_row, p.tile_col, p.lid_a)
-        b = (
-            (p.layer, p.tile_row, p.tile_col + 1, p.lid_b)
-            if p.vert
-            else (p.layer, p.tile_row + 1, p.tile_col, p.lid_b)
-        )
-        union(a, b)
-    merged = {k: find(k) for k in list(parent)}
-    bc = spark.sparkContext.broadcast(merged)
-
-    def to_global(it):
-        for b in it:
-            m = bc.value
-            rid = [
-                "{}|{}|{}|{}".format(
-                    *m.get((la, tr, tc, li), (la, tr, tc, li))
-                )
-                for la, tr, tc, li in zip(
-                    b["layer"], b["tile_row"], b["tile_col"], b["local_id"]
-                )
-            ]
-            out = b[["layer", "value", "n_px"]].copy()
-            out["region_id"] = rid
-            out["ymin"] = b["tile_row"] * tile_w + b["ymin"]
-            out["xmin"] = b["tile_col"] * tile_w + b["xmin"]
-            out["ymax"] = b["tile_row"] * tile_w + b["ymax"]
-            out["xmax"] = b["tile_col"] * tile_w + b["xmax"]
-            yield out
-
-    out_schema = (
-        "layer string, value double, n_px int, region_id string, "
-        "ymin int, xmin int, ymax int, xmax int"
+    merged = [(k, find(k)) for k in list(parent)]
+    return spark.createDataFrame(
+        pd.DataFrame(merged, columns=["node", "root"])
+        if merged
+        else pd.DataFrame({"node": pd.Series(dtype=str), "root": pd.Series(dtype=str)}),
+        schema="node string, root string",
     )
+
+
+def _with_region_id(df: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Attach the global region_id: node key → component root (identity
+    where unmerged). The mapping is perimeter-scale → broadcast join."""
+    node = F.format_string(
+        _NODE_FMT, "layer", "tile_row", "tile_col", "local_id"
+    )
+    return (
+        df.withColumn("node", node)
+        .join(F.broadcast(mapping), "node", "left")
+        .withColumn("region_id", F.coalesce("root", "node"))
+        .drop("node", "root")
+    )
+
+
+def polygonize_regions(
+    tiles: DataFrame, tile_w: int = 16, distributed_threshold: int = 100_000
+) -> DataFrame:
+    """F9 with exact ``features.shapes`` region semantics
+    (``scripts/jobs/process_raster_layer.py:99-117``): ONE row per
+    4-connected constant-value region — including regions that span tile
+    boundaries — with pixel count and bbox. For the region POLYGON
+    geometry use :func:`region_geometries`.
+
+    Plan: per-tile CC labeling in one ``applyInPandas`` (region rows and
+    boundary strips share the groupBy exchange), cross-tile label
+    equivalences merged driver-side below ``distributed_threshold``
+    edges and via distributed min-label propagation above it (see
+    :func:`_label_mapping`), then a broadcast mapping join + one
+    partial+final hash agg.
+    """
+    from pyspark import StorageLevel
+
+    tagged = _tile_cc_tagged(tiles, tile_w, with_rects=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    mapping = _label_mapping(tagged, distributed_threshold)
+    regions = _with_region_id(tagged.filter(F.col("kind") == 0), mapping)
     result = (
-        regions.mapInPandas(to_global, schema=out_schema)
-        .groupBy("layer", "region_id")
+        regions.groupBy("layer", "region_id")
         .agg(
             F.first("value").alias("value"),
             F.sum("n_px").cast("long").alias("n_px"),
-            F.min("ymin").alias("ymin"),
-            F.min("xmin").alias("xmin"),
-            F.max("ymax").alias("ymax"),
-            F.max("xmax").alias("xmax"),
+            F.min(F.col("tile_row") * tile_w + F.col("ymin")).alias("ymin"),
+            F.min(F.col("tile_col") * tile_w + F.col("xmin")).alias("xmin"),
+            F.max(F.col("tile_row") * tile_w + F.col("ymax")).alias("ymax"),
+            F.max(F.col("tile_col") * tile_w + F.col("xmax")).alias("xmax"),
         )
         # region rows are tiny: materialize them eagerly so the persist
         # below can be released instead of leaking one cached dataset
         # per invocation into the session's block manager
         .localCheckpoint(eager=True)
     )
+    tagged.unpersist()
+    return result
+
+
+# turn preference at a boundary vertex, interior-on-left orientation:
+# sharpest LEFT first keeps every traced ring simple (a degree-4 pinch
+# vertex splits into two touching rings instead of a figure-eight)
+_LEFT = {(1, 0): (0, 1), (0, 1): (-1, 0), (-1, 0): (0, -1), (0, -1): (1, 0)}
+_RIGHT = {v: k for k, v in _LEFT.items()}
+
+
+def _trace_rings(edges: set) -> list[np.ndarray]:
+    """Chain directed unit boundary edges into closed rings.
+
+    ``edges`` is a set of ((x,y),(x,y)) unit segments oriented with the
+    region interior on the LEFT (so outer rings come out with positive
+    shoelace area, holes negative). Every vertex has in-degree equal to
+    out-degree, so the walk always closes; collinear runs are merged.
+    Deterministic: starts from the lexicographically smallest edge."""
+    out: dict = {}
+    for v, w in edges:
+        out.setdefault(v, []).append(w)
+    for v in out:
+        out[v].sort()
+    rings = []
+    starts = sorted(out)
+    for s in starts:
+        while out.get(s):
+            ring = [s]
+            v = s
+            w = out[v].pop()
+            d = (w[0] - v[0], w[1] - v[1])
+            while w != s:
+                ring.append(w)
+                cands = out.get(w)
+                nxt = None
+                for nd in (_LEFT[d], d, _RIGHT[d]):
+                    cand = (w[0] + nd[0], w[1] + nd[1])
+                    if cands and cand in cands:
+                        nxt = cand
+                        break
+                if nxt is None:
+                    raise RuntimeError("boundary walk broke — edges not closed")
+                cands.remove(nxt)
+                nd = (nxt[0] - w[0], nxt[1] - w[1])
+                if nd == d:
+                    ring.pop()  # collinear: drop the middle vertex
+                v, w, d = w, nxt, nd
+            # drop a trailing collinear vertex at the seam (last dir ==
+            # first dir of the closed loop)
+            first_d = (ring[1][0] - ring[0][0], ring[1][1] - ring[0][1]) if len(ring) > 1 else None
+            if first_d is not None and d == first_d:
+                ring.pop(0)
+            ring.append(ring[0])
+            rings.append(np.asarray(ring, dtype=np.float64))
+    return rings
+
+
+def _rects_to_polygon(rects) -> tuple[bytes, int]:
+    """Rectangle decomposition of one region → WKB POLYGON (outer ring +
+    holes) via edge cancellation: each rect contributes its unit
+    boundary segments CCW; segments shared by two rects appear in
+    opposite directions and cancel, leaving exactly the region boundary.
+    Work is O(total rect perimeter). Returns (wkb, n_px)."""
+    from ..geo import wkb as gwkb
+    from ..geo.geom import shoelace_area
+
+    edges: set = set()
+
+    def add(v, w):
+        if (w, v) in edges:
+            edges.remove((w, v))
+        else:
+            edges.add((v, w))
+
+    n_px = 0
+    for y0, x0, y1, x1 in rects:
+        n_px += (y1 - y0 + 1) * (x1 - x0 + 1)
+        xa, xb, ya, yb = x0, x1 + 1, y0, y1 + 1
+        for x in range(xa, xb):
+            add((x, ya), (x + 1, ya))       # bottom, +x
+            add((x + 1, yb), (x, yb))       # top, −x
+        for y in range(ya, yb):
+            add((xb, y), (xb, y + 1))       # right, +y
+            add((xa, y + 1), (xa, y))       # left, −y
+    rings = _trace_rings(edges)
+    outer = [r for r in rings if shoelace_area(r) > 0]
+    holes = [r for r in rings if shoelace_area(r) < 0]
+    if len(outer) != 1:
+        raise RuntimeError(
+            f"region decomposed into {len(outer)} outer rings — rects do "
+            "not form one 4-connected region"
+        )
+    return gwkb.encode_polygon([outer[0], *holes]), n_px
+
+
+REGION_GEOM_SCHEMA = (
+    "layer string, region_id string, value double, n_px long, wkb binary"
+)
+
+
+def region_geometries(
+    tiles: DataFrame, tile_w: int = 16, distributed_threshold: int = 100_000
+) -> DataFrame:
+    """F9 geometry output — full ``features.shapes`` parity
+    (``scripts/jobs/process_raster_layer.py:99-117`` emits (geom, value)
+    per region): one row per 4-connected constant-value region with its
+    POLYGON geometry as WKB (outer ring + interior holes, pixel-space
+    coordinates — apply the raster's affine transform downstream).
+
+    Plan: the per-tile labeling pass additionally emits the greedy
+    maximal-rectangle decomposition per local label (map-side, same
+    exchange); rects get their global region id via the broadcast label
+    mapping; one shuffle groups each region's rects together and the
+    boundary is reconstructed by edge cancellation + interior-left ring
+    tracing — O(region perimeter) work per region, so total work scales
+    with boundary length, not pixel count. Caveat: a single region's
+    reconstruction is one task (same per-feature granularity as
+    ``features.shapes``).
+
+    Invariant (pytest-gated): decoded polygon area == n_px · cell_area,
+    and n_px matches :func:`polygonize_regions` per region id."""
+    from pyspark import StorageLevel
+
+    tagged = _tile_cc_tagged(tiles, tile_w, with_rects=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    mapping = _label_mapping(tagged, distributed_threshold)
+    rects = _with_region_id(tagged.filter(F.col("kind") == 3), mapping)
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        layer, region_id = key
+        wkb_bytes, n_px = _rects_to_polygon(
+            pdf[["ymin", "xmin", "ymax", "xmax"]].itertuples(index=False)
+        )
+        return pd.DataFrame(
+            {
+                "layer": [layer],
+                "region_id": [region_id],
+                "value": [float(pdf["value"].iloc[0])],
+                "n_px": [n_px],
+                "wkb": [wkb_bytes],
+            }
+        )
+
+    result = rects.groupBy("layer", "region_id").applyInPandas(
+        fn, schema=REGION_GEOM_SCHEMA
+    ).localCheckpoint(eager=True)
     tagged.unpersist()
     return result

@@ -929,6 +929,33 @@ def q_raster_regions(spark, sf_dir):
     return L.polygonize_regions(tiles, tile_w=16).orderBy("region_id")
 
 
+def q_raster_region_geoms(spark, sf_dir):
+    """F9 full features.shapes parity: region POLYGON geometry as WKB
+    (outer + holes) — rows-only driver check; the decoded-area == n_px
+    invariant and the BFS oracle are pytest-gated
+    (test_polygonize.py)."""
+    from .operators import layers as L
+    from .operators import zonal
+
+    pts = event_points(spark, sf_dir)
+    counts = pts.groupBy(
+        F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("x"),
+        F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("y"),
+    ).agg(F.count("*").alias("cnt"))
+    mean_cnt = counts.agg(F.avg("cnt").alias("mu"))
+    cellsdf = (
+        counts.crossJoin(F.broadcast(mean_cnt))
+        .select(
+            "x",
+            "y",
+            (F.col("cnt") > F.col("mu")).cast("float").alias("value"),
+        )
+        .withColumn("layer", F.lit("density"))
+    )
+    tiles = zonal.cells_to_tiles(cellsdf, tile_w=16)
+    return L.region_geometries(tiles, tile_w=16).orderBy("region_id")
+
+
 def q_overlay_rects(spark, sf_dir):
     """J3 overlay with GEOMETRY output (gpd.overlay 'intersection'):
     2 km grid squares (from event-point buckets, translated coords) ×
@@ -1521,6 +1548,7 @@ QUERIES = {
     "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "raster_regions": (q_raster_regions, None),
+    "raster_region_geoms": (q_raster_region_geoms, None),
     "overlay_rects": (q_overlay_rects, _sql_overlay_rects()),
     "salted_skew_join": (q_salted_skew_join, SQL_SALTED_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

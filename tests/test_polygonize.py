@@ -94,3 +94,82 @@ def test_regions_checkerboard_no_false_merges(spark):
     want = _bfs_regions(a)
     assert got == want
     assert len(got) == 16 * 16  # every 2x2 block separate
+
+
+def test_merge_paths_identical(spark):
+    """Driver union-find and distributed min-label propagation must
+    produce IDENTICAL region ids (distributed_threshold=0 forces the
+    connected-components path)."""
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 2, size=(48, 48)).astype(np.float32)
+    tiles = spark.createDataFrame(_to_tiles(a))
+    drv = layers.polygonize_regions(tiles, tile_w=TILE_W)
+    dst = layers.polygonize_regions(tiles, tile_w=TILE_W, distributed_threshold=0)
+    rows_d = sorted(map(tuple, drv.collect()))
+    rows_x = sorted(map(tuple, dst.collect()))
+    assert rows_d == rows_x
+
+
+def _decode_area(wkb_bytes: bytes) -> float:
+    from europe_gis_spark.geo import geom, wkb
+
+    return geom.polygon_area(wkb.polygon_parts(wkb.decode(wkb_bytes)))
+
+
+def test_region_geometries_area_invariant_random(spark):
+    """features.shapes parity: every region's decoded POLYGON area must
+    equal its pixel count (cell_size=1), and the (value, n_px) multiset
+    must match the BFS oracle."""
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 3, size=(48, 48)).astype(np.float32)
+    got = layers.region_geometries(
+        spark.createDataFrame(_to_tiles(a)), tile_w=TILE_W
+    ).collect()
+    want = _bfs_regions(a)
+    assert sorted((r.value, r.n_px) for r in got) == sorted(
+        (v, n) for v, n, *_ in want
+    )
+    for r in got:
+        assert _decode_area(r.wkb) == r.n_px, f"region {r.region_id}"
+
+
+def test_region_geometries_hole(spark):
+    """An annulus region must come back as ONE polygon with an interior
+    hole ring whose area is subtracted."""
+    from europe_gis_spark.geo import wkb as gwkb
+
+    a = np.zeros((32, 32), dtype=np.float32)
+    a[8:24, 8:24] = 7.0
+    a[12:20, 12:20] = 0.0  # hole (reconnects to nothing: annulus)
+    got = layers.region_geometries(
+        spark.createDataFrame(_to_tiles(a)), tile_w=TILE_W
+    ).collect()
+    ann = [r for r in got if r.value == 7.0]
+    assert len(ann) == 1
+    n_ann = int((a == 7.0).sum())
+    assert ann[0].n_px == n_ann
+    parts = gwkb.polygon_parts(gwkb.decode(ann[0].wkb))
+    assert len(parts) == 1 and len(parts[0]) == 2  # outer + 1 hole
+    assert _decode_area(ann[0].wkb) == n_ann
+    # the enclosed zero block is a separate region from the background
+    zeros = sorted(r.n_px for r in got if r.value == 0.0)
+    assert zeros == [8 * 8, 32 * 32 - 16 * 16]
+    for r in got:
+        assert _decode_area(r.wkb) == r.n_px
+
+
+def test_region_geometries_match_polygonize_regions(spark):
+    """Geometry rows must agree with polygonize_regions per region_id
+    on (value, n_px) — same labeling, same cross-tile merge."""
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 2, size=(32, 48)).astype(np.float32)
+    tiles = spark.createDataFrame(_to_tiles(a))
+    geoms = {
+        r.region_id: (r.value, r.n_px)
+        for r in layers.region_geometries(tiles, tile_w=TILE_W).collect()
+    }
+    regs = {
+        r.region_id: (r.value, r.n_px)
+        for r in layers.polygonize_regions(tiles, tile_w=TILE_W).collect()
+    }
+    assert geoms == regs
