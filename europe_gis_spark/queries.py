@@ -1507,6 +1507,27 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, QUERY_VEC, k=10)
 
 
+def q_ann_ivf_indexed(spark, sf_dir):
+    """The at-rest IVF path — the production shape ivf_topk's docstring
+    points to: train the coarse quantizer, WRITE the index partitioned
+    by list_id, answer the query by reading ONLY the probed lists
+    (Catalyst turns the probe filter into parquet PartitionFilters —
+    plan-pinned in test_plans.py). Rows-only driver check; parity with
+    the scan-based ivf_topk under shared centroids is pytest-gated."""
+    import hashlib
+    import os
+    import tempfile
+
+    e = _read(spark, sf_dir, "embeddings")
+    cent = similarity.train_ivf_centroids(e, n_lists=64, seed=7)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"egs_ivf_index_{tag}")
+    similarity.write_ivf_index(e, path, cent)
+    return similarity.ivf_topk_from_index(
+        spark, path, cent, QUERY_VEC, k=10, n_probe=16
+    )
+
+
 def q_embed_dups(spark, sf_dir):
     """Embedding near-dup pairs via LSH buckets over the planted-dup
     table — rows-only driver check; exact planted-pair recall is
@@ -1565,5 +1586,6 @@ QUERIES = {
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_lsh_topk": (q_ann_lsh, None),
     "ann_ivf_topk": (q_ivf_topk, None),
+    "ann_ivf_indexed": (q_ann_ivf_indexed, None),
     "embedding_dups": (q_embed_dups, None),
 }

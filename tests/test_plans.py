@@ -145,6 +145,36 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS c_bkt")
 
 
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    """The at-rest IVF claim: reading the list_id-partitioned index with
+    a probe filter must prune at the PARTITION level (only probed lists'
+    files scanned), and the indexed query must return exactly what the
+    scan-based ivf_topk returns under the same centroids."""
+    from europe_gis_spark.operators import similarity
+    from europe_gis_spark.queries import QUERY_VEC
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = similarity.train_ivf_centroids(e, n_lists=16, seed=7)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(e, path, cent)
+    probe = [int(x) for x in similarity.probe_lists(cent, QUERY_VEC, 4)]
+    cand = spark.read.parquet(path).filter(F.col("list_id").isin(probe))
+    p = plan_str(cand)
+    assert "PartitionFilters" in p
+    assert "list_id" in p.split("PartitionFilters", 1)[1][:400], p
+    assert {r.list_id for r in cand.select("list_id").distinct().collect()} <= set(probe)
+
+    got = similarity.ivf_topk_from_index(
+        spark, path, cent, QUERY_VEC, k=5, n_probe=4
+    ).collect()
+    want = similarity.ivf_topk(
+        e, QUERY_VEC, k=5, n_probe=4, centroids=cent
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in want
+    ]
+
+
 def test_no_query_regresses_to_cartesian_or_row_python(spark):
     """Registry-wide guardrail: building every registered query's
     physical plan, none may contain a non-broadcast cartesian product
