@@ -6,17 +6,22 @@ plumbing the reference uses for raw raster scanlines
 (``/root/reference/scripts/old_files/build_dem.py:63-79``:
 ``struct.unpack`` over binary) generalized to media.
 
-The actual codecs (PIL/ffmpeg) are NOT in this container, so the decode
-step is stubbed: ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded from
-the payload bytes) exercises the full Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — which IS real and
-tested.
+Compression codecs (PIL/libjpeg/ffmpeg) are NOT in this container, but
+UNCOMPRESSED container formats are pure-Python decodable, so those are
+REAL here: 24/32-bit BI_RGB BMP (``decode_bmp``) and 16-bit PCM WAV
+(``decode_wav``), each with an encoder twin for fixtures/sinks and
+golden-byte tests. ``decode_image``/``decode_audio`` auto-detect by
+magic bytes: BMP/WAV payloads decode for real; compressed formats fall
+back to a deterministic fake decoder (seeded from the payload bytes)
+that exercises the full Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape. ``fake=False`` requires a real decode and
+raises loudly when the payload needs an absent codec.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -37,21 +42,75 @@ def codecs_available() -> bool:
         return False
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit BI_RGB BMP bytes (pure Python) —
+    fixture/sink twin of :func:`decode_bmp`; rows bottom-up, BGR,
+    4-byte padded per the format spec."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp wants (H, W, 3) RGB")
+    pad = (-w * 3) % 4
+    data_size = (w * 3 + pad) * h
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + data_size, 0, 0, offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    bgr = img[:, :, ::-1]
+    rows = [bgr[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)]
+    return header + dib + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-Python decode of uncompressed (BI_RGB) 24/32-bit BMP →
+    (H, W, 3) uint8 RGB. No external codec involved."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BI_RGB BMP decodes natively "
+            f"(got compression={comp}, bpp={bpp})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) // 4 * 4
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)
+    px = arr[:, : w * nb].reshape(h, w, nb)
+    rgb = px[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
 def decode_image(payload: bytes, fake: bool | None = None) -> np.ndarray:
     """Decode an image payload to (H, W, C) uint8.
 
-    STUB: real decode requires PIL/libjpeg (not installed). The default
-    (``fake=None``) auto-detects: real codec when available, else the
-    deterministic fake decoder (8×8×3 from the payload digest) — so
-    PIPELINES NEVER HIT A RAISE at runtime. Pass ``fake=False`` to
-    require a real codec (raises loudly when absent).
+    Uncompressed BMP decodes FOR REAL, pure-Python (magic-byte
+    detected). Compressed formats need PIL/libjpeg (not installed):
+    the default (``fake=None``) falls back to the deterministic fake
+    decoder (8×8×3 from the payload digest) so PIPELINES NEVER HIT A
+    RAISE at runtime; ``fake=False`` requires a real decode and raises
+    loudly when the needed codec is absent.
     """
     if fake is None:
+        if (payload or b"")[:2] == b"BM":
+            return decode_bmp(payload)
         fake = not codecs_available()
     if not fake:
+        if (payload or b"")[:2] == b"BM":
+            return decode_bmp(payload)
         if not codecs_available():
             raise NotImplementedError(
-                "image codecs not available in this environment; pass "
+                "compressed-image codecs not available in this "
+                "environment (uncompressed BMP decodes natively); pass "
                 "fake=True (or leave the default) for the deterministic "
                 "test decoder"
             )
@@ -106,17 +165,80 @@ def frame_sample_stub(payload: bytes, every_n: int = 10, fake: bool = False) -> 
     return [decode_image(payload + bytes([i]), fake=True) for i in range(3)]
 
 
+def encode_wav(wave: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Mono float waveform in [-1, 1] → 16-bit PCM RIFF/WAVE bytes
+    (pure Python) — fixture/sink twin of :func:`decode_wav`."""
+    pcm = np.clip(np.asarray(wave, dtype=np.float64), -1.0, 1.0)
+    data = np.round(pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Pure-Python decode of 16-bit PCM RIFF/WAVE → mono float32 in
+    [-1, 1] (multi-channel payloads are mean-downmixed). No external
+    codec involved."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_format, channels, _rate, _br, _ba, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV decodes natively (got format="
+            f"{audio_format}, bits={bits})"
+        )
+    pcm = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        pcm = pcm[: len(pcm) // channels * channels].reshape(-1, channels)
+        return (pcm.astype(np.float32).mean(axis=1) / 32768.0).astype(
+            np.float32
+        )
+    return (pcm.astype(np.float32) / 32768.0).copy()
+
+
 def decode_audio(payload: bytes, fake: bool | None = None) -> np.ndarray:
     """Decode an audio payload to a mono float32 waveform in [-1, 1].
 
-    STUB: real decode needs libsndfile/ffmpeg (absent here); the default
+    16-bit PCM WAV decodes FOR REAL, pure-Python (magic-byte detected).
+    Compressed audio needs libsndfile/ffmpeg (absent here): the default
     auto-detect falls back to a deterministic fake (1024 samples from
-    the payload digest) so pipelines never raise. ``fake=False``
-    requires a real codec and raises loudly."""
+    the payload digest) so pipelines never raise; ``fake=False``
+    requires a real decode and raises loudly."""
     if fake is None:
-        fake = True  # no audio codec is importable in this container
+        if (payload or b"")[:4] == b"RIFF":
+            return decode_wav(payload)
+        fake = True  # no compressed-audio codec importable here
     if not fake:
-        raise NotImplementedError("audio codecs not available; pass fake=True")
+        if (payload or b"")[:4] == b"RIFF":
+            return decode_wav(payload)
+        raise NotImplementedError(
+            "compressed-audio codecs not available (16-bit PCM WAV "
+            "decodes natively); pass fake=True for the deterministic "
+            "test decoder"
+        )
     digest = hashlib.sha256(b"audio:" + (payload or b"")).digest()
     raw = np.frombuffer((digest * 128)[: 1024 * 2], dtype="<i2")
     return (raw.astype(np.float32) / 32768.0).copy()

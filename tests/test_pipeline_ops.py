@@ -469,6 +469,99 @@ def test_audio_features_plumbing(spark):
         multimodal.decode_audio(b"real", fake=False)
 
 
+def test_bmp_real_decode_roundtrip_and_golden():
+    """The pure-Python BMP path is REAL: encode→decode is identity, the
+    fake flag is honored, and a hand-assembled spec-conformant 1×1 red
+    BMP (independent of our encoder) decodes to the exact pixel."""
+    import struct
+
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[1, 2, 3], [4, 5, 6], [250, 128, 7]]],
+        dtype=np.uint8,
+    )
+    payload = multimodal.encode_bmp(img)
+    assert payload[:2] == b"BM"
+    np.testing.assert_array_equal(multimodal.decode_image(payload), img)
+    # fake=False must take the real path without PIL
+    np.testing.assert_array_equal(
+        multimodal.decode_image(payload, fake=False), img
+    )
+    # fake=True still forces the digest decoder (8x8x3)
+    assert multimodal.decode_image(payload, fake=True).shape == (8, 8, 3)
+    # golden: 1x1 red pixel assembled from the BMP spec by hand —
+    # bottom-up row, BGR order, row padded to 4 bytes
+    golden = (
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + 4, 0, 0, 14 + 40)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 0, 0, 0, 0)
+        + b"\x00\x00\xff\x00"  # BGR=(0,0,255)=red + 1 pad byte
+    )
+    np.testing.assert_array_equal(
+        multimodal.decode_bmp(golden), np.array([[[255, 0, 0]]], np.uint8)
+    )
+    # compressed stays gated
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG....", fake=False)
+
+
+def test_wav_real_decode_roundtrip_and_stereo_downmix():
+    wave = np.sin(np.linspace(0, 12.0, 300)).astype(np.float32) * 0.8
+    payload = multimodal.encode_wav(wave, sample_rate=8000)
+    out = multimodal.decode_audio(payload)  # auto-detect → real decode
+    assert out.dtype == np.float32 and len(out) == 300
+    # PCM convention quantizes ×32767 but decodes ÷32768: half-step
+    # rounding + the scale mismatch bound the error at ~|x|/32768 + ½LSB
+    assert float(np.max(np.abs(out - wave))) <= 1.0 / 16384
+    # stereo: L=+0.5, R=-0.5 → mean-downmix ≈ 0
+    import struct
+
+    pcm = np.empty(64, dtype="<i2")
+    pcm[0::2] = 16384
+    pcm[1::2] = -16384
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    data = pcm.tobytes()
+    stereo = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    mix = multimodal.decode_wav(stereo)
+    assert len(mix) == 32 and np.all(mix == 0.0)
+    # the fake flag is honored; compressed stays gated
+    assert len(multimodal.decode_audio(payload, fake=True)) == 1024
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"OggS....", fake=False)
+
+
+def test_multimodal_features_over_real_payloads(spark):
+    """image/audio feature UDFs over REAL BMP/WAV payloads (fake=None
+    auto-detect): per-channel means and RMS must match numpy oracles."""
+    solid = np.full((4, 4, 3), [10, 200, 30], dtype=np.uint8)
+    grad = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    pdf = pd.DataFrame(
+        {
+            "url": ["s", "g"],
+            "payload": [multimodal.encode_bmp(solid), multimodal.encode_bmp(grad)],
+        }
+    )
+    out = (
+        multimodal.image_features(spark.createDataFrame(pdf), fake=None)
+        .toPandas()
+        .set_index("key")
+    )
+    assert out.loc["s", ["mean_r", "mean_g", "mean_b"]].tolist() == [10.0, 200.0, 30.0]
+    assert out.loc["g", "mean_r"] == float(grad[:, :, 0].mean())
+
+    wave = np.linspace(-0.5, 0.5, 200).astype(np.float32)
+    apdf = pd.DataFrame({"url": ["w"], "payload": [multimodal.encode_wav(wave)]})
+    aout = multimodal.audio_features(
+        spark.createDataFrame(apdf), fake=None
+    ).toPandas()
+    assert aout.n_samples.iloc[0] == 200
+    dec = multimodal.decode_wav(multimodal.encode_wav(wave))
+    assert abs(aout.rms.iloc[0] - float(np.sqrt(np.mean(dec * dec)))) < 1e-9
+
+
 # ------------------------------------------------------------- dedup & ANN
 def test_simhash_finds_planted_near_dups(spark):
     """Banded retrieval guarantee: 8×8-bit bands always catch pairs
