@@ -645,18 +645,37 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def q_approx_cardinality(spark, sf_dir):
-    """Approximate distinct aggregate (HLL sketch) — the monitoring-path
-    variant of user_cardinality; rows-only check (estimator values are
-    engine-specific by nature), accuracy asserted in pytest."""
+    """Approximate distinct aggregate (HLL sketch), value-checked: the
+    sketch VALUE is engine-specific so the comparable output carries the
+    exact cardinality plus a ``within_bounds`` flag asserting the sketch
+    landed inside 5×rsd (= 10 %) of truth — the oracle states the exact
+    counts and TRUE, so a drifting estimator fails the hash match."""
     ev = _read(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("n_users"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("n_users"))
+                <= 0.1 * F.col("n_users")
+            ).alias("within_bounds"),
         )
         .orderBy("event_type")
     )
+
+
+SQL_APPROX_CARDINALITY = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+       TRUE AS within_bounds
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 def q_user_cardinality(spark, sf_dir):
@@ -1530,12 +1549,36 @@ def q_ann_ivf_indexed(spark, sf_dir):
 
 def q_embed_dups(spark, sf_dir):
     """Embedding near-dup pairs via LSH buckets over the planted-dup
-    table — rows-only driver check; exact planted-pair recall is
-    pytest-gated (test_pipeline_ops)."""
+    table, now value-checked: the DuckDB oracle computes the BRUTE-FORCE
+    all-pairs cosine ≥ 0.95 set (exact recall form — feasible at the
+    sf0.01 check scale), so the LSH path must recall every true pair.
+    The planted dups are scale-invariant (×1.5), guaranteeing identical
+    sign-projection buckets; random 64-dim pairs at ≥ 0.95 are
+    vanishingly rare, keeping oracle and bucket-local sets equal."""
     e = _embeddings_with_dups(spark, sf_dir)
     return similarity.pairwise_cosine_dups(e, threshold=0.95).orderBy(
         "vec_a", "vec_b"
     )
+
+
+SQL_EMBED_DUPS = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         [CAST(v * 1.5 AS FLOAT) FOR v IN embedding] AS embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(LIST_DOT_PRODUCT(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (SQRT(LIST_DOT_PRODUCT(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * SQRT(LIST_DOT_PRODUCT(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+               8) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.95 ORDER BY vec_a, vec_b
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1556,7 +1599,7 @@ QUERIES = {
     "left_join_fill": (q_left_join_fill, SQL_LEFT_JOIN_FILL),
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
     "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
-    "approx_cardinality": (q_approx_cardinality, None),
+    "approx_cardinality": (q_approx_cardinality, SQL_APPROX_CARDINALITY),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
@@ -1587,5 +1630,5 @@ QUERIES = {
     "ann_lsh_topk": (q_ann_lsh, None),
     "ann_ivf_topk": (q_ivf_topk, None),
     "ann_ivf_indexed": (q_ann_ivf_indexed, None),
-    "embedding_dups": (q_embed_dups, None),
+    "embedding_dups": (q_embed_dups, SQL_EMBED_DUPS),
 }
