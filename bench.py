@@ -107,6 +107,7 @@ def run_bench(sf_dir: str, n_pages: int, skip_pages: bool, quiet: bool = True) -
         match_rate = assignment_match_rate(spark, n_sample=3000)
 
     total = round(sum(timings.values()), 3)
+    delta = delta_vs_prev(timings, sf_dir)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -119,8 +120,54 @@ def run_bench(sf_dir: str, n_pages: int, skip_pages: bool, quiet: bool = True) -
         out["n_pages"] = n_pages
     if match_rate is not None:
         out["tile_assignment_match_rate"] = match_rate
+    if delta is not None:
+        out["delta_vs_prev"] = delta
     spark.stop()
     return out
+
+
+def delta_vs_prev(timings: dict, sf_dir: str) -> dict | None:
+    """Per-query regression tracking vs the newest BENCH_r*.json: lets a
+    reader separate real plan regressions from the documented ±30 % VM
+    noise across rounds. Only computed when the previous round ran the
+    same scale factor."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prevs = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not prevs:
+        return None
+    prev_file = prevs[-1]
+    try:
+        with open(prev_file) as f:
+            prev = json.load(f)
+        if "queries" not in prev and "tail" in prev:
+            # the round driver wraps bench stdout: the metric line is
+            # embedded in the captured tail — recover the LAST one
+            tail = prev["tail"]
+            i = tail.rfind('{"metric"')
+            dec = json.JSONDecoder()
+            prev, _ = dec.raw_decode(tail[i:])
+    except Exception:
+        return None
+    if prev.get("sf") != sf_dir:
+        return {"prev_file": os.path.basename(prev_file), "sf_mismatch": True}
+    pq = prev.get("queries", {})
+    deltas = {
+        name: round((t - pq[name]) / pq[name] * 100.0, 1)
+        for name, t in timings.items()
+        if name in pq and pq[name] > 0
+    }
+    return {
+        "prev_file": os.path.basename(prev_file),
+        "delta_pct": deltas,
+        "new_queries": sorted(set(timings) - set(pq)),
+        "total_prev": prev.get("value"),
+    }
 
 
 def assignment_match_rate(spark, n_sample: int = 3000) -> float:
