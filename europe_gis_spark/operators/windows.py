@@ -222,7 +222,8 @@ def train_test_split(df: DataFrame, test_frac: float = 0.2, seed: int = 42):
 
 
 def weighted_interleave(
-    dfs: list[DataFrame], weights: list[float], seed: int = 42
+    dfs: list[DataFrame], weights: list[float], seed: int = 42,
+    sizes: list[int] | None = None,
 ) -> DataFrame:
     """O6: weighted dataset interleave — the Spark form of
     ``tf.data.sample_from_datasets`` with size-proportional weights
@@ -234,6 +235,10 @@ def weighted_interleave(
     s = min n_i/w_i), then union + seeded permutation so downstream
     batches mix sources — the interleave property. Deterministic under
     a fixed seed.
+
+    Sizing fires ONE Spark action for all sources (a tagged union +
+    per-tag count), not one count() job per source; pass ``sizes`` to
+    skip the sizing pass entirely when counts are already known.
     """
     if len(dfs) != len(weights) or not dfs:
         raise ValueError("need one weight per DataFrame")
@@ -243,7 +248,20 @@ def weighted_interleave(
     if total_w <= 0:
         raise ValueError("at least one weight must be positive")
     ws = [w / total_w for w in weights]
-    ns = [df.count() for df in dfs]
+    if sizes is not None:
+        if len(sizes) != len(dfs):
+            raise ValueError("need one size per DataFrame")
+        ns = [int(n) for n in sizes]
+    else:
+        tagged = None
+        for i, df in enumerate(dfs):
+            t = df.select(F.lit(i).alias("_src"))
+            tagged = t if tagged is None else tagged.unionAll(t)
+        counts = {
+            r._src: r.n
+            for r in tagged.groupBy("_src").agg(F.count("*").alias("n")).collect()
+        }
+        ns = [int(counts.get(i, 0)) for i in range(len(dfs))]
     s = min(n / w for n, w in zip(ns, ws) if w > 0)
     out = None
     for df, w, n in zip(dfs, ws, ns):

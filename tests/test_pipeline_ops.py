@@ -204,6 +204,43 @@ def test_weighted_interleave_proportions_and_determinism(spark):
     assert c2["a"] / (c2["a"] + c2["b"]) == pytest.approx(0.9, abs=0.03)
 
 
+def test_weighted_interleave_sizes_in_one_action(spark):
+    """Sizing must fire exactly ONE Spark action for all sources (a
+    tagged union + per-tag count), not one count() per source — and
+    zero actions when sizes are supplied."""
+    import unittest.mock as mock
+
+    a = spark.range(0, 400).select(F.col("id"), F.lit("a").alias("src"))
+    b = spark.range(0, 100).select(F.col("id"), F.lit("b").alias("src"))
+    c = spark.range(0, 200).select(F.col("id"), F.lit("c").alias("src"))
+    # patch the CONCRETE DataFrame class (pyspark 4's pyspark.sql
+    # .DataFrame is an abstract facade; instances resolve methods on
+    # pyspark.sql.classic.dataframe.DataFrame)
+    DataFrame = type(a)
+    actions = {"n": 0}
+    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+
+    def counting_collect(self):
+        actions["n"] += 1
+        return orig_collect(self)
+
+    def counting_count(self):
+        actions["n"] += 1
+        return orig_count(self)
+
+    with mock.patch.object(DataFrame, "collect", counting_collect), \
+         mock.patch.object(DataFrame, "count", counting_count):
+        out = windows.weighted_interleave([a, b, c], [1.0, 1.0, 2.0], seed=3)
+        assert actions["n"] == 1
+        actions["n"] = 0
+        out_sized = windows.weighted_interleave(
+            [a, b, c], [1.0, 1.0, 2.0], seed=3, sizes=[400, 100, 200]
+        )
+        assert actions["n"] == 0
+    # explicit sizes produce the identical sample
+    assert out.collect() == out_sized.collect()
+
+
 def test_batched_inference(spark):
     pdf = pd.DataFrame(
         {"sid": list(range(50)), "patch": [[float(i), float(i + 1)] for i in range(50)]}
