@@ -53,9 +53,25 @@ def test_minhash_estimates_jaccard(spark):
 
 
 def test_approx_count_distinct_accuracy(spark):
+    """The driver query now carries the bound CHECK (within_bounds must
+    be uniformly true and exact counts match user_cardinality); the raw
+    HLL estimate is additionally asserted at 5 % here."""
+    from pyspark.sql import functions as F
+
     from europe_gis_spark.queries import q_approx_cardinality, q_user_cardinality
 
-    approx = {r.event_type: r.approx_users for r in q_approx_cardinality(spark, SF).collect()}
+    got = {
+        r.event_type: (r.n_users, r.within_bounds)
+        for r in q_approx_cardinality(spark, SF).collect()
+    }
     exact = {r.event_type: r.n_users for r in q_user_cardinality(spark, SF).collect()}
     for et, n in exact.items():
-        assert approx[et] == pytest.approx(n, rel=0.05)
+        assert got[et] == (n, True)
+    raw = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+        .collect()
+    )
+    for r in raw:
+        assert r.a == pytest.approx(exact[r.event_type], rel=0.05)
