@@ -161,3 +161,100 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fp"),
         F.sha2(norm, 256).alias("fp_sha256"),
     )
+
+
+def contamination_flags(
+    docs: DataFrame, benchmark: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Benchmark decontamination — the GPT-3/PaLM training-data rule:
+    flag every training doc sharing ANY word k-gram with an evaluation
+    benchmark, so eval examples can be dropped from the corpus.
+
+    Scale shape: benchmark corpora are tiny next to a crawl, so the
+    DISTINCT benchmark shingle set is the BROADCAST side; doc shingles
+    explode map-side and hit-count via broadcast-hash join (only hit
+    rows reach the per-doc aggregation), then a broadcast join back
+    fills zero-hit docs. No all-pairs work anywhere.
+
+    Output: (doc_id, n_hits, contaminated).
+    """
+    from .dedup import SHINGLE_WORDS, shingles_df
+
+    k = k or SHINGLE_WORDS
+    doc_sh = shingles_df(docs, k, distinct=True)
+    bench_sh = shingles_df(benchmark, k, distinct=True).select("shingle").distinct()
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= 1).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, fully map-side: distinct
+    token ratio and the most-frequent token's share per document.
+    The mode count is a max-run-length fold over the SORTED token array
+    (one ``aggregate`` HOF, O(n log n) per doc, whole-stage codegen) —
+    no explode, no shuffle."""
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    sorted_t = F.array_sort(toks)
+    run_state = F.aggregate(
+        sorted_t,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("distinct_ratio"),
+        F.round(
+            run_state.getField("best") / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("top_token_frac"),
+    )
+
+
+# PII patterns chosen for identical semantics in Java regex (Spark) and
+# RE2 (DuckDB): plain classes + greedy counted repeats, no backrefs
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction for training text: emails then phone-like digit
+    runs replaced with typed placeholder tokens; per-doc match counts +
+    an md5 of the scrubbed text (compact, hash-comparable — unscathed
+    docs keep their original fingerprint). Pure column regexes, no
+    Python."""
+    emails = F.regexp_count(F.col("text"), F.lit(EMAIL_PATTERN))
+    scrub1 = F.regexp_replace(F.col("text"), EMAIL_PATTERN, "[EMAIL]")
+    phones = F.regexp_count(scrub1, F.lit(PHONE_PATTERN))
+    scrub2 = F.regexp_replace(scrub1, PHONE_PATTERN, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        emails.cast("long").alias("n_emails"),
+        phones.cast("long").alias("n_phones"),
+        F.md5(scrub2).alias("scrubbed_fp"),
+    )

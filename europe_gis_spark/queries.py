@@ -1471,6 +1471,94 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM rule): docs sharing any
+    word 5-gram with the benchmark subset (doc_id % 37 == 0) are
+    flagged. Benchmark shingles broadcast; doc side map-side."""
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return textops.contamination_flags(d, bench).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(
+    [ARRAY_TO_STRING(t[i:i+4], ' ') FOR i IN RANGE(1, GREATEST(LEN(t) - 3, 1))]
+  )) AS shingle FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_hits FROM sh s JOIN bench b USING (shingle)
+  GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition stats (map-side sorted-run fold)."""
+    return textops.repetition_stats(_read(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+SQL_REPETITION = """
+WITH toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents),
+u AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+c AS (SELECT doc_id, tok, COUNT(*) AS n FROM u GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct, MAX(n) AS top
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       ROUND(n_distinct / n_tokens, 6) AS distinct_ratio,
+       ROUND(top / n_tokens, 6) AS top_token_frac
+FROM agg ORDER BY doc_id
+"""
+
+
+PII_PLANT = " reach bob@example.com or +1 (555) 123-4567 now"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction counts + scrubbed-text fingerprint; every 11th doc
+    gets a planted email + phone so the scrubber provably fires."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(PII_PLANT))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textops.pii_scrub(d).orderBy("doc_id")
+
+
+def _sql_pii_scrub() -> str:
+    em, ph = textops.EMAIL_PATTERN, textops.PHONE_PATTERN
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || '{PII_PLANT}' ELSE text END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         LEN(REGEXP_EXTRACT_ALL(text, '{em}')) AS n_emails,
+         REGEXP_REPLACE(text, '{em}', '[EMAIL]', 'g') AS t1
+  FROM d
+)
+SELECT doc_id, n_emails,
+       LEN(REGEXP_EXTRACT_ALL(t1, '{ph}')) AS n_phones,
+       MD5(REGEXP_REPLACE(t1, '{ph}', '[PHONE]', 'g')) AS scrubbed_fp
+FROM s1 ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 
@@ -1626,6 +1714,9 @@ QUERIES = {
     "lang_hits": (q_lang_hits, _sql_lang_hits()),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition_stats": (q_repetition, SQL_REPETITION),
+    "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_lsh_topk": (q_ann_lsh, None),
     "ann_ivf_topk": (q_ivf_topk, None),

@@ -599,6 +599,77 @@ def test_multimodal_features_over_real_payloads(spark):
     assert abs(aout.rms.iloc[0] - float(np.sqrt(np.mean(dec * dec)))) < 1e-9
 
 
+def test_contamination_flags_semantics(spark):
+    """Docs sharing a 5-gram with the benchmark are flagged; others not;
+    benchmark members flag themselves (that IS decontamination)."""
+    from europe_gis_spark.operators import textops
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    bench_text,  # the benchmark doc itself
+                    "prefix words alpha beta gamma delta epsilon more tail",
+                    "совершенно unrelated text with no shared five gram at all",
+                ],
+            }
+        )
+    )
+    bench = docs.filter(F.col("doc_id") == 1)
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in textops.contamination_flags(docs, bench).collect()
+    }
+    assert got[1][1] and got[2][1] and not got[3][1]
+    assert got[3] == (0, False)
+    assert got[2][0] >= 1  # shares 'alpha beta gamma delta epsilon'
+
+
+def test_repetition_stats_known_values(spark):
+    from europe_gis_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["spam spam spam spam eggs", "a b c d e"],
+            }
+        )
+    )
+    got = {r.doc_id: r for r in textops.repetition_stats(docs).collect()}
+    assert got[1].n_tokens == 5 and got[1].top_token_frac == 0.8
+    assert got[1].distinct_ratio == 0.4
+    assert got[2].distinct_ratio == 1.0 and got[2].top_token_frac == 0.2
+
+
+def test_pii_scrub_counts_and_fp(spark):
+    from europe_gis_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "mail a.b+c@test-host.org or x@y.io, call +44 (20) 7946-0958 ok",
+                    "clean text without identifiers",
+                ],
+            }
+        )
+    )
+    got = {r.doc_id: r for r in textops.pii_scrub(docs).collect()}
+    assert (got[1].n_emails, got[1].n_phones) == (2, 1)
+    assert (got[2].n_emails, got[2].n_phones) == (0, 0)
+    # unscathed docs keep their original normalized fingerprint
+    import hashlib
+
+    assert got[2].scrubbed_fp == hashlib.md5(
+        b"clean text without identifiers"
+    ).hexdigest()
+    assert got[1].scrubbed_fp != got[2].scrubbed_fp
+
+
 # ------------------------------------------------------------- dedup & ANN
 def test_simhash_finds_planted_near_dups(spark):
     """Banded retrieval guarantee: 8×8-bit bands always catch pairs
