@@ -35,12 +35,17 @@ HEADLINE = [
     "geo_knn",
     "geo_rebin",
     "raster_regions",
+    "raster_region_geoms",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
+    "simhash_pairs",
     "token_stats",
     "quality_scores",
     "fingerprint",
+    "decontaminate",
+    "repetition_stats",
+    "pii_scrub",
     "cosine_topk",
 ]
 

@@ -526,10 +526,14 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
+    # shuffle_hash on the BASE side: both sides hash-partition on
+    # (band, key) and the 4-rows/doc base builds the hash table — the
+    # planner would otherwise BROADCAST the 68-rows/doc probe table
+    # (fine at test scale, catastrophic at corpus scale)
     return (
         probes.alias("a")
         .join(
-            base.alias("b"),
+            base.alias("b").hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
