@@ -88,6 +88,37 @@ def main() -> None:
         ("Projection + predicate pushdown (ReadSchema / PushedFilters)", plan(q, "formatted"))
     )
 
+    spairs = dedup.simhash_near_pairs(docs)
+    spairs.collect()
+    sections.append(
+        (
+            "SimHash near-pairs (FINAL adaptive plan: 4×16-bit bands + "
+            "hamming-1 multi-probe — probe rows hash-join capped base "
+            "buckets; one text-hash pass feeds both sides via the "
+            "checkpointed fingerprint table)",
+            spairs._jdf.queryExecution().executedPlan().toString().strip(),
+        )
+    )
+
+    import tempfile
+
+    from europe_gis_spark.operators import similarity
+    from europe_gis_spark.queries import QUERY_VEC
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = similarity.train_ivf_centroids(e, n_lists=16, seed=7)
+    ivf_path = os.path.join(tempfile.gettempdir(), "egs_plans_ivf")
+    similarity.write_ivf_index(e, ivf_path, cent)
+    probe = [int(x) for x in similarity.probe_lists(cent, QUERY_VEC, 4)]
+    cand = spark.read.parquet(ivf_path).filter(F.col("list_id").isin(probe))
+    sections.append(
+        (
+            "At-rest IVF probe (PartitionFilters on list_id: only the "
+            "probed lists' files are scanned)",
+            plan(cand, "formatted"),
+        )
+    )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Captured physical plans — the evidence behind the scale claims\n\n")
