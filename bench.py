@@ -46,6 +46,7 @@ HEADLINE = [
     "decontaminate",
     "repetition_stats",
     "pii_scrub",
+    "lm_score",
     "cosine_topk",
 ]
 

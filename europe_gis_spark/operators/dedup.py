@@ -365,6 +365,27 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
+def keep_flags(docs: DataFrame, components: DataFrame) -> DataFrame:
+    """The operational end of the dedup pipeline: per-doc KEEP decision.
+    A doc is kept iff it belongs to no near-dup cluster or is its
+    cluster's canonical representative (= the component id, the minimum
+    doc_id — deterministic). Input ``components`` is
+    :func:`connected_components` output; the join is broadcast-sized
+    (clusters only, not the corpus)."""
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(components), "doc_id", "left")
+        .select(
+            "doc_id",
+            "component",
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            ).alias("keep"),
+        )
+    )
+
+
 SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 _SHIFTS = np.arange(64, dtype=np.uint64)

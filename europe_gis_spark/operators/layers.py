@@ -335,8 +335,10 @@ def _label_mapping(
         )
         .distinct()
     )
-    n_edges = edges.count()
-    if n_edges > distributed_threshold:
+    # take(threshold+1) instead of count(): early-exits the scan on huge
+    # boundary graphs AND doubles as the collect for the fast path
+    head = edges.take(distributed_threshold + 1)
+    if len(head) > distributed_threshold:
         from .dedup import connected_components
 
         return connected_components(edges, "a", "b", max_iter=200).select(
@@ -352,7 +354,7 @@ def _label_mapping(
             parent[k], k = r, parent[k]
         return r
 
-    for e in edges.collect():
+    for e in head:
         ra, rb = find(e.a), find(e.b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)

@@ -236,6 +236,58 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def char_trigram_lm_scores(docs: DataFrame, smooth: float = 0.5) -> DataFrame:
+    """Corpus-self-trained character-trigram LM score per document — the
+    cheap KenLM-style gibberish/quality signal: docs whose trigram
+    distribution diverges from the corpus (mojibake, binary spew, key
+    mashing) score low average log-probability.
+
+    Plan: trigram arrays build MAP-SIDE (sequence+transform HOFs, no
+    Python); ONE shuffle aggregates global trigram counts; scoring joins
+    trigram rows back to the count table on the trigram key and
+    aggregates per doc (partial+final). Add-k smoothing over the
+    observed vocabulary keeps probabilities proper.
+
+    Output: (doc_id, n_tris, avg_log10p) — avg_log10p NULL for docs
+    shorter than 3 chars.
+    """
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    base = docs.select("doc_id", norm.alias("nt"))
+    n = F.length("nt")
+    tris = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: F.col("nt").substr(i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri_rows = base.select("doc_id", F.explode(tris).alias("tri"))
+    counts = tri_rows.groupBy("tri").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("tot"), F.count("*").alias("vocab")
+    )
+    scored = (
+        tri_rows.join(counts, "tri")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lp",
+            F.log10(
+                (F.col("c") + F.lit(smooth))
+                / (F.col("tot") + F.lit(smooth) * F.col("vocab"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tris"),
+            F.round(F.avg("lp"), 6).alias("avg_log10p"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tris", F.lit(0)).alias("n_tris"),
+        "avg_log10p",
+    )
+
+
 # PII patterns chosen for identical semantics in Java regex (Spark) and
 # RE2 (DuckDB): plain classes + greedy counted repeats, no backrefs
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

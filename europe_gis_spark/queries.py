@@ -1559,6 +1559,156 @@ FROM s1 ORDER BY doc_id
 """
 
 
+def q_json_extract(spark, sf_dir):
+    """Semi-structured column extraction (the crawl-metadata shape):
+    JSON props field → typed value, aggregated per event type."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source (domain-level) corpus report: doc counts, length and
+    token averages, length-filter pass counts — the crawl curation
+    dashboard aggregation."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(toks), 4).alias("avg_tokens"),
+            F.sum((F.length("text") >= 100).cast("int")).alias("n_len_ok"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SOURCE_STATS = """
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))), 4) AS avg_tokens,
+       CAST(SUM(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_top_tokens(spark, sf_dir):
+    """Global corpus token frequencies, top 20 (deterministic (count
+    desc, token asc) tie-break) — the tokenizer-vocab sanity report."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+SQL_TOP_TOKENS = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+def q_lm_score(spark, sf_dir):
+    """Char-trigram LM quality score, self-trained on the corpus (the
+    cheap KenLM-style gibberish signal)."""
+    return textops.char_trigram_lm_scores(
+        _read(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+SQL_LM_SCORE = """
+WITH t AS (
+  SELECT doc_id, REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g') AS nt FROM documents
+),
+tr AS (
+  SELECT doc_id, UNNEST(
+    [SUBSTRING(nt, i, 3) FOR i IN RANGE(1, GREATEST(LENGTH(nt) - 1, 1))]
+  ) AS tri FROM t
+),
+c AS (SELECT tri, COUNT(*) AS c FROM tr GROUP BY tri),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS vocab FROM c),
+sc AS (
+  SELECT tr.doc_id, COUNT(*) AS n_tris,
+         ROUND(AVG(LOG10((c.c + 0.5) / (tot.tot + 0.5 * tot.vocab))), 6) AS avg_log10p
+  FROM tr JOIN c USING (tri) CROSS JOIN tot GROUP BY tr.doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_tris, 0) AS n_tris, s.avg_log10p
+FROM documents d LEFT JOIN sc s USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_dedup_keep(spark, sf_dir):
+    """The dedup pipeline's deliverable: per-doc KEEP flag — canonical
+    representative (min doc_id) of each verified near-dup cluster kept,
+    other members dropped, non-clustered docs kept."""
+    docs = _docs_with_dups(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(docs)
+    verified = dedup.verify_pairs(cand, docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    comp = dedup.connected_components(verified)
+    return dedup.keep_flags(docs, comp).orderBy("doc_id")
+
+
+def _sql_dedup_keep() -> str:
+    return f"""
+{_minhash_cand_ctes()},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT c.doc_a AS doc_a, c.doc_b AS doc_b
+  FROM cand c
+  JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE ROUND(cm.n_common / (sa.n_sh + sb.n_sh - cm.n_common), 9) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION SELECT doc_b, doc_a FROM vpairs
+),
+rch AS (
+  WITH RECURSIVE reach(node, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+  )
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id, r.component,
+       (r.component IS NULL OR r.component = d.doc_id) AS keep
+FROM docs d LEFT JOIN rch r ON r.node = d.doc_id ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 
@@ -1717,6 +1867,11 @@ QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),
     "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "source_stats": (q_source_stats, SQL_SOURCE_STATS),
+    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "dedup_keep_flags": (q_dedup_keep, _sql_dedup_keep()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_lsh_topk": (q_ann_lsh, None),
     "ann_ivf_topk": (q_ivf_topk, None),

@@ -670,6 +670,43 @@ def test_pii_scrub_counts_and_fp(spark):
     assert got[1].scrubbed_fp != got[2].scrubbed_fp
 
 
+def test_lm_score_flags_gibberish(spark):
+    """Corpus-trained trigram LM: a doc made of trigrams never seen
+    elsewhere must score lower than docs sharing the corpus style."""
+    from europe_gis_spark.operators import textops
+
+    normal = "the quick brown fox jumps over the lazy dog and runs on "
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [normal * 5, normal * 4 + "fox dog runs", "qzx jvq wqk zzv xqj" * 4],
+            }
+        )
+    )
+    got = {r.doc_id: r for r in textops.char_trigram_lm_scores(docs).collect()}
+    assert got[3].avg_log10p < got[1].avg_log10p
+    assert got[3].avg_log10p < got[2].avg_log10p
+    import re
+
+    nt = re.sub(r"\s+", " ", (normal * 5).lower())  # normalized, NOT trimmed
+    assert got[1].n_tris == len(nt) - 2
+
+
+def test_dedup_keep_flags_semantics(spark):
+    from europe_gis_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 9], "text": ["x"] * 4})
+    )
+    comp = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "component": [1, 1, 1]})
+    )
+    got = {r.doc_id: (r.keep, r.component) for r in dd.keep_flags(docs, comp).collect()}
+    # representative kept, members dropped, non-clustered kept
+    assert got == {1: (True, 1), 2: (False, 1), 3: (False, 1), 9: (True, None)}
+
+
 # ------------------------------------------------------------- dedup & ANN
 def test_simhash_finds_planted_near_dups(spark):
     """Banded retrieval guarantee: 8×8-bit bands always catch pairs
