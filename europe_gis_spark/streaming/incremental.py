@@ -155,6 +155,51 @@ def stateful_sessionize(events: DataFrame, gap_sec: int = 3600) -> DataFrame:
     )
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream–static enrichment join: every micro-batch broadcast-joins
+    the (small) static dimension — the standard crawl-ingest shape of
+    attaching host/geo metadata to a page stream. Pure plan composition;
+    Spark re-plans the broadcast per batch, so a refreshed ``dim``
+    DataFrame picks up new dimension rows on the next trigger."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def upsert_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...],
+) -> None:
+    """Idempotent keyed parquet sink via ``foreachBatch``: each
+    micro-batch is deduped on ``key_cols``, anti-joined against the keys
+    already at rest, and APPENDED — so replayed batches (streaming is
+    at-least-once on retry) and re-crawled keys land exactly once. This
+    is the parquet stand-in for the Iceberg ``MERGE INTO`` seam
+    (checkpoint.lineage.checkpoint_merge_sql); on a lakehouse the
+    foreachBatch body becomes that MERGE. Blocks until drained
+    (availableNow)."""
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = batch.dropDuplicates(list(key_cols))
+        try:
+            existing = spark.read.parquet(path).select(*key_cols).distinct()
+            fresh = fresh.join(existing, list(key_cols), "left_anti")
+        except Exception:
+            pass  # first batch: nothing at rest yet
+        fresh.write.mode("append").parquet(path)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_dur: str = "1 hour",

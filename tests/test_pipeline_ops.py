@@ -470,6 +470,39 @@ def test_stateful_sessionize_matches_batch_semantics(spark, tmp_path):
     assert got == want
 
 
+def test_stream_static_enrich_and_idempotent_upsert_sink(spark, tmp_path):
+    """§2.9: stream–static broadcast enrichment + foreachBatch keyed
+    upsert sink — in-batch dups, re-crawled keys across triggers, and
+    checkpointed restarts all land each key exactly once."""
+    src, out, ck = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    dim = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 2], "name": ["a", "b"]})
+    )
+    spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 1, 2], "v": [10, 10, 20]})
+    ).write.parquet(src)
+
+    def run_wave():
+        stream = spark.readStream.schema("user_id long, v long").parquet(src)
+        incremental.upsert_sink(
+            incremental.enrich_stream(stream, dim, "user_id"),
+            out, ck, key_cols=("user_id",),
+        )
+
+    run_wave()
+    rows = {r.user_id: (r.v, r.name) for r in spark.read.parquet(out).collect()}
+    assert rows == {1: (10, "a"), 2: (20, "b")}  # in-batch dup collapsed
+    # wave 2: re-crawl of key 2 (must NOT duplicate or overwrite) + new
+    # key 3 with no dimension row (left join → NULL name)
+    spark.createDataFrame(
+        pd.DataFrame({"user_id": [2, 3], "v": [21, 30]})
+    ).write.mode("append").parquet(src)
+    run_wave()
+    rows = {r.user_id: (r.v, r.name) for r in spark.read.parquet(out).collect()}
+    assert rows == {1: (10, "a"), 2: (20, "b"), 3: (30, None)}
+    assert spark.read.parquet(out).count() == 3  # exactly one row per key
+
+
 # ------------------------------------------------------------- multimodal
 def test_multimodal_stub_plumbing(spark):
     pdf = pd.DataFrame(

@@ -158,6 +158,61 @@ def test_region_geometries_hole(spark):
         assert _decode_area(r.wkb) == r.n_px
 
 
+def _greedy_rects(mask: np.ndarray):
+    """Greedy row-run rectangle decomposition of a boolean mask — the
+    same scheme the tile UDF uses, replicated for kernel-level tests."""
+    h, w = mask.shape
+    used = np.zeros_like(mask)
+    out = []
+    for i in range(h):
+        j = 0
+        while j < w:
+            if used[i, j] or not mask[i, j]:
+                j += 1
+                continue
+            j2 = j
+            while j2 + 1 < w and mask[i, j2 + 1] and not used[i, j2 + 1]:
+                j2 += 1
+            i2 = i
+            while i2 + 1 < h and np.all(mask[i2 + 1, j : j2 + 1] & ~used[i2 + 1, j : j2 + 1]):
+                i2 += 1
+            used[i : i2 + 1, j : j2 + 1] = True
+            out.append((i, j, i2, j2))
+            j = j2 + 1
+    return out
+
+
+def test_rects_to_polygon_property_random_masks():
+    """Hypothesis-style property over random pixel blobs: for every
+    4-connected component, the traced polygon's decoded area equals the
+    component's pixel count (holes subtracted), with exactly one outer
+    ring — pinches, holes and concavities included."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from europe_gis_spark.geo import geom, wkb
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 2**63 - 1))
+    def run(seed):
+        rng = np.random.default_rng(seed)
+        mask = rng.random((10, 10)) < rng.uniform(0.25, 0.75)
+        # label 4-connected components of the mask
+        lab = layers._label_tile(
+            np.where(mask, 1.0, 0.0).astype(np.float32), 10
+        )
+        for lid in np.unique(lab[mask]):
+            m = (lab == lid) & mask
+            rects = _greedy_rects(m)
+            wkb_bytes, n_px = layers._rects_to_polygon(rects)
+            assert n_px == int(m.sum())
+            parts = wkb.polygon_parts(wkb.decode(wkb_bytes))
+            assert len(parts) == 1
+            assert geom.polygon_area(parts) == n_px
+
+    run()
+
+
 def test_region_geometries_match_polygonize_regions(spark):
     """Geometry rows must agree with polygonize_regions per region_id
     on (value, n_px) — same labeling, same cross-tile merge."""
