@@ -922,9 +922,12 @@ FROM pts GROUP BY 1, 2 ORDER BY xb, yb
 
 def q_raster_regions(spark, sf_dir):
     """F9 connected-region polygonize (features.shapes semantics) over a
-    density raster derived from event points — rows-only driver check
-    (flood-fill is not DuckDB-expressible); exactness vs a whole-raster
-    BFS oracle is pytest-gated (test_polygonize.py)."""
+    density raster derived from event points — VALUE-CHECKED: region ids
+    are engine-specific, so the comparable output is the region multiset
+    (layer, value, n_px, bbox) and the DuckDB oracle closes the same
+    raster's 4-neighbor graph with a recursive CTE. Geometry exactness
+    is additionally pytest-gated against a whole-raster BFS oracle
+    (test_polygonize.py)."""
     from .operators import layers as L
     from .operators import zonal
 
@@ -945,7 +948,61 @@ def q_raster_regions(spark, sf_dir):
         .withColumn("layer", F.lit("density"))
     )
     tiles = zonal.cells_to_tiles(cellsdf, tile_w=16)
-    return L.polygonize_regions(tiles, tile_w=16).orderBy("region_id")
+    return (
+        L.polygonize_regions(tiles, tile_w=16)
+        .select("layer", "value", "n_px", "ymin", "xmin", "ymax", "xmax")
+        .orderBy("value", "n_px", "ymin", "xmin", "ymax", "xmax")
+    )
+
+
+SQL_RASTER_REGIONS = f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+counts AS (
+  SELECT CAST(FLOOR((x - {AA_X0}) / 2000.0) AS INT) AS x,
+         CAST(FLOOR((y - {AA_Y0}) / 2000.0) AS INT) AS y,
+         COUNT(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+mu AS (SELECT AVG(cnt) AS mu FROM counts),
+ext AS (
+  SELECT (MIN(x) // 16) * 16 AS x0, (MAX(x) // 16 + 1) * 16 AS x1,
+         (MIN(y) // 16) * 16 AS y0, (MAX(y) // 16 + 1) * 16 AS y1
+  FROM counts
+),
+canvas AS (
+  SELECT CAST(gx.x AS INT) AS x, CAST(gy.y AS INT) AS y
+  FROM (SELECT UNNEST(RANGE(x0, x1)) AS x FROM ext) gx
+  CROSS JOIN (SELECT UNNEST(RANGE(y0, y1)) AS y FROM ext) gy
+),
+cells AS (
+  SELECT c.x, c.y,
+         CASE WHEN k.cnt IS NULL THEN -1000.0
+              WHEN k.cnt > (SELECT mu FROM mu) THEN 1.0
+              ELSE 0.0 END AS value
+  FROM canvas c LEFT JOIN counts k USING (x, y)
+),
+nodes AS (SELECT y * 100000 + x AS id, x, y, value FROM cells),
+e0 AS (
+  SELECT a.id AS a, b.id AS b
+  FROM nodes a JOIN nodes b
+    ON a.value = b.value
+   AND ((b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x AND b.y = a.y + 1))
+),
+edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+rch AS (
+  WITH RECURSIVE reach(node, label) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+  )
+  SELECT node, MIN(label) AS comp FROM reach GROUP BY node
+)
+SELECT 'density' AS layer, n.value AS value, COUNT(*) AS n_px,
+       MIN(n.y) AS ymin, MIN(n.x) AS xmin, MAX(n.y) AS ymax, MAX(n.x) AS xmax
+FROM nodes n JOIN rch r ON r.node = n.id
+GROUP BY r.comp, n.value
+ORDER BY value, n_px, ymin, xmin, ymax, xmax
+"""
 
 
 def q_raster_region_geoms(spark, sf_dir):
@@ -1849,7 +1906,7 @@ QUERIES = {
     "geo_knn3": (q_geo_knn3, _sql_geo_knn3()),
     "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
-    "raster_regions": (q_raster_regions, None),
+    "raster_regions": (q_raster_regions, SQL_RASTER_REGIONS),
     "raster_region_geoms": (q_raster_region_geoms, None),
     "overlay_rects": (q_overlay_rects, _sql_overlay_rects()),
     "salted_skew_join": (q_salted_skew_join, SQL_SALTED_JOIN),
