@@ -243,10 +243,13 @@ def char_trigram_lm_scores(docs: DataFrame, smooth: float = 0.5) -> DataFrame:
     mashing) score low average log-probability.
 
     Plan: trigram arrays build MAP-SIDE (sequence+transform HOFs, no
-    Python); ONE shuffle aggregates global trigram counts; scoring joins
-    trigram rows back to the count table on the trigram key and
-    aggregates per doc (partial+final). Add-k smoothing over the
-    observed vocabulary keeps probabilities proper.
+    Python); ONE shuffle aggregates global trigram counts (partial agg
+    collapses to ≤ vocab rows per partition map-side). The count table
+    is BROADCAST back for scoring — the trigram vocabulary is bounded
+    by charset³ (a few MB for web text), so per-doc scoring never
+    shuffles trigram rows; the per-doc aggregation's partial step
+    collapses each doc to one row before its exchange. Add-k smoothing
+    over the observed vocabulary keeps probabilities proper.
 
     Output: (doc_id, n_tris, avg_log10p) — avg_log10p NULL for docs
     shorter than 3 chars.
@@ -266,7 +269,7 @@ def char_trigram_lm_scores(docs: DataFrame, smooth: float = 0.5) -> DataFrame:
         F.sum("c").alias("tot"), F.count("*").alias("vocab")
     )
     scored = (
-        tri_rows.join(counts, "tri")
+        tri_rows.join(F.broadcast(counts), "tri")
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "lp",

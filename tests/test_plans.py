@@ -175,6 +175,19 @@ def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
     ]
 
 
+def test_lm_score_scoring_is_map_side(spark):
+    """char_trigram_lm_scores must never shuffle trigram rows for
+    scoring: the count table joins back via BROADCAST, so the only wide
+    exchanges are the count aggregation and the per-doc final agg."""
+    from europe_gis_spark.operators import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = textops.char_trigram_lm_scores(docs)
+    p = plan_str(df, mode="simple")
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
 def test_no_query_regresses_to_cartesian_or_row_python(spark):
     """Registry-wide guardrail: building every registered query's
     physical plan, none may contain a non-broadcast cartesian product
