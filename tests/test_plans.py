@@ -175,6 +175,22 @@ def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
     ]
 
 
+def test_simhash_probe_join_is_shuffled_hash(spark):
+    """The SimHash candidate join must be a SHUFFLED hash join: the
+    planner would otherwise broadcast the 68-rows/doc probe table —
+    fine at test scale, catastrophic at corpus scale."""
+    from europe_gis_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pairs = dedup.simhash_near_pairs(docs)
+    pairs.collect()
+    p = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in p, p
+    assert "BroadcastHashJoin" not in p, p
+
+
 def test_lm_score_scoring_is_map_side(spark):
     """char_trigram_lm_scores must never shuffle trigram rows for
     scoring: the count table joins back via BROADCAST, so the only wide
