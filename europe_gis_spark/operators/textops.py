@@ -152,6 +152,54 @@ def winnow_fingerprints(
     )
 
 
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_posting: int = 200,
+) -> DataFrame:
+    """SUBSTRING-level near-dup candidates — the winnowing approximation
+    of suffix-array substring dedup (Lee et al., 'Deduplicating Training
+    Data Makes Language Models Better'): two docs sharing ``min_shared``
+    winnowing fingerprints share, with the winnowing guarantee, common
+    substrings of length ≥ k + w − 1 — catching quote/boilerplate reuse
+    that whole-document shingle Jaccard misses.
+
+    Plan: per-doc fingerprint SETS build map-side (winnow_fingerprints);
+    the postings self-join is fingerprint-bucket-local with a
+    ``max_posting`` hot-fingerprint cap (ubiquitous boilerplate hashes
+    carry no pair signal and would create quadratic buckets) — the same
+    exchange-reuse + cap shape as dedup.lsh_candidate_pairs.
+
+    Output: (doc_a, doc_b, n_shared) for pairs with ≥ min_shared shared
+    fingerprints.
+    """
+    from pyspark.sql.window import Window
+
+    fps = winnow_fingerprints(docs, k, w, digest=False)  # (doc_id, fp)
+    if max_posting is not None:
+        wd = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("n_in_posting", F.count("*").over(wd))
+            .filter(F.col("n_in_posting") <= max_posting)
+            .drop("n_in_posting")
+        )
+    left = fps.alias("a").hint("shuffle_hash")
+    return (
+        left.join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased
     text — deterministic, engine-portable (Spark md5 == DuckDB md5)."""

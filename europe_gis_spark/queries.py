@@ -1528,6 +1528,49 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Substring-level near-dup candidates via winnowing-fingerprint
+    postings (suffix-array-dedup approximation) over the planted-dup
+    corpus. min_shared=20: the synthetic docs share sentence templates,
+    so low thresholds flag template reuse corpus-wide (1e5 pairs —
+    correct but bulky); 20 keeps all 25 planted exact dups + 19/20 near
+    dups while bounding the checked output."""
+    return textops.winnow_candidate_pairs(
+        _docs_with_dups(spark, sf_dir), min_shared=20
+    ).orderBy("doc_a", "doc_b")
+
+
+def _sql_winnow_pairs() -> str:
+    k, w = textops.WINNOW_K, textops.WINNOW_W
+    return f"""
+WITH docs AS ({DOCS_DUPS_SQL}),
+t AS (
+  SELECT doc_id, REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g') AS nt FROM docs
+),
+g AS (
+  SELECT doc_id,
+         [SUBSTRING(MD5(SUBSTRING(nt, i, {k})), 1, 8)
+          FOR i IN RANGE(1, GREATEST(LENGTH(nt) - {k - 2}, 1))] AS hs
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN LEN(hs) >= {w} THEN
+                [LIST_MIN(hs[i:i+{w - 1}])
+                 FOR i IN RANGE(1, GREATEST(LEN(hs) - {w - 2}, 1))]
+              WHEN LEN(hs) > 0 THEN [LIST_MIN(hs)]
+              ELSE [] END AS mins
+  FROM g
+),
+fp AS (SELECT doc_id, UNNEST(LIST_DISTINCT(mins)) AS fp FROM m),
+keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 200),
+kf AS (SELECT fp.doc_id, fp.fp FROM fp JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM kf a JOIN kf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 20 ORDER BY doc_a, doc_b
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3/PaLM rule): docs sharing any
     word 5-gram with the benchmark subset (doc_id % 37 == 0) are
@@ -1921,6 +1964,7 @@ QUERIES = {
     "lang_hits": (q_lang_hits, _sql_lang_hits()),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
+    "winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),
     "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),

@@ -703,6 +703,33 @@ def test_pii_scrub_counts_and_fp(spark):
     assert got[1].scrubbed_fp != got[2].scrubbed_fp
 
 
+def test_winnow_candidate_pairs_substring_reuse(spark):
+    """Substring-level dedup: docs sharing a long quoted passage are
+    flagged even when the rest of the document differs entirely (the
+    case whole-doc shingle Jaccard misses); unrelated docs are not."""
+    from europe_gis_spark.operators import textops
+
+    quote = "science may set limits to knowledge but should never set limits to imagination "
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "intro words before " + quote * 2 + "and a first tail",
+                    "completely different framing yet " + quote * 2 + "another ending here",
+                    "no overlap at all just plain original filler content for this one ok",
+                ],
+            }
+        )
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in textops.winnow_candidate_pairs(docs, min_shared=3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert not any(3 in p for p in got)
+
+
 def test_lm_score_flags_gibberish(spark):
     """Corpus-trained trigram LM: a doc made of trigrams never seen
     elsewhere must score lower than docs sharing the corpus style."""
