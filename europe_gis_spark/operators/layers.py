@@ -424,8 +424,14 @@ def polygonize_regions(
 
 
 # turn preference at a boundary vertex, interior-on-left orientation:
-# sharpest LEFT first keeps every traced ring simple (a degree-4 pinch
-# vertex splits into two touching rings instead of a figure-eight)
+# sharpest RIGHT first. At a degree-4 saddle (the region touches itself
+# diagonally) the right-first walk hugs the OUT-of-region quadrants,
+# splitting the boundary into simple rings — within one 4-connected
+# region, one out-quadrant is always the hole side and the other the
+# outside, so right-first yields (hole ring, outer ring); left-first
+# would hug the in-region quadrants and fuse them into a self-touching
+# figure-eight (area still exact, simplicity lost — pinned by
+# test_rects_to_polygon_pinch_vertex).
 _LEFT = {(1, 0): (0, 1), (0, 1): (-1, 0), (-1, 0): (0, -1), (0, -1): (1, 0)}
 _RIGHT = {v: k for k, v in _LEFT.items()}
 
@@ -455,7 +461,7 @@ def _trace_rings(edges: set) -> list[np.ndarray]:
                 ring.append(w)
                 cands = out.get(w)
                 nxt = None
-                for nd in (_LEFT[d], d, _RIGHT[d]):
+                for nd in (_RIGHT[d], d, _LEFT[d]):
                     cand = (w[0] + nd[0], w[1] + nd[1])
                     if cands and cand in cands:
                         nxt = cand

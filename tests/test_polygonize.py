@@ -209,8 +209,44 @@ def test_rects_to_polygon_property_random_masks():
             parts = wkb.polygon_parts(wkb.decode(wkb_bytes))
             assert len(parts) == 1
             assert geom.polygon_area(parts) == n_px
+            for ring in parts[0]:  # every ring SIMPLE (right-first rule)
+                pts = [tuple(p) for p in ring[:-1]]
+                assert len(pts) == len(set(pts))
 
     run()
+
+
+def test_rects_to_polygon_pinch_vertex():
+    """Degree-4 boundary vertex (region touches itself diagonally while
+    enclosing a hole): the left-turn rule must split the walk into
+    simple rings — one outer + one hole meeting at the pinch — never a
+    self-crossing figure-eight. Region: C-shape {(0,1),(0,2),(0,3),
+    (1,1),(1,3),(2,2),(2,3)} pinching at the corner between (1,1) and
+    (2,2) with (1,2) enclosed as a hole."""
+    from europe_gis_spark.geo import geom, wkb
+
+    mask = np.zeros((4, 5), dtype=bool)
+    for y, x in [(0, 1), (0, 2), (0, 3), (1, 1), (1, 3), (2, 2), (2, 3)]:
+        mask[y, x] = True
+    # sanity: 4-connected single region with a diagonal self-touch
+    lab = layers._label_tile(np.where(mask, 1.0, 0.0).astype(np.float32), 4)
+    # (pad mask to square for _label_tile's tile_w contract)
+    sq = np.zeros((5, 5), dtype=np.float32)
+    sq[:4, :5] = np.where(mask, 1.0, 0.0)
+    lab = layers._label_tile(sq, 5)
+    region_labels = np.unique(lab[:4][mask])
+    assert len(region_labels) == 1
+    rects = _greedy_rects(mask)
+    wkb_bytes, n_px = layers._rects_to_polygon(rects)
+    assert n_px == 7
+    parts = wkb.polygon_parts(wkb.decode(wkb_bytes))
+    assert len(parts) == 1
+    rings = parts[0]
+    # every traced ring is SIMPLE: no repeated vertex except the closure
+    for r in rings:
+        pts = [tuple(p) for p in r[:-1]]
+        assert len(pts) == len(set(pts)), rings
+    assert geom.polygon_area(parts) == 7
 
 
 def test_region_geometries_match_polygonize_regions(spark):
