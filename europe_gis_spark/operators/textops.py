@@ -152,6 +152,42 @@ def winnow_fingerprints(
     )
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_chars: int = 512, overlap: int = 64
+) -> DataFrame:
+    """LLM-training document chunking: split each doc into fixed-width
+    character windows with overlap (stride = chunk_chars − overlap),
+    keeping provenance (doc_id, chunk_id, offset). Entirely map-side —
+    one sequence+transform HOF builds the chunk array, posexplode emits
+    rows; no Python, no shuffle. The last chunk is the (possibly short)
+    tail; docs shorter than one chunk yield exactly one chunk.
+
+    Output: (doc_id, chunk_id, off, chunk_text, n_chars).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.length("text")
+    # number of chunks = 1 + ceil(max(n - chunk_chars, 0) / stride)
+    n_chunks = 1 + F.ceil(
+        (F.greatest(n - chunk_chars, F.lit(0))) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.col("text").substr(i * stride + 1, F.lit(chunk_chars)),
+    )
+    e = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return e.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * stride).cast("long").alias("off"),
+        "chunk_text",
+        F.length("chunk_text").cast("long").alias("n_chars"),
+    )
+
+
 def winnow_candidate_pairs(
     docs: DataFrame,
     min_shared: int = 2,

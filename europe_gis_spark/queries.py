@@ -1571,6 +1571,37 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 20 ORDER BY doc_a, doc_b
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """LLM-training chunking: 512-char windows, 64 overlap, provenance
+    columns — fingerprinted (md5) so the oracle hash-checks content."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        textops.chunk_documents(d, chunk_chars=512, overlap=64)
+        .select(
+            "doc_id", "chunk_id", "off", "n_chars",
+            F.md5("chunk_text").alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH d AS (
+  SELECT doc_id, text, LENGTH(text) AS n,
+         1 + CAST(CEIL(GREATEST(LENGTH(text) - 512, 0) / 448.0) AS INT) AS n_chunks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, UNNEST(RANGE(0, n_chunks)) AS chunk_id, text FROM d
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * 448 AS BIGINT) AS off,
+       CAST(LENGTH(SUBSTRING(text, CAST(chunk_id * 448 + 1 AS INT), 512)) AS BIGINT) AS n_chars,
+       MD5(SUBSTRING(text, CAST(chunk_id * 448 + 1 AS INT), 512)) AS chunk_fp
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3/PaLM rule): docs sharing any
     word 5-gram with the benchmark subset (doc_id % 37 == 0) are
@@ -1965,6 +1996,7 @@ QUERIES = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
     "winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),
     "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),

@@ -703,6 +703,32 @@ def test_pii_scrub_counts_and_fp(spark):
     assert got[1].scrubbed_fp != got[2].scrubbed_fp
 
 
+def test_chunk_documents_reconstruction(spark):
+    """Chunking invariants: overlap regions agree between neighbors,
+    dropping the overlap reconstructs the doc byte-for-byte, short docs
+    yield exactly one chunk, offsets are stride-exact."""
+    from europe_gis_spark.operators import textops
+
+    text = "".join(chr(97 + (i * 7) % 26) for i in range(1200))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [text, "short"]})
+    )
+    rows = sorted(
+        textops.chunk_documents(docs, chunk_chars=512, overlap=64).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    c1 = [r for r in rows if r.doc_id == 1]
+    assert [r.off for r in c1] == [448 * i for i in range(len(c1))]
+    rebuilt = c1[0].chunk_text + "".join(r.chunk_text[64:] for r in c1[1:])
+    assert rebuilt == text
+    for prev, cur in zip(c1, c1[1:]):
+        assert prev.chunk_text[-64:] == cur.chunk_text[:64]
+    c2 = [r for r in rows if r.doc_id == 2]
+    assert len(c2) == 1 and c2[0].chunk_text == "short" and c2[0].n_chars == 5
+    with pytest.raises(ValueError, match="overlap"):
+        textops.chunk_documents(docs, chunk_chars=64, overlap=64)
+
+
 def test_winnow_candidate_pairs_substring_reuse(spark):
     """Substring-level dedup: docs sharing a long quoted passage are
     flagged even when the rest of the document differs entirely (the
