@@ -163,6 +163,26 @@ def band_keys(
     ).select("doc_id", "bk.band", "bk.key")
 
 
+def cap_hot_buckets(
+    df: DataFrame, keys: tuple[str, ...], cap: int
+) -> DataFrame:
+    """Drop every row of an over-full bucket: windowed count over
+    ``keys`` (reuses the bucket exchange — no second aggregation
+    pipeline), keep rows whose bucket holds ≤ ``cap``. Shared by every
+    candidate-pair generator (MinHash bands, SimHash bands, LSH/cosine
+    buckets, winnowing postings): a pathological bucket — boilerplate
+    shingle, zero vector, all-same fingerprint — would otherwise emit
+    O(bucket²) pairs and carries no dedup signal anyway."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_n_in_bucket", F.count("*").over(w))
+        .filter(F.col("_n_in_bucket") <= cap)
+        .drop("_n_in_bucket")
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     n_hashes: int = N_HASHES,
@@ -189,15 +209,10 @@ def lsh_candidate_pairs(
     hint keeps the planner from 'helpfully' broadcasting one side,
     which would re-evaluate the whole hashing pipeline for it.
     """
-    from pyspark.sql.window import Window
-
     sig = minhash_signatures(docs, n_hashes)
     bands = band_keys(sig, n_hashes, band_size)
     if max_bucket is not None:
-        w = Window.partitionBy("band", "key")
-        bands = bands.withColumn("n_in_bucket", F.count("*").over(w)).filter(
-            F.col("n_in_bucket") <= max_bucket
-        ).drop("n_in_bucket")
+        bands = cap_hot_buckets(bands, ("band", "key"), max_bucket)
     else:
         bands = bands.repartition("band", "key")
     left = bands.alias("l").hint("shuffle_hash")
@@ -370,11 +385,13 @@ def keep_flags(docs: DataFrame, components: DataFrame) -> DataFrame:
     A doc is kept iff it belongs to no near-dup cluster or is its
     cluster's canonical representative (= the component id, the minimum
     doc_id — deterministic). Input ``components`` is
-    :func:`connected_components` output; the join is broadcast-sized
-    (clusters only, not the corpus)."""
+    :func:`connected_components` output — one row per CLUSTERED doc, so
+    on a crawl where 30–50 % of docs are near-dups it is corpus-scale:
+    the join must shuffle, not broadcast (AQE still picks broadcast on
+    its own when the table measures small)."""
     return (
         docs.select("doc_id")
-        .join(F.broadcast(components), "doc_id", "left")
+        .join(components, "doc_id", "left")
         .select(
             "doc_id",
             "component",
@@ -523,14 +540,7 @@ def simhash_near_pairs(
     sh = simhash(docs).localCheckpoint(eager=True)
     base = simhash_band_keys(sh)
     if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "key")
-        base = (
-            base.withColumn("n_in_bucket", F.count("*").over(w))
-            .filter(F.col("n_in_bucket") <= max_bucket)
-            .drop("n_in_bucket")
-        )
+        base = cap_hot_buckets(base, ("band", "key"), max_bucket)
     probes = sh.select(
         "doc_id",
         "simhash",

@@ -56,7 +56,8 @@ def nearest_for_cell(
     xs, ys, _ids, res, buckets = bundle
     size = gcells.cell_size(res)
     n = len(px)
-    best_d = np.full(n, np.inf)
+    big = np.iinfo(np.int64).max
+    best_d2 = np.full(n, np.inf)
     best_i = np.full(n, -1, dtype=np.int64)
     k = 0
     while k <= max_k:
@@ -67,21 +68,30 @@ def nearest_for_cell(
         )
         cand = [buckets[int(cc)] for cc in ring.tolist() if int(cc) in buckets]
         if cand:
-            idxs = np.concatenate(cand)
+            idxs = np.concatenate(cand).astype(np.int64)
             d2 = (px[:, None] - xs[idxs][None, :]) ** 2 + (
                 py[:, None] - ys[idxs][None, :]
             ) ** 2
-            j = np.argmin(d2, axis=1)
-            dj = np.sqrt(d2[np.arange(n), j])
-            better = dj < best_d
-            best_d[better] = dj[better]
-            best_i[better] = idxs[j[better]]
+            d2min = d2.min(axis=1)
+            # deterministic (distance, ordinal) tie-break: among the
+            # batch's equal-minimal candidates take the smallest ordinal,
+            # and across rings an equal distance only wins on ordinal
+            ord_min = np.where(d2 == d2min[:, None], idxs[None, :], big).min(
+                axis=1
+            )
+            best_ord = np.where(best_i >= 0, best_i, big)
+            better = (d2min < best_d2) | (
+                (d2min == best_d2) & (ord_min < best_ord)
+            )
+            best_d2[better] = d2min[better]
+            best_i[better] = ord_min[better]
         # stop when no point can be beaten by ring k+1 (min dist k·size);
         # STRICT bound: a ring-(k+1) centroid at distance exactly best_d
         # with a smaller ordinal must still enter the tie-break
-        if np.all((best_i >= 0) & (best_d < k * size)):
+        if np.all((best_i >= 0) & (best_d2 < (k * size) ** 2)):
             break
         k += 1
+    best_d = np.sqrt(best_d2)
     return best_i, np.where(best_i >= 0, best_d, np.nan)
 
 

@@ -289,9 +289,12 @@ def _tile_cc_tagged(tiles: DataFrame, tile_w: int, with_rects: bool) -> DataFram
 
 def _label_mapping(
     tagged: DataFrame, distributed_threshold: int = 100_000
-) -> DataFrame:
-    """Cross-tile label equivalences → (node, root) mapping DataFrame
-    (zero-padded string keys; root = min node of the component).
+) -> tuple[DataFrame, bool]:
+    """Cross-tile label equivalences → ((node, root) mapping DataFrame,
+    broadcast_ok flag); zero-padded string keys; root = min node of the
+    component. ``broadcast_ok`` is True only on the driver fast path —
+    the distributed mapping has the same cardinality as the boundary
+    graph and must NOT be re-funneled through the driver as a broadcast.
 
     The boundary-pair edge list is perimeter-scale (one row per
     (tile-edge, label pair)) — tiny next to pixel count, but up to
@@ -341,8 +344,11 @@ def _label_mapping(
     if len(head) > distributed_threshold:
         from .dedup import connected_components
 
-        return connected_components(edges, "a", "b", max_iter=200).select(
-            F.col("doc_id").alias("node"), F.col("component").alias("root")
+        return (
+            connected_components(edges, "a", "b", max_iter=200).select(
+                F.col("doc_id").alias("node"), F.col("component").alias("root")
+            ),
+            False,
         )
     parent: dict = {}
 
@@ -359,23 +365,33 @@ def _label_mapping(
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     merged = [(k, find(k)) for k in list(parent)]
-    return spark.createDataFrame(
-        pd.DataFrame(merged, columns=["node", "root"])
-        if merged
-        else pd.DataFrame({"node": pd.Series(dtype=str), "root": pd.Series(dtype=str)}),
-        schema="node string, root string",
+    return (
+        spark.createDataFrame(
+            pd.DataFrame(merged, columns=["node", "root"])
+            if merged
+            else pd.DataFrame(
+                {"node": pd.Series(dtype=str), "root": pd.Series(dtype=str)}
+            ),
+            schema="node string, root string",
+        ),
+        True,
     )
 
 
-def _with_region_id(df: DataFrame, mapping: DataFrame) -> DataFrame:
+def _with_region_id(
+    df: DataFrame, mapping: DataFrame, broadcast_ok: bool = True
+) -> DataFrame:
     """Attach the global region_id: node key → component root (identity
-    where unmerged). The mapping is perimeter-scale → broadcast join."""
+    where unmerged). Broadcast only when the mapping came from the
+    driver fast path (≤ threshold rows); the distributed mapping is
+    boundary-graph-scale and joins by shuffle."""
     node = F.format_string(
         _NODE_FMT, "layer", "tile_row", "tile_col", "local_id"
     )
+    joined = F.broadcast(mapping) if broadcast_ok else mapping
     return (
         df.withColumn("node", node)
-        .join(F.broadcast(mapping), "node", "left")
+        .join(joined, "node", "left")
         .withColumn("region_id", F.coalesce("root", "node"))
         .drop("node", "root")
     )
@@ -402,8 +418,10 @@ def polygonize_regions(
     tagged = _tile_cc_tagged(tiles, tile_w, with_rects=False).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    mapping = _label_mapping(tagged, distributed_threshold)
-    regions = _with_region_id(tagged.filter(F.col("kind") == 0), mapping)
+    mapping, bcast_ok = _label_mapping(tagged, distributed_threshold)
+    regions = _with_region_id(
+        tagged.filter(F.col("kind") == 0), mapping, bcast_ok
+    )
     result = (
         regions.groupBy("layer", "region_id")
         .agg(
@@ -552,8 +570,10 @@ def region_geometries(
     tagged = _tile_cc_tagged(tiles, tile_w, with_rects=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    mapping = _label_mapping(tagged, distributed_threshold)
-    rects = _with_region_id(tagged.filter(F.col("kind") == 3), mapping)
+    mapping, bcast_ok = _label_mapping(tagged, distributed_threshold)
+    rects = _with_region_id(
+        tagged.filter(F.col("kind") == 3), mapping, bcast_ok
+    )
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         layer, region_id = key

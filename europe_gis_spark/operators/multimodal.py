@@ -102,7 +102,13 @@ def decode_image(payload: bytes, fake: bool | None = None) -> np.ndarray:
     """
     if fake is None:
         if (payload or b"")[:2] == b"BM":
-            return decode_bmp(payload)
+            # magic match is a hint, not a guarantee: a truncated BMP or
+            # a renamed blob starting with "BM" must still fall back to
+            # the fake decoder (the fake=None contract never raises)
+            try:
+                return decode_bmp(payload)
+            except Exception:
+                pass
         fake = not codecs_available()
     if not fake:
         if (payload or b"")[:2] == b"BM":
@@ -229,7 +235,12 @@ def decode_audio(payload: bytes, fake: bool | None = None) -> np.ndarray:
     requires a real decode and raises loudly."""
     if fake is None:
         if (payload or b"")[:4] == b"RIFF":
-            return decode_wav(payload)
+            # "RIFF" also prefixes AVI etc. — invalid/truncated WAVs fall
+            # back to the fake decoder (the fake=None contract never raises)
+            try:
+                return decode_wav(payload)
+            except Exception:
+                pass
         fake = True  # no compressed-audio codec importable here
     if not fake:
         if (payload or b"")[:4] == b"RIFF":

@@ -242,17 +242,12 @@ def pairwise_cosine_dups(
     buckets are dropped wholesale via a windowed count over the same
     (bucket) exchange the self-join uses, so the embedding scan runs
     once (ReusedExchange), mirroring dedup.lsh_candidate_pairs."""
-    from pyspark.sql.window import Window
+    from .dedup import cap_hot_buckets
 
     b = lsh_buckets(embeddings, n_planes, seed)
     e = embeddings.join(b, "vec_id")
     if max_bucket is not None:
-        w = Window.partitionBy("bucket")
-        e = (
-            e.withColumn("n_in_bucket", F.count("*").over(w))
-            .filter(F.col("n_in_bucket") <= max_bucket)
-            .drop("n_in_bucket")
-        )
+        e = cap_hot_buckets(e, ("bucket",), max_bucket)
     left = e.alias("a").hint("shuffle_hash")
     right = e.alias("b")
     pairs = left.join(

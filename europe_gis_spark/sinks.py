@@ -76,6 +76,11 @@ def read_jdbc(
         .options(**properties)
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires explicit lower_bound and "
+                "upper_bound (Spark's JDBC source cannot infer them)"
+            )
         r = (
             r.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

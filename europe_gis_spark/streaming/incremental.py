@@ -184,11 +184,15 @@ def upsert_sink(
     def write_batch(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
         fresh = batch.dropDuplicates(list(key_cols))
-        try:
+        # only a genuinely-absent sink may skip the anti-join; any OTHER
+        # read failure (corrupt footer, transient FS error) must abort
+        # the batch, not silently append duplicates
+        jvm_fs = spark._jvm.org.apache.hadoop.fs  # noqa: SLF001
+        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        p = jvm_fs.Path(path)
+        if p.getFileSystem(hconf).exists(p):
             existing = spark.read.parquet(path).select(*key_cols).distinct()
             fresh = fresh.join(existing, list(key_cols), "left_anti")
-        except Exception:
-            pass  # first batch: nothing at rest yet
         fresh.write.mode("append").parquet(path)
 
     q = (

@@ -148,8 +148,6 @@ def _matmul_job(_):
 
 
 def main():
-    import statistics
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=2_000_000)
     ap.add_argument("--runs", type=int, default=2)
@@ -181,14 +179,18 @@ def main():
               "n_pairs": args.pairs}
     for v in ("plain", "metrics"):
         effs = [h[f"{v}_pps"] / (4.0 * l[f"{v}_pps"]) for l, h in pairs]
+        # the median PAIR's ratio (upper-middle for even counts), so the
+        # reported efficiency always reproduces from the table's two
+        # throughputs — statistics.median would average two pairs
         med_i = effs.index(sorted(effs)[len(effs) // 2])
         lo, hi = pairs[med_i]
         report[f"{v}_throughput_N"] = lo[f"{v}_pps"]
         report[f"{v}_throughput_4N"] = hi[f"{v}_pps"]
-        report[f"{v}_efficiency"] = round(statistics.median(effs), 3)
+        report[f"{v}_efficiency"] = round(effs[med_i], 3)
         report[f"{v}_efficiency_all"] = [round(e, 3) for e in effs]
     report["controls"] = controls
-    # raw timings of the median pair for the report below
+    # raw timings across ALL pairs for the report below (every child
+    # run, in pair order — lets a reader recompute any pair's ratio)
     lo = {k: v for k, v in pairs[0][0].items()}
     hi = {k: v for k, v in pairs[0][1].items()}
     for v in ("plain", "metrics"):
@@ -212,7 +214,8 @@ two local parallelism levels, per the sandbox protocol in
 
 Target: efficiency ≥ 0.8.
 
-Raw timings (sec): plain N={lo['plain_all']} 4N={hi['plain_all']};
+Raw timings (sec, ALL pairs in order — recompute any pair's ratio from
+these): plain N={lo['plain_all']} 4N={hi['plain_all']};
 metrics N={lo['metrics_all']} 4N={hi['metrics_all']}. Run-to-run noise on
 this shared VM is ±30% (identical runs differ that much), so the
 efficiency numbers carry that error bar.
