@@ -47,6 +47,8 @@ HEADLINE = [
     "repetition_stats",
     "pii_scrub",
     "lm_score",
+    "tfidf_topk",
+    "corpus_select",
     "cosine_topk",
 ]
 
@@ -141,9 +143,13 @@ def delta_vs_prev(timings: dict, sf_dir: str) -> dict | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        (re.search(r"_r(\d+)\.json$", p), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
     prevs = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        (p for m, p in candidates if m),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
     )
     if not prevs:
         return None

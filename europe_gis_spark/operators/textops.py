@@ -211,16 +211,11 @@ def winnow_candidate_pairs(
     Output: (doc_a, doc_b, n_shared) for pairs with ≥ min_shared shared
     fingerprints.
     """
-    from pyspark.sql.window import Window
+    from .dedup import cap_hot_buckets
 
     fps = winnow_fingerprints(docs, k, w, digest=False)  # (doc_id, fp)
     if max_posting is not None:
-        wd = Window.partitionBy("fp")
-        fps = (
-            fps.withColumn("n_in_posting", F.count("*").over(wd))
-            .filter(F.col("n_in_posting") <= max_posting)
-            .drop("n_in_posting")
-        )
+        fps = cap_hot_buckets(fps, ("fp",), max_posting)
     left = fps.alias("a").hint("shuffle_hash")
     return (
         left.join(
@@ -233,6 +228,128 @@ def winnow_candidate_pairs(
         )
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def tf_idf(docs: DataFrame, top_k: int = 5) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF
+    (``tfidf = tf · (ln((N+1)/(df+1)) + 1)``, the scikit-style smooth
+    idf) — the classic keyword-extraction / retrieval-weighting pass
+    over a web corpus.
+
+    Plan (100 TB shape): explode → (doc_id, term) count with map-side
+    partial agg; document frequencies aggregate off that SAME table (no
+    second scan of the text); the tf⋈df join shuffles on term — the
+    vocabulary is corpus-scale (AQE still broadcasts it when it measures
+    small); corpus size N attaches via a broadcast 1-row aggregate; the
+    top-k is one doc_id-partitioned window. Ranking orders by the
+    ROUNDED score so float noise cannot flip boundary ranks between
+    engines (oracle parity), ties broken by term for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+def inverted_index(
+    docs: DataFrame, min_df: int = 2, max_df: int | float | None = 0.8
+) -> DataFrame:
+    """Term → sorted posting list (distinct doc_ids) + document
+    frequency: the retrieval-index build pass.
+
+    ``min_df`` drops hapax noise; ``max_df`` is the SCALE guard — a
+    stopword's posting list is corpus-sized (every doc), ruinous to
+    collect and useless for retrieval, so terms above the ceiling are
+    dropped wholesale (same rationale as the dedup hot-bucket cap). An
+    int is an absolute ceiling; a float in (0, 1] is a FRACTION of the
+    corpus (scikit's ``max_df`` convention — scale-invariant).
+    Plan: one distinct (term, doc_id) exchange, then a term-keyed agg;
+    ``collect_set`` + ``sort_array`` keeps postings deterministic."""
+    pairs = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .distinct()
+    )
+    out = pairs.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )
+    out = out.filter(F.col("df") >= min_df)
+    if isinstance(max_df, float):
+        ndocs = docs.agg(F.count("*").alias("n_docs"))
+        out = (
+            out.crossJoin(F.broadcast(ndocs))
+            .filter(F.col("df") <= F.col("n_docs") * max_df)
+            .drop("n_docs")
+        )
+    elif max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Crawl delta between two keyed snapshots: per-key status
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the
+    re-crawl planning pass.
+
+    One full-outer shuffle join on the key; only FINGERPRINTS travel
+    through the exchange (~32 bytes/doc regardless of page size), so
+    the diff of two 100 TB snapshots shuffles gigabytes, not terabytes.
+    Presence is tracked with explicit marker columns (not fp NULLness)
+    and fingerprints compare null-safely, so a legitimately-NULL fp is
+    'unchanged' when it matches, never misread as an add/remove."""
+    o = old.select(
+        key,
+        F.col(fp_col).alias("_fp_old"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        key,
+        F.col(fp_col).alias("_fp_new"),
+        F.lit(True).alias("_in_new"),
+    )
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("_fp_old").eqNullSafe(F.col("_fp_new")), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, key, "full_outer")
+        .select(key, status.alias("status"))
     )
 
 

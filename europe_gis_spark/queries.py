@@ -920,15 +920,12 @@ FROM pts GROUP BY 1, 2 ORDER BY xb, yb
 """
 
 
-def q_raster_regions(spark, sf_dir):
-    """F9 connected-region polygonize (features.shapes semantics) over a
-    density raster derived from event points — VALUE-CHECKED: region ids
-    are engine-specific, so the comparable output is the region multiset
-    (layer, value, n_px, bbox) and the DuckDB oracle closes the same
-    raster's 4-neighbor graph with a recursive CTE. Geometry exactness
-    is additionally pytest-gated against a whole-raster BFS oracle
-    (test_polygonize.py)."""
-    from .operators import layers as L
+def _density_tiles(spark, sf_dir):
+    """Shared raster derivation for BOTH F9 queries (regions and region
+    geometries): event points → 2 km count cells → mean-thresholded
+    binary density layer → 16×16 tiles. One definition so the two
+    queries (and SQL_RASTER_REGIONS, which mirrors it) can never
+    silently diverge."""
     from .operators import zonal
 
     pts = event_points(spark, sf_dir)
@@ -947,9 +944,21 @@ def q_raster_regions(spark, sf_dir):
         )
         .withColumn("layer", F.lit("density"))
     )
-    tiles = zonal.cells_to_tiles(cellsdf, tile_w=16)
+    return zonal.cells_to_tiles(cellsdf, tile_w=16)
+
+
+def q_raster_regions(spark, sf_dir):
+    """F9 connected-region polygonize (features.shapes semantics) over a
+    density raster derived from event points — VALUE-CHECKED: region ids
+    are engine-specific, so the comparable output is the region multiset
+    (layer, value, n_px, bbox) and the DuckDB oracle closes the same
+    raster's 4-neighbor graph with a recursive CTE. Geometry exactness
+    is additionally pytest-gated against a whole-raster BFS oracle
+    (test_polygonize.py)."""
+    from .operators import layers as L
+
     return (
-        L.polygonize_regions(tiles, tile_w=16)
+        L.polygonize_regions(_density_tiles(spark, sf_dir), tile_w=16)
         .select("layer", "value", "n_px", "ymin", "xmin", "ymax", "xmax")
         .orderBy("value", "n_px", "ymin", "xmin", "ymax", "xmax")
     )
@@ -1011,25 +1020,10 @@ def q_raster_region_geoms(spark, sf_dir):
     invariant and the BFS oracle are pytest-gated
     (test_polygonize.py)."""
     from .operators import layers as L
-    from .operators import zonal
 
-    pts = event_points(spark, sf_dir)
-    counts = pts.groupBy(
-        F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("x"),
-        F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("y"),
-    ).agg(F.count("*").alias("cnt"))
-    mean_cnt = counts.agg(F.avg("cnt").alias("mu"))
-    cellsdf = (
-        counts.crossJoin(F.broadcast(mean_cnt))
-        .select(
-            "x",
-            "y",
-            (F.col("cnt") > F.col("mu")).cast("float").alias("value"),
-        )
-        .withColumn("layer", F.lit("density"))
-    )
-    tiles = zonal.cells_to_tiles(cellsdf, tile_w=16)
-    return L.region_geometries(tiles, tile_w=16).orderBy("region_id")
+    return L.region_geometries(
+        _density_tiles(spark, sf_dir), tile_w=16
+    ).orderBy("region_id")
 
 
 def q_overlay_rects(spark, sf_dir):
@@ -1805,7 +1799,10 @@ def q_dedup_keep(spark, sf_dir):
     return dedup.keep_flags(docs, comp).orderBy("doc_id")
 
 
-def _sql_dedup_keep() -> str:
+def _dedup_keep_ctes() -> str:
+    """CTE chain ending in ``rch(node, component)`` — shared by the
+    dedup-keep oracle and the corpus-selection oracle so the pipeline's
+    dedup semantics are stated exactly once."""
     return f"""
 {_minhash_cand_ctes()},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1833,10 +1830,159 @@ rch AS (
     SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
   )
   SELECT node, MIN(label) AS component FROM reach GROUP BY node
-)
+)"""
+
+
+def _sql_dedup_keep() -> str:
+    return f"""
+{_dedup_keep_ctes()}
 SELECT d.doc_id, r.component,
        (r.component IS NULL OR r.component = d.doc_id) AS keep
 FROM docs d LEFT JOIN rch r ON r.node = d.doc_id ORDER BY d.doc_id
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-5 TF-IDF terms (smoothed idf, scikit-style) — the
+    keyword-extraction / retrieval-weighting pass; ranked on the
+    ROUNDED score with a term tie-break so both engines agree at rank
+    boundaries."""
+    return textops.tf_idf(_read(spark, sf_dir, "documents"), top_k=5).orderBy(
+        "doc_id", F.desc("tfidf"), "term"
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+         ROUND(tf.tf * (LN((n.n_docs + 1.0) / (dfx.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfx USING (term) CROSS JOIN n
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf FROM rk WHERE rk <= 5
+ORDER BY doc_id, tfidf DESC, term
+"""
+
+
+def q_inverted_index(spark, sf_dir):
+    """Retrieval-index build: posting lists for the mid-frequency
+    vocabulary (2 ≤ df ≤ 80 % of the corpus; the fractional max_df
+    ceiling is the stopword scale guard, scale-invariant across SFs).
+    Postings emitted comma-joined so the value hash is
+    engine-portable."""
+    idx = textops.inverted_index(
+        _read(spark, sf_dir, "documents"), min_df=2, max_df=0.8
+    )
+    return idx.select(
+        "term", "df", F.concat_ws(",", F.col("postings")).alias("postings")
+    ).orderBy("term")
+
+
+SQL_INVERTED_INDEX = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS term
+    FROM documents
+  )
+)
+SELECT term, COUNT(*) AS df,
+       ARRAY_TO_STRING(LIST(doc_id ORDER BY doc_id), ',') AS postings
+FROM tok GROUP BY term
+HAVING COUNT(*) >= 2 AND COUNT(*) <= 0.8 * (SELECT COUNT(*) FROM documents)
+ORDER BY term
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl delta: two deterministic snapshots derived from the
+    documents table (old drops doc_id%7==0; new drops doc_id%11==0 and
+    rewrites doc_id%5==0 pages) → per-doc added/removed/changed/
+    unchanged via a fingerprint full-outer join."""
+    d = _read(spark, sf_dir, "documents")
+    fp_of = lambda c: F.md5(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", fp_of(F.col("text")).alias("fp")
+    )
+    new = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        fp_of(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    return textops.snapshot_diff(old, new).orderBy("doc_id")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH o AS (
+  SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 7 <> 0
+),
+n AS (
+  SELECT doc_id,
+         MD5(REGEXP_REPLACE(LOWER(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_corpus_select(spark, sf_dir):
+    """END-TO-END training-corpus selection — the pipeline deliverable
+    that composes the individually-checked stages: near-dup keep flag
+    (MinHash LSH → Jaccard verify → connected components → canonical
+    representative) ∧ quality gate, per document. The C4-style 'which
+    docs make the training cut' answer."""
+    docs = _docs_with_dups(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(docs)
+    verified = dedup.verify_pairs(cand, docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    comp = dedup.connected_components(verified)
+    keep = dedup.keep_flags(docs, comp)
+    q = textops.quality_scores(docs).select("doc_id", "passes_quality")
+    return (
+        keep.join(q, "doc_id")
+        .select(
+            "doc_id",
+            F.col("keep").alias("keep_dedup"),
+            "passes_quality",
+            (F.col("keep") & F.col("passes_quality")).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_corpus_select() -> str:
+    return f"""
+{_dedup_keep_ctes()},
+q AS (
+  SELECT doc_id,
+         (LENGTH(text) >= 100 AND LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x IN {textops.STOPWORDS!r})) > 0) AS passes_quality
+  FROM docs
+)
+SELECT d.doc_id,
+       (r.component IS NULL OR r.component = d.doc_id) AS keep_dedup,
+       q.passes_quality,
+       ((r.component IS NULL OR r.component = d.doc_id) AND q.passes_quality) AS selected
+FROM docs d LEFT JOIN rch r ON r.node = d.doc_id JOIN q USING (doc_id)
+ORDER BY d.doc_id
 """
 
 
@@ -2005,6 +2151,10 @@ QUERIES = {
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "dedup_keep_flags": (q_dedup_keep, _sql_dedup_keep()),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "corpus_select": (q_corpus_select, _sql_corpus_select()),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_lsh_topk": (q_ann_lsh, None),
     "ann_ivf_topk": (q_ivf_topk, None),

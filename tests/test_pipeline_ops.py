@@ -8,7 +8,14 @@ from pyspark.sql import functions as F
 
 from europe_gis_spark.checkpoint import lineage
 from europe_gis_spark.datagen import geodata
-from europe_gis_spark.operators import dedup, multimodal, similarity, skew, windows
+from europe_gis_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    skew,
+    textops,
+    windows,
+)
 from europe_gis_spark.streaming import incremental
 
 
@@ -795,8 +802,9 @@ def test_dedup_keep_flags_semantics(spark):
 
 # ------------------------------------------------------------- dedup & ANN
 def test_simhash_finds_planted_near_dups(spark):
-    """Banded retrieval guarantee: 8×8-bit bands always catch pairs
-    with hamming ≤ 7 (pigeonhole); distant docs stay unpaired."""
+    """Banded retrieval guarantee: 4×16-bit bands + hamming-1 in-band
+    probes always catch pairs with hamming ≤ 7 (pigeonhole: 7 diffs over
+    4 bands leave some band with ≤ 1); distant docs stay unpaired."""
     import numpy as np
 
     base = "alpha beta gamma delta epsilon zeta eta theta " * 40
@@ -1130,3 +1138,103 @@ def test_ivf_recall_probe_fraction_and_pruning(spark, tmp_path):
         ).collect()
     ]
     assert got == ivf
+
+
+# ---------------------------------------------------------------- retrieval
+def test_tfidf_hand_computed(spark):
+    """tf·(ln((N+1)/(df+1))+1) on a 3-doc corpus, checked by hand; rank
+    ties break by term."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry durian durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+        for r in textops.tf_idf(docs, top_k=5).collect()
+    }
+    def expect(tf, df):
+        return round(tf * (math.log(4.0 / (df + 1.0)) + 1.0), 6)
+
+    assert got[(1, "apple")] == (2, 1, expect(2, 1))
+    assert got[(1, "banana")] == (1, 2, expect(1, 2))
+    assert got[(3, "durian")] == (3, 1, expect(3, 1))
+    assert got[(3, "cherry")] == (1, 2, expect(1, 2))
+    assert len(got) == 6  # every (doc, term) pair fits in top-5
+
+
+def test_tfidf_topk_rank_and_tiebreak(spark):
+    """top_k truncates per doc on (rounded score desc, term asc)."""
+    docs = spark.createDataFrame(
+        [(1, "b a c d e f"), (2, "x y")], "doc_id long, text string"
+    )
+    rows = textops.tf_idf(docs, top_k=3).filter(F.col("doc_id") == 1).collect()
+    # all six terms of doc 1 are unique in it → equal tf; df differs only
+    # for none (each of a..f appears in exactly one doc) → full tie on
+    # score, resolved alphabetically
+    assert [r.term for r in sorted(rows, key=lambda r: r.term)] == ["a", "b", "c"]
+
+
+def test_inverted_index_bands_and_postings(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 shared"),
+            (2, "common shared"),
+            (3, "common rare2"),
+            (4, "common"),
+        ],
+        "doc_id long, text string",
+    )
+    # absolute ceiling: df<=3 drops 'common' (df=4); min_df=2 drops rares
+    got = {
+        r.term: (r.df, list(r.postings))
+        for r in textops.inverted_index(docs, min_df=2, max_df=3).collect()
+    }
+    assert got == {"shared": (2, [1, 2])}
+    # fractional ceiling: 0.5 of 4 docs = df<=2 — same result here
+    got_frac = {
+        r.term: (r.df, list(r.postings))
+        for r in textops.inverted_index(docs, min_df=2, max_df=0.5).collect()
+    }
+    assert got_frac == {"shared": (2, [1, 2])}
+    # no ceiling: 'common' returns with sorted full postings
+    got_all = {
+        r.term: list(r.postings)
+        for r in textops.inverted_index(docs, min_df=2, max_df=None).collect()
+    }
+    assert got_all["common"] == [1, 2, 3, 4]
+
+
+def test_cap_hot_buckets_shared_helper(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5)] + [("b", 10), ("b", 11), ("c", 20)],
+        "k string, v long",
+    )
+    kept = dedup.cap_hot_buckets(df, ("k",), 2).collect()
+    assert sorted((r.k, r.v) for r in kept) == [("b", 10), ("b", 11), ("c", 20)]
+    assert [f.name for f in dedup.cap_hot_buckets(df, ("k",), 2).schema] == ["k", "v"]
+
+
+def test_snapshot_diff_statuses_and_null_fp(spark):
+    """Presence via markers (not fp NULLness) + null-safe fp compare: a
+    NULL fingerprint present in both snapshots is 'unchanged', never an
+    add/remove."""
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b2"), (3, None), (4, "d"), (5, "e")], "doc_id long, fp string"
+    )
+    got = {r.doc_id: r.status for r in textops.snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "removed",
+        2: "changed",
+        3: "unchanged",
+        4: "unchanged",
+        5: "added",
+    }
