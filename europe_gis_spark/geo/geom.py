@@ -62,6 +62,78 @@ def polygon_area(parts: list[list[np.ndarray]]) -> float:
     return total
 
 
+def _dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker keep-mask for an OPEN chain (N, 2) — iterative
+    stack, vectorized point-to-segment distances per split. Strict
+    ``> tol`` pruning: tol=0 drops only exactly-collinear vertices."""
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        mid = pts[i + 1 : j]
+        l2 = float(seg @ seg)
+        if l2 == 0.0:
+            d = np.hypot(mid[:, 0] - pts[i, 0], mid[:, 1] - pts[i, 1])
+        else:
+            t = np.clip((mid - pts[i]) @ seg / l2, 0.0, 1.0)
+            proj = pts[i] + t[:, None] * seg
+            d = np.hypot(mid[:, 0] - proj[:, 0], mid[:, 1] - proj[:, 1])
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            ki = i + 1 + k
+            keep[ki] = True
+            stack.append((i, ki))
+            stack.append((ki, j))
+    return keep
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker on a CLOSED ring (first == last vertex), the
+    ``ogr.Geometry.Simplify`` / ``shapely.simplify`` analogue: split at
+    the vertex farthest from vertex 0 (two open chains anchored at
+    genuinely extreme points — splitting at an arbitrary index can erase
+    the ring's true extremes), simplify each, rejoin closed. Simplified
+    vertices are a SUBSET of the originals; every dropped vertex lies
+    within ``tol`` of the simplified boundary. Degenerate collapses
+    (< 3 distinct vertices) fall back to the anchor triangle."""
+    closed = bool(np.array_equal(ring[0], ring[-1]))
+    pts = ring[:-1] if closed else ring
+    if len(pts) <= 3:
+        return np.vstack([pts, pts[:1]])
+    far = int(np.argmax(np.hypot(pts[:, 0] - pts[0, 0], pts[:, 1] - pts[0, 1])))
+    a = pts[: far + 1]
+    b = np.vstack([pts[far:], pts[:1]])
+    out = np.vstack(
+        [a[_dp_keep_mask(a, tol)][:-1], b[_dp_keep_mask(b, tol)][:-1]]
+    )
+    if len(out) < 3:
+        out = pts[sorted({0, far, (far + 1) % len(pts)})]
+    return np.vstack([out, out[:1]])
+
+
+def simplify_polygon(
+    parts: list[list[np.ndarray]], tol: float, min_hole_area: float = 0.0
+) -> list[list[np.ndarray]]:
+    """Simplify every ring of a (multi)polygon; holes whose simplified
+    area falls to ``min_hole_area`` or below are dropped (they carry no
+    information at the chosen tolerance), shells are always kept."""
+    out: list[list[np.ndarray]] = []
+    for rings in parts:
+        shell = simplify_ring(rings[0], tol)
+        keep = [shell]
+        for hole in rings[1:]:
+            s = simplify_ring(hole, tol)
+            if abs(shoelace_area(s)) > min_hole_area:
+                keep.append(s)
+        out.append(keep)
+    return out
+
+
 def is_valid_polygon(parts: list[list[np.ndarray]]) -> bool:
     """Cheap validity check in the spirit of ``features.is_valid_geom``:
     every ring closed, ≥4 vertices, non-zero shell area, finite coords."""

@@ -595,3 +595,49 @@ def region_geometries(
     ).localCheckpoint(eager=True)
     tagged.unpersist()
     return result
+
+
+def simplify_geoms(
+    df: DataFrame,
+    geom_col: str = "wkb",
+    tol: float = 1.0,
+    min_hole_area: float = 0.0,
+) -> DataFrame:
+    """Douglas–Peucker simplification of a WKB (multi)polygon column —
+    the ``ogr.Geometry.Simplify`` step the reference applies before
+    publishing vector layers (vertex counts drop ~10× at raster-cell
+    tolerance while the shape stays within ``tol`` of the original).
+
+    Arrow-batched ``mapInPandas``: each batch decodes, simplifies every
+    ring (vectorized point-to-segment distances), re-encodes — no
+    shuffle; runs wherever the geometry rows already are. Adds
+    ``n_vertices_in`` / ``n_vertices_out`` so the reduction is
+    observable downstream.
+    """
+    from ..geo import wkb as gwkb
+    from ..geo.geom import simplify_polygon
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    ) + ", n_vertices_in int, n_vertices_out int"
+
+    def fn(batches):
+        for pdf in batches:
+            geoms, n_in, n_out = [], [], []
+            for buf in pdf[geom_col]:
+                g = gwkb.decode(bytes(buf))
+                parts = gwkb.polygon_parts(g)
+                simp = simplify_polygon(parts, tol, min_hole_area)
+                n_in.append(sum(len(r) for rings in parts for r in rings))
+                n_out.append(sum(len(r) for rings in simp for r in rings))
+                if len(simp) == 1:
+                    geoms.append(gwkb.encode_polygon(simp[0]))
+                else:
+                    geoms.append(gwkb.encode_multipolygon(simp))
+            pdf = pdf.copy()
+            pdf[geom_col] = geoms
+            pdf["n_vertices_in"] = np.array(n_in, dtype=np.int32)
+            pdf["n_vertices_out"] = np.array(n_out, dtype=np.int32)
+            yield pdf
+
+    return df.mapInPandas(fn, schema=out_schema)

@@ -130,6 +130,101 @@ def decode_image(payload: bytes, fake: bool | None = None) -> np.ndarray:
     return arr.reshape(8, 8, 3).copy()
 
 
+def resize_image(
+    img: np.ndarray, out_h: int, out_w: int, method: str = "bilinear"
+) -> np.ndarray:
+    """Resize (H, W, C) uint8 → (out_h, out_w, C), pure numpy —
+    'nearest' (index gather) or 'bilinear' (separable lerp, half-pixel
+    centers, edge-clamped). The real transform step of the multimodal
+    pipeline; no codec or PIL involved."""
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    if method == "nearest":
+        yi = np.minimum((np.arange(out_h) + 0.5) * h / out_h, h - 1).astype(int)
+        xi = np.minimum((np.arange(out_w) + 0.5) * w / out_w, w - 1).astype(int)
+        return img[yi][:, xi]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = img[y0][:, x0].astype(np.float64)
+    b = img[y0][:, x1].astype(np.float64)
+    c = img[y1][:, x0].astype(np.float64)
+    d = img[y1][:, x1].astype(np.float64)
+    out = (
+        a * (1 - wy) * (1 - wx)
+        + b * (1 - wy) * wx
+        + c * wy * (1 - wx)
+        + d * wy * wx
+    )
+    return np.round(out).astype(np.uint8)
+
+
+def center_crop(img: np.ndarray, crop_h: int, crop_w: int) -> np.ndarray:
+    """Center crop (H, W, C) → (crop_h, crop_w, C); raises if the crop
+    exceeds the image (resize first — silent padding would corrupt
+    training data)."""
+    h, w = img.shape[:2]
+    if crop_h > h or crop_w > w:
+        raise ValueError(f"crop {crop_h}x{crop_w} exceeds image {h}x{w}")
+    y = (h - crop_h) // 2
+    x = (w - crop_w) // 2
+    return img[y : y + crop_h, x : x + crop_w]
+
+
+THUMBNAIL_SCHEMA = (
+    "key string, payload binary, width int, height int, orig_width int, orig_height int"
+)
+
+
+def image_thumbnails(
+    df: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    key_col: str = "url",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Decode → bilinear resize → re-encode as BMP, per Arrow batch —
+    the full real transform pipeline (decode_bmp → resize_image →
+    encode_bmp is codec-free end to end; non-BMP payloads go through
+    the deterministic fake decoder when ``fake`` allows). Output payload
+    is itself a decodable BMP, so stages compose."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            keys, payloads, ws, hs, ows, ohs = [], [], [], [], [], []
+            for key, payload in zip(b[key_col], b[payload_col]):
+                img = decode_image(payload, fake=None if fake else False)
+                thumb = resize_image(img, out_h, out_w)
+                keys.append(key)
+                payloads.append(encode_bmp(thumb))
+                ws.append(out_w)
+                hs.append(out_h)
+                ohs.append(img.shape[0])
+                ows.append(img.shape[1])
+            yield pd.DataFrame(
+                {
+                    "key": keys,
+                    "payload": payloads,
+                    "width": np.array(ws, dtype=np.int32),
+                    "height": np.array(hs, dtype=np.int32),
+                    "orig_width": np.array(ows, dtype=np.int32),
+                    "orig_height": np.array(ohs, dtype=np.int32),
+                }
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(
+        fn, schema=THUMBNAIL_SCHEMA
+    )
+
+
 FEATURES_SCHEMA = "key string, mean_r double, mean_g double, mean_b double, phash string"
 
 

@@ -1902,6 +1902,35 @@ ORDER BY term
 """
 
 
+def q_stream_join(spark, sf_dir):
+    """Impression⋈click shape: every view matched to the same user's
+    clicks landing within 4 hours AFTER it — the watermarked
+    stream-stream join operator run in batch mode (identical code path;
+    watermarks no-op on batch, which is also the backfill form)."""
+    from .streaming import incremental
+
+    e = _read(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return incremental.join_streams(
+        views, clicks, key="user_id", within="4 hours"
+    ).orderBy("user_id", "ts", "event_id", "r_ts", "r_event_id")
+
+
+SQL_STREAM_JOIN = """
+SELECT l.user_id, l.ts, l.event_id, r.ts AS r_ts, r.event_id AS r_event_id
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') l
+JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+ORDER BY l.user_id, l.ts, l.event_id, r_ts, r_event_id
+"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Crawl delta: two deterministic snapshots derived from the
     documents table (old drops doc_id%7==0; new drops doc_id%11==0 and
@@ -2155,6 +2184,7 @@ QUERIES = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "corpus_select": (q_corpus_select, _sql_corpus_select()),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_lsh_topk": (q_ann_lsh, None),
     "ann_ivf_topk": (q_ivf_topk, None),

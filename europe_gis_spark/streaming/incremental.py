@@ -166,6 +166,57 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return stream.join(F.broadcast(dim), on, "left")
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join — the impression⋈click /
+    crawl-request⋈fetch-result shape: match right rows to left rows on
+    ``key`` arriving within ``within`` AFTER the left event.
+
+    Both sides carry a watermark and the join condition bounds the
+    right timestamp to ``[left_ts, left_ts + within]``, so Spark can
+    size state exactly (a side's row is dropped once the other side's
+    watermark passes its joinable window — state is O(rate·window), not
+    O(stream)). Without the time bound a stream-stream join must keep
+    EVERY row forever; this is the only state-safe form at crawl scale.
+
+    Works identically on batch DataFrames (watermarks become no-ops),
+    which is what the batch-equivalence test and any backfill use.
+    """
+    from pyspark.sql import functions as F
+
+    l, r = left, right  # noqa: E741
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    lcols = [F.col(f"l.{c}").alias(c) for c in left.columns]
+    rcols = [
+        F.col(f"r.{c}").alias(c if c not in left.columns else f"r_{c}")
+        for c in right.columns
+        if c != key
+    ]
+    return (
+        l.alias("l")
+        .join(
+            r.alias("r"),
+            (F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+            & (
+                F.col(f"r.{right_ts}")
+                <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+            ),
+        )
+        .select(*lcols, *rcols)
+    )
+
+
 def upsert_sink(
     stream: DataFrame,
     path: str,

@@ -318,3 +318,87 @@ def test_index_assign_points_first_and_all():
     rows, ords = index.assign_points(idx, px, py, match="first")
     pairs = {(int(r), idx.poly_ids[o]) for r, o in zip(rows, ords)}
     assert pairs == {(0, "A"), (1, "A"), (2, "B")}
+
+
+# ----------------------------------------------------------- simplification
+def test_simplify_ring_drops_collinear_and_respects_tol():
+    from europe_gis_spark.geo.geom import simplify_ring
+
+    # a square with collinear midpoints and one tol-sized bump
+    ring = np.array(
+        [
+            [0, 0], [5, 0], [10, 0],          # collinear bottom
+            [10, 5], [10, 10],                # collinear right
+            [5, 10.4],                        # 0.4 bump on the top edge
+            [0, 10], [0, 5], [0, 0],
+        ],
+        dtype=float,
+    )
+    s0 = simplify_ring(ring, 0.0)
+    # tol=0: only exactly-collinear vertices go; the bump stays
+    assert [tuple(p) for p in s0] == [
+        (0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (5.0, 10.4), (0.0, 10.0), (0.0, 0.0)
+    ]
+    s1 = simplify_ring(ring, 0.5)
+    # tol=0.5 swallows the 0.4 bump → pure square
+    assert [tuple(p) for p in s1] == [
+        (0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)
+    ]
+    # closed, and vertices are a subset of the originals
+    orig = {tuple(p) for p in ring}
+    for s in (s0, s1):
+        assert tuple(s[0]) == tuple(s[-1])
+        assert {tuple(p) for p in s} <= orig
+
+
+def test_simplify_polygon_deviation_bound_random():
+    """Every dropped vertex lies within tol of the simplified boundary
+    (the DP guarantee), checked brute-force on jittered circles."""
+    from europe_gis_spark.geo.geom import simplify_polygon
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = 120
+        th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        r = 100 + rng.normal(0, 1.5, n)
+        ring = np.column_stack([r * np.cos(th), r * np.sin(th)])
+        ring = np.vstack([ring, ring[:1]])
+        tol = 3.0
+        (simp,) = simplify_polygon([[ring]], tol)
+        s = simp[0]
+        assert len(s) < len(ring)
+        # brute-force distance of every original vertex to the simplified
+        # boundary
+        for p in ring[:-1]:
+            d = np.inf
+            for a, b in zip(s[:-1], s[1:]):
+                seg = b - a
+                l2 = seg @ seg
+                t = 0.0 if l2 == 0 else np.clip((p - a) @ seg / l2, 0, 1)
+                d = min(d, float(np.hypot(*(p - (a + t * seg)))))
+            assert d <= tol + 1e-9
+
+
+def test_simplify_geoms_operator(spark):
+    from europe_gis_spark.geo import wkb as gwkb
+    from europe_gis_spark.geo.geom import polygon_area
+    from europe_gis_spark.operators import layers as L
+
+    # staircase square: many collinear/step vertices, area 100
+    pts = [(0, 0), (4, 0), (8, 0), (10, 0), (10, 4), (10, 10),
+           (6, 10), (0, 10), (0, 6), (0, 3), (0, 0)]
+    ring = np.array(pts, dtype=float)
+    hole = np.array([(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)], dtype=float)
+    df = spark.createDataFrame(
+        [(1, bytearray(gwkb.encode_polygon([ring, hole])))],
+        "gid long, wkb binary",
+    )
+    out = L.simplify_geoms(df, geom_col="wkb", tol=0.0).collect()
+    assert len(out) == 1
+    row = out[0]
+    g = gwkb.decode(bytes(row.wkb))
+    parts = gwkb.polygon_parts(g)
+    # area exactly preserved at tol=0 (only collinear vertices dropped)
+    assert abs(polygon_area(parts) - 96.0) < 1e-9
+    assert row.n_vertices_out < row.n_vertices_in
+    assert len(parts[0]) == 2  # hole survives

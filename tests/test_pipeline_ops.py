@@ -1238,3 +1238,113 @@ def test_snapshot_diff_statuses_and_null_fp(spark):
         4: "unchanged",
         5: "added",
     }
+
+
+def test_join_streams_stream_equals_batch(spark, tmp_path):
+    """True stream-stream watermarked join over file sources (append,
+    availableNow) produces exactly the batch result of the same
+    function — the state-bounded impression-click shape."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    views = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "ts": [
+                t0,
+                t0 + dt.timedelta(minutes=40),
+                t0 + dt.timedelta(minutes=5),
+                t0 + dt.timedelta(minutes=10),
+            ],
+            "event_id": [10, 11, 20, 30],
+        }
+    )
+    clicks = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "ts": [
+                t0 + dt.timedelta(minutes=30),  # matches view 10? >15min: no
+                t0 + dt.timedelta(minutes=50),  # matches view 11 (10 min)
+                t0 + dt.timedelta(minutes=6),   # matches view 20 (1 min)
+                t0 + dt.timedelta(minutes=9),   # BEFORE view 30: no match
+            ],
+            "event_id": [100, 101, 200, 300],
+        }
+    )
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    dst, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.createDataFrame(views).write.parquet(lsrc)
+    spark.createDataFrame(clicks).write.parquet(rsrc)
+    schema = "user_id long, ts timestamp, event_id long"
+    joined = incremental.join_streams(
+        spark.readStream.schema(schema).parquet(lsrc),
+        spark.readStream.schema(schema).parquet(rsrc),
+        key="user_id",
+        within="15 minutes",
+        watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.r_event_id) for r in spark.read.parquet(dst).collect()
+    }
+    assert got == {(11, 101), (20, 200)}
+    batch = incremental.join_streams(
+        spark.createDataFrame(views),
+        spark.createDataFrame(clicks),
+        key="user_id",
+        within="15 minutes",
+    )
+    assert {(r.event_id, r.r_event_id) for r in batch.collect()} == got
+
+
+def test_resize_and_crop_semantics():
+    """Nearest 2x downsample of a checkerboard picks block corners
+    exactly; bilinear of a constant image is identity; crop centers."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[::2, ::2] = 255
+    near = multimodal.resize_image(img, 4, 4, method="nearest")
+    assert near.shape == (4, 4, 3)
+    # half-pixel centers of a 2x downsample land on odd indices (1,3,..)
+    assert (near == img[1::2, 1::2]).all()
+    const = np.full((5, 7, 3), 123, dtype=np.uint8)
+    bil = multimodal.resize_image(const, 11, 3)
+    assert (bil == 123).all()
+    # bilinear 2x2 -> 1x1 is the mean of the four pixels
+    quad = np.array([[[0]*3, [100]*3], [[200]*3, [100]*3]], dtype=np.uint8)
+    one = multimodal.resize_image(quad, 1, 1)
+    assert (one == 100).all()
+    crop = multimodal.center_crop(img, 4, 4)
+    assert (crop == img[2:6, 2:6]).all()
+    with pytest.raises(ValueError, match="exceeds"):
+        multimodal.center_crop(img, 9, 4)
+
+
+def test_image_thumbnails_real_bmp_roundtrip(spark):
+    """decode_bmp → resize → encode_bmp end to end through the Spark
+    operator: output payloads are decodable BMPs with exact expected
+    pixels for a real input BMP and the fake path for non-BMP bytes."""
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(16, dtype=np.uint8)[None, :] * 16
+    grad[:, :, 1] = np.arange(16, dtype=np.uint8)[:, None] * 16
+    bmp = multimodal.encode_bmp(grad)
+    df = spark.createDataFrame(
+        [("a", bytearray(bmp)), ("b", bytearray(b"not-an-image"))],
+        "url string, payload binary",
+    )
+    got = {r.key: r for r in multimodal.image_thumbnails(df, 8, 8).collect()}
+    a = got["a"]
+    assert (a.orig_height, a.orig_width, a.height, a.width) == (16, 16, 8, 8)
+    dec = multimodal.decode_bmp(bytes(a.payload))
+    np.testing.assert_array_equal(dec, multimodal.resize_image(grad, 8, 8))
+    # fake path: 8x8 deterministic fake resized to 8x8, still a BMP
+    b = got["b"]
+    assert (b.orig_height, b.orig_width) == (8, 8)
+    assert multimodal.decode_bmp(bytes(b.payload)).shape == (8, 8, 3)
