@@ -313,6 +313,131 @@ def inverted_index(
     return out
 
 
+def budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group token-budget selection: within each group (source /
+    domain / language), walk docs in ``order_col`` order and keep while
+    the running token total stays within ``budget_tokens`` — the 'give
+    me N tokens per source' corpus-mixing primitive.
+
+    One window over the (group, order) exchange: the cumulative sum is
+    a running frame, no self-join, no driver loop. Emits every doc with
+    its running total and keep flag so the caller can audit the cut
+    line."""
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(tokens_col())
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return docs.select(
+        group_col,
+        order_col,
+        n_tok.alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "keep", F.col("cum_tokens") <= F.lit(budget_tokens)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing bookkeeping: concatenate each group's
+    docs (in ``order_col`` order) into one token stream chopped into
+    fixed ``seq_len`` windows, and emit every doc's placement — global
+    token offset, first/last sequence index, and whether it crosses a
+    sequence boundary. Downstream writers materialize sequence shards
+    from exactly these spans.
+
+    Same single-window shape as :func:`budget_select`: one exclusive
+    running sum over the (group, order) exchange; no self-join, no
+    driver loop — the packing of a 10¹²-token corpus is one window
+    pass."""
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(tokens_col())
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select(group_col, order_col, n_tok.alias("n_tokens"))
+        .withColumn("tok_offset", off)
+        .withColumn("seq_first", F.floor(F.col("tok_offset") / seq_len))
+        .withColumn(
+            "seq_last",
+            F.floor(
+                (F.col("tok_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / seq_len
+            ),
+        )
+        .withColumn("crosses", F.col("seq_last") > F.col("seq_first"))
+    )
+
+
+# cumulative md5-prefix thresholds: membership is a STRING comparison on
+# the hex digest, identical in every engine and stable as the corpus
+# grows (a doc's split never changes when other docs arrive — the
+# property random splits lack)
+def hash_split(
+    docs: DataFrame,
+    fracs: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Deterministic hash split into named buckets (train/val/test …):
+    bucket = first cumulative md5-prefix threshold exceeding the doc's
+    salted digest. Pure column expressions — no rand(), no shuffle; the
+    ``salt`` versions the split (bump it to re-deal)."""
+    fracs = fracs or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(fracs.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    digest = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    prefix = F.substring(digest, 1, 8)
+    expr = None
+    cum = 0.0
+    items = list(fracs.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        cutoff = format(int(cum * 16**8), "08x")
+        cond = prefix < F.lit(cutoff)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.withColumn("split", expr)
+
+
+def curriculum_buckets(
+    scored: DataFrame,
+    n_buckets: int = 10,
+    score_col: str = "avg_log10p",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Difficulty deciles for curriculum ordering: NTILE over the
+    quality score (ties broken by id for engine-deterministic bucket
+    edges). Standard SQL NTILE fill semantics in both engines.
+
+    Scale note: a single unpartitioned NTILE is a global sort — fine
+    for per-snapshot curriculum assignment (one pass, Spark's sort is
+    external/distributed); for repeated use at corpus scale compute
+    approximate quantile EDGES once and bucket by comparison instead."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col(score_col), F.col(id_col))
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -1765,7 +1765,9 @@ def q_lm_score(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-SQL_LM_SCORE = """
+# trigram-LM CTE chain ending in sc(doc_id, n_tris, avg_log10p) —
+# shared by the lm_score and curriculum oracles
+_LM_CTES = """
 WITH t AS (
   SELECT doc_id, REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g') AS nt FROM documents
 ),
@@ -1780,7 +1782,9 @@ sc AS (
   SELECT tr.doc_id, COUNT(*) AS n_tris,
          ROUND(AVG(LOG10((c.c + 0.5) / (tot.tot + 0.5 * tot.vocab))), 6) AS avg_log10p
   FROM tr JOIN c USING (tri) CROSS JOIN tot GROUP BY tr.doc_id
-)
+)"""
+
+SQL_LM_SCORE = f"""{_LM_CTES}
 SELECT d.doc_id, COALESCE(s.n_tris, 0) AS n_tris, s.avg_log10p
 FROM documents d LEFT JOIN sc s USING (doc_id) ORDER BY doc_id
 """
@@ -1899,6 +1903,103 @@ SELECT term, COUNT(*) AS df,
 FROM tok GROUP BY term
 HAVING COUNT(*) >= 2 AND COUNT(*) <= 0.8 * (SELECT COUNT(*) FROM documents)
 ORDER BY term
+"""
+
+
+def q_budget_select(spark, sf_dir):
+    """Per-source token-budget corpus mixing: keep docs in doc_id order
+    within each source while the running token total stays ≤ 20 000."""
+    return textops.budget_select(
+        _read(spark, sf_dir, "documents"), budget_tokens=20_000
+    ).orderBy("source", "doc_id")
+
+
+SQL_BUDGET_SELECT = """
+WITH t AS (
+  SELECT source, doc_id,
+         LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT source, doc_id, n_tokens,
+       CAST(SUM(n_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_tokens,
+       SUM(n_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) <= 20000 AS keep
+FROM t ORDER BY source, doc_id
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence-packing bookkeeping at seq_len=512: every doc's global
+    token offset and first/last sequence index within its source's
+    packed stream."""
+    return textops.pack_sequences(
+        _read(spark, sf_dir, "documents"), seq_len=512
+    ).orderBy("source", "doc_id")
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT source, doc_id,
+         LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT source, doc_id, n_tokens, tok_offset,
+       CAST(FLOOR(tok_offset / 512.0) AS BIGINT) AS seq_first,
+       CAST(FLOOR((tok_offset + GREATEST(n_tokens, 1) - 1) / 512.0) AS BIGINT) AS seq_last,
+       CAST(FLOOR((tok_offset + GREATEST(n_tokens, 1) - 1) / 512.0) AS BIGINT)
+         > CAST(FLOOR(tok_offset / 512.0) AS BIGINT) AS crosses
+FROM o ORDER BY source, doc_id
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic md5-prefix train/val/test split — stable under
+    corpus growth, no rand()."""
+    return textops.hash_split(
+        _read(spark, sf_dir, "documents").select("doc_id")
+    ).orderBy("doc_id")
+
+
+SQL_HASH_SPLIT = f"""
+SELECT doc_id,
+       CASE
+         WHEN SUBSTRING(MD5('split:v1|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < '{format(int(0.8 * 16**8), "08x")}' THEN 'train'
+         WHEN SUBSTRING(MD5('split:v1|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < '{format(int(0.9 * 16**8), "08x")}' THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_curriculum(spark, sf_dir):
+    """Curriculum difficulty deciles: NTILE(10) over the corpus
+    self-trained trigram-LM score (gibberish → low deciles), ties
+    broken by doc_id so bucket edges are engine-deterministic."""
+    scored = textops.char_trigram_lm_scores(
+        _read(spark, sf_dir, "documents")
+    ).select("doc_id", "avg_log10p")
+    return textops.curriculum_buckets(scored).orderBy("doc_id")
+
+
+SQL_CURRICULUM = f"""{_LM_CTES}
+SELECT d.doc_id, s.avg_log10p,
+       NTILE(10) OVER (ORDER BY s.avg_log10p NULLS FIRST, d.doc_id) AS bucket
+FROM documents d LEFT JOIN sc s USING (doc_id) ORDER BY d.doc_id
 """
 
 
@@ -2185,6 +2286,10 @@ QUERIES = {
     "corpus_select": (q_corpus_select, _sql_corpus_select()),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
+    "budget_select": (q_budget_select, SQL_BUDGET_SELECT),
+    "curriculum_buckets": (q_curriculum, SQL_CURRICULUM),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_lsh_topk": (q_ann_lsh, None),
     "ann_ivf_topk": (q_ivf_topk, None),

@@ -119,6 +119,19 @@ def main() -> None:
         )
     )
 
+    from europe_gis_spark.operators import textops
+
+    tfidf = textops.tf_idf(docs, top_k=5)
+    tfidf.collect()
+    sections.append(
+        (
+            "TF-IDF top-k (FINAL adaptive plan: one explode→(doc,term) "
+            "partial+final agg, df aggregated off the SAME table, "
+            "term-keyed join, 1-row broadcast N, doc-windowed top-k)",
+            tfidf._jdf.queryExecution().executedPlan().toString().strip(),
+        )
+    )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Captured physical plans — the evidence behind the scale claims\n\n")

