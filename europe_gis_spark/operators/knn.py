@@ -68,17 +68,16 @@ def nearest_for_cell(
         )
         cand = [buckets[int(cc)] for cc in ring.tolist() if int(cc) in buckets]
         if cand:
-            idxs = np.concatenate(cand).astype(np.int64)
+            # sorted ascending so argmin's first-occurrence rule IS the
+            # smallest-ordinal tie-break — no extra matrix pass
+            idxs = np.sort(np.concatenate(cand).astype(np.int64))
             d2 = (px[:, None] - xs[idxs][None, :]) ** 2 + (
                 py[:, None] - ys[idxs][None, :]
             ) ** 2
-            d2min = d2.min(axis=1)
-            # deterministic (distance, ordinal) tie-break: among the
-            # batch's equal-minimal candidates take the smallest ordinal,
-            # and across rings an equal distance only wins on ordinal
-            ord_min = np.where(d2 == d2min[:, None], idxs[None, :], big).min(
-                axis=1
-            )
+            j = np.argmin(d2, axis=1)
+            d2min = d2[np.arange(n), j]
+            ord_min = idxs[j]
+            # across rings an equal distance only wins on ordinal
             best_ord = np.where(best_i >= 0, best_i, big)
             better = (d2min < best_d2) | (
                 (d2min == best_d2) & (ord_min < best_ord)
