@@ -25,12 +25,18 @@ def asof_join(
     on: list[str],
     ts_col: str,
     value_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: left rows gain ``value_cols`` from the latest
-    right row with ``right.ts_col <= left.ts_col`` per ``on`` key
-    (NULLs when no prior right row exists). Both inputs must carry
-    ``on`` + ``ts_col``; at equal timestamps the right row matches
-    (<= semantics, same as DuckDB ASOF JOIN)."""
+    """Left as-of join: left rows gain ``value_cols`` from the LATEST
+    right row with ``right.ts_col <= left.ts_col`` (``backward``, the
+    default — DuckDB ASOF JOIN semantics) or the EARLIEST right row
+    with ``right.ts_col >= left.ts_col`` (``forward`` — the
+    next-event/funnel direction). NULLs when no matching right row
+    exists. Both inputs must carry ``on`` + ``ts_col``; at equal
+    timestamps the right row matches in both directions. Same
+    single-sort plan either way."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [c for c in left.columns if c not in value_cols]
     l_tag = left.select(
         *lcols,
@@ -48,23 +54,31 @@ def asof_join(
         F.lit(1).alias("_is_right"),
     )
     u = l_tag.unionByName(r_tag)
-    # right rows sort BEFORE left rows at equal ts so <= matches
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("_is_right").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    guarded = F.when(
+        F.col("_is_right") == 1, F.struct(*[F.col(v) for v in value_cols])
     )
-    # fill ONE struct of all value_cols guarded by _is_right: the latest
-    # right ROW is carried atomically, so (a) a right row whose value is
-    # legitimately NULL still wins over an older non-NULL snapshot
-    # (DuckDB ASOF JOIN returns that row's NULL), and (b) multiple
-    # value_cols can never tear across different right rows
-    snap = F.last(
-        F.when(
-            F.col("_is_right") == 1, F.struct(*[F.col(v) for v in value_cols])
-        ),
-        ignorenulls=True,
-    ).over(w)
+    # fill ONE struct of all value_cols guarded by _is_right: the
+    # matched right ROW is carried atomically, so (a) a right row whose
+    # value is legitimately NULL still wins over a farther non-NULL
+    # snapshot (DuckDB ASOF JOIN returns that row's NULL), and (b)
+    # multiple value_cols can never tear across different right rows
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts so <= matches
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(ts_col).asc(), F.col("_is_right").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        snap = F.last(guarded, ignorenulls=True).over(w)
+    else:
+        # right rows sort AFTER left rows at equal ts; the forward frame
+        # starts at the current row so an equal-ts right row matches
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(ts_col).asc(), F.col("_is_right").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        snap = F.first(guarded, ignorenulls=True).over(w)
     filled = u.select(
         *lcols,
         "_is_right",

@@ -1933,6 +1933,75 @@ FROM t ORDER BY source, doc_id
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Three-stage conversion funnel (view → click → purchase per
+    user): two chained FORWARD as-of joins — each view takes the
+    earliest same-user click at-or-after it, each matched view takes
+    the earliest purchase at-or-after that click. Views whose funnel
+    stalls carry NULLs; `converted` flags completion."""
+    from .operators import asof
+
+    e = _read(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts2"), F.col("ts").alias("purchase_ts")
+    )
+    vc = asof.asof_join(
+        v, c, on=["user_id"], ts_col="ts", value_cols=["click_ts"],
+        direction="forward",
+    )
+    matched = vc.filter(F.col("click_ts").isNotNull()).withColumn(
+        "ts2", F.col("click_ts")
+    )
+    vcp = asof.asof_join(
+        matched, p, on=["user_id"], ts_col="ts2",
+        value_cols=["purchase_ts"], direction="forward",
+    ).drop("ts2")
+    stalled = vc.filter(F.col("click_ts").isNull()).withColumn(
+        "purchase_ts", F.lit(None).cast("timestamp")
+    )
+    return (
+        vcp.unionByName(stalled)
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            "view_id",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.col("click_ts").isNotNull()
+                & F.col("purchase_ts").isNotNull()
+            ).alias("converted"),
+        )
+        .orderBy("user_id", "view_ts", "view_id")
+    )
+
+
+SQL_FUNNEL = """
+WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+vc AS (
+  SELECT v.user_id, v.ts, v.view_id, MIN(c.ts) AS click_ts
+  FROM v LEFT JOIN c ON c.user_id = v.user_id AND c.ts >= v.ts
+  GROUP BY 1, 2, 3
+),
+vcp AS (
+  SELECT vc.user_id, vc.ts, vc.view_id, vc.click_ts, MIN(p.ts) AS purchase_ts
+  FROM vc LEFT JOIN p ON p.user_id = vc.user_id AND p.ts >= vc.click_ts
+  GROUP BY 1, 2, 3, 4
+)
+SELECT user_id, ts AS view_ts, view_id, click_ts, purchase_ts,
+       (click_ts IS NOT NULL AND purchase_ts IS NOT NULL) AS converted
+FROM vcp ORDER BY user_id, view_ts, view_id
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence-packing bookkeeping at seq_len=512: every doc's global
     token offset and first/last sequence index within its source's
@@ -2289,6 +2358,7 @@ QUERIES = {
     "budget_select": (q_budget_select, SQL_BUDGET_SELECT),
     "curriculum_buckets": (q_curriculum, SQL_CURRICULUM),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "funnel": (q_funnel, SQL_FUNNEL),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_lsh_topk": (q_ann_lsh, None),

@@ -78,3 +78,28 @@ def test_range_join_boundaries(spark):
         for r in range_join(pts, iv, "v", "lo", "hi", bucket=1000.0).collect()
     }
     assert got2 == {1, 3}
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of: earliest right row at-or-after each left ts;
+    equal timestamps match; NULL when nothing follows."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40), (2, 5)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (2, 1, "z")], "k long, t long, v string"
+    )
+    from europe_gis_spark.operators import asof
+
+    got = {
+        (r.k, r.t): r.v
+        for r in asof.asof_join(
+            left, right, on=["k"], ts_col="t", value_cols=["v"],
+            direction="forward",
+        ).collect()
+    }
+    assert got == {(1, 10): "a", (1, 25): "b", (1, 40): None, (2, 5): None}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="backward|forward"):
+        asof.asof_join(left, right, ["k"], "t", ["v"], direction="fwd")
