@@ -1026,6 +1026,30 @@ def q_raster_region_geoms(spark, sf_dir):
     ).orderBy("region_id")
 
 
+def q_region_geoms_simplified(spark, sf_dir):
+    """F9 geometry output chained through Douglas–Peucker at ¾-cell
+    tolerance — the standard publish-time simplification (smooths
+    pixel staircases; the ring tracer already emits collinear-free
+    rings, so tol=0 would be a no-op here). Rows-only: region
+    ids/geometry are engine-specific; DP exactness is pytest-gated in
+    test_geo_kernel."""
+    from .operators import layers as L
+
+    geoms = L.region_geometries(_density_tiles(spark, sf_dir), tile_w=16)
+    return (
+        L.simplify_geoms(geoms, geom_col="wkb", tol=0.75)
+        .select(
+            "layer",
+            "region_id",
+            "value",
+            "n_px",
+            "n_vertices_in",
+            "n_vertices_out",
+        )
+        .orderBy("region_id")
+    )
+
+
 def q_overlay_rects(spark, sf_dir):
     """J3 overlay with GEOMETRY output (gpd.overlay 'intersection'):
     2 km grid squares (from event-point buckets, translated coords) ×
@@ -1794,7 +1818,7 @@ def q_dedup_keep(spark, sf_dir):
     """The dedup pipeline's deliverable: per-doc KEEP flag — canonical
     representative (min doc_id) of each verified near-dup cluster kept,
     other members dropped, non-clustered docs kept."""
-    docs = _docs_with_dups(spark, sf_dir)
+    docs = _docs_with_dups(spark, sf_dir).localCheckpoint(eager=True)
     cand = dedup.lsh_candidate_pairs(docs)
     verified = dedup.verify_pairs(cand, docs, threshold=0.5).select(
         "doc_a", "doc_b"
@@ -2148,7 +2172,9 @@ def q_corpus_select(spark, sf_dir):
     (MinHash LSH → Jaccard verify → connected components → canonical
     representative) ∧ quality gate, per document. The C4-style 'which
     docs make the training cut' answer."""
-    docs = _docs_with_dups(spark, sf_dir)
+    # the union feeds four branches (candidates, verify, keep, quality)
+    # across the CC loop's many jobs — materialize it once
+    docs = _docs_with_dups(spark, sf_dir).localCheckpoint(eager=True)
     cand = dedup.lsh_candidate_pairs(docs)
     verified = dedup.verify_pairs(cand, docs, threshold=0.5).select(
         "doc_a", "doc_b"
@@ -2327,6 +2353,7 @@ QUERIES = {
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "raster_regions": (q_raster_regions, SQL_RASTER_REGIONS),
     "raster_region_geoms": (q_raster_region_geoms, None),
+    "region_geoms_simplified": (q_region_geoms_simplified, None),
     "overlay_rects": (q_overlay_rects, _sql_overlay_rects()),
     "salted_skew_join": (q_salted_skew_join, SQL_SALTED_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
