@@ -1957,6 +1957,88 @@ FROM t ORDER BY source, doc_id
 """
 
 
+def q_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-event week
+    (ISO-Monday truncation, identical in both engines), activity
+    counted as distinct users per (cohort, week-offset). Two
+    aggregations + one join — no per-user loops."""
+    e = _read(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = e.join(first, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("first_ts")).alias("cohort_week"),
+        F.floor(
+            F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7
+        ).alias("week_offset"),
+    )
+    return (
+        j.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_RETENTION = """
+WITH first AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+),
+j AS (
+  SELECT e.user_id,
+         DATE_TRUNC('week', f.first_ts) AS cohort_week,
+         CAST(FLOOR(DATE_DIFF('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+  FROM events e JOIN first f USING (user_id)
+)
+SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
+FROM j GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""
+
+
+def q_anomaly_days(spark, sf_dir):
+    """Daily-volume anomaly flags per event type: a day is anomalous
+    when its event count exceeds mean + 3σ of that type's daily counts
+    (population stddev, rounded for engine parity)."""
+    e = _read(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.round(F.avg("n"), 6).alias("mean_n"),
+        F.round(F.stddev_pop("n"), 6).alias("sd_n"),
+    )
+    return (
+        daily.join(stats, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "mean_n",
+            "sd_n",
+            (
+                F.col("n")
+                > F.col("mean_n") + F.lit(3.0) * F.col("sd_n")
+            ).alias("anomalous"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_ANOMALY_DAYS = """
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, ROUND(AVG(n), 6) AS mean_n,
+         ROUND(STDDEV_POP(n), 6) AS sd_n
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n, s.mean_n, s.sd_n,
+       d.n > s.mean_n + 3.0 * s.sd_n AS anomalous
+FROM daily d JOIN stats s USING (event_type)
+ORDER BY d.event_type, d.day
+"""
+
+
 def q_funnel(spark, sf_dir):
     """Three-stage conversion funnel (view → click → purchase per
     user): two chained FORWARD as-of joins — each view takes the
@@ -2386,6 +2468,8 @@ QUERIES = {
     "curriculum_buckets": (q_curriculum, SQL_CURRICULUM),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "funnel": (q_funnel, SQL_FUNNEL),
+    "retention": (q_retention, SQL_RETENTION),
+    "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_lsh_topk": (q_ann_lsh, None),
