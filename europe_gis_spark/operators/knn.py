@@ -261,3 +261,57 @@ def nearest_centroid(
             yield out
 
     return points.mapInPandas(fn, schema=out_schema)
+
+
+def within_distance_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    dist: float,
+    left_cols: tuple[str, ...] = ("event_id",),
+    right_cols: tuple[str, ...] = ("anchor_id",),
+) -> "DataFrame":
+    """Spatial ε-join: every (left, right) pair with Euclidean distance
+    ≤ ``dist`` — the ST_DWithin analogue, as a SHUFFLE join (neither
+    side needs to fit in memory, unlike the broadcast kNN path).
+
+    Grid-hash join at cell size = dist: each left point keeps its own
+    cell, each right point replicates to its 3×3 cell neighborhood, the
+    join is a plain equi-join on the cell key + exact d² refine. A
+    qualifying pair meets in EXACTLY one bucket (the left point's
+    cell), so no distinct pass; right-side blowup is a fixed 9×
+    (tens of bytes per row). Work scales with occupancy of matching
+    cells, never |left|·|right|. Pure column ops, codegen throughout.
+    """
+    from pyspark.sql import functions as F
+
+    d = float(dist)
+    lb = left.select(
+        *left_cols,
+        F.col("x").alias("_lx"),
+        F.col("y").alias("_ly"),
+        F.floor(F.col("x") / d).cast("long").alias("_bx"),
+        F.floor(F.col("y") / d).cast("long").alias("_by"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(i).alias("dx"), F.lit(j).alias("dy"))
+            for i in (-1, 0, 1)
+            for j in (-1, 0, 1)
+        ]
+    )
+    rb = (
+        right.withColumn("_o", F.explode(offsets))
+        .select(
+            *right_cols,
+            F.col("x").alias("_rx"),
+            F.col("y").alias("_ry"),
+            (F.floor(F.col("x") / d).cast("long") + F.col("_o.dx")).alias("_bx"),
+            (F.floor(F.col("y") / d).cast("long") + F.col("_o.dy")).alias("_by"),
+        )
+    )
+    d2 = (F.col("_lx") - F.col("_rx")) ** 2 + (F.col("_ly") - F.col("_ry")) ** 2
+    return (
+        lb.join(rb, ["_bx", "_by"])
+        .filter(d2 <= F.lit(d * d))
+        .select(*left_cols, *right_cols, F.sqrt(d2).alias("dist"))
+    )

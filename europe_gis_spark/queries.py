@@ -857,6 +857,34 @@ FROM d GROUP BY event_id ORDER BY event_id
 """
 
 
+def q_geo_within_dist(spark, sf_dir):
+    """ST_DWithin analogue as a SHUFFLE ε-join (grid-hash at cell =
+    dist, 3×3 right replication, exact refine) — every (point, anchor)
+    pair within 6 km; exhaustive cross-join oracle."""
+    pts = event_points(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
+    anchors = spark.createDataFrame(
+        [(a, x, y) for a, x, y in KNN_ANCHORS], "anchor_id string, x double, y double"
+    )
+    out = knn.within_distance_join(pts, anchors, dist=6000.0)
+    return out.select(
+        "event_id", "anchor_id", F.round("dist", 6).alias("dist")
+    ).orderBy("event_id", "anchor_id")
+
+
+def _sql_geo_within_dist() -> str:
+    anchors = ", ".join(f"('{a}', {x!r}, {y!r})" for a, x, y in KNN_ANCHORS)
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+anchors(aid, ax, ay) AS (VALUES {anchors})
+SELECT event_id, aid AS anchor_id,
+       ROUND(SQRT((x - ax) * (x - ax) + (y - ay) * (y - ay)), 6) AS dist
+FROM pts, anchors
+WHERE event_id % 7 = 0
+  AND (x - ax) * (x - ax) + (y - ay) * (y - ay) <= 6000.0 * 6000.0
+ORDER BY event_id, anchor_id
+"""
+
+
 def q_geo_knn3(spark, sf_dir):
     """k=3 ring-expansion kNN (J9 generalized) — exhaustive
     rank-over-distance oracle."""
@@ -2431,6 +2459,7 @@ QUERIES = {
     "geo_burn_values": (q_geo_burn_values, _sql_geo_burn_values()),
     "geo_knn": (q_geo_knn, _sql_geo_knn()),
     "geo_knn3": (q_geo_knn3, _sql_geo_knn3()),
+    "geo_within_dist": (q_geo_within_dist, _sql_geo_within_dist()),
     "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "raster_regions": (q_raster_regions, SQL_RASTER_REGIONS),

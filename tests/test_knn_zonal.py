@@ -137,3 +137,33 @@ def test_overlap_stats(spark):
     # a typo'd wins value must raise, not silently pick first-wins
     with pytest.raises(ValueError, match="wins"):
         zonal.overlap_stats(pairs, wins="lasts").collect()
+
+
+def test_within_distance_join_exact_and_no_duplicates(spark):
+    """Grid-hash ε-join: exact pair set vs brute force, and each pair
+    emitted exactly ONCE even when points straddle cell borders."""
+    import itertools
+
+    from europe_gis_spark.operators import knn as K
+
+    D = 10.0
+    # points on and around bucket boundaries (cell size = D)
+    lpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        [(0, 0), (10, 0), (9.999, 9.999), (20, 20), (15, 5), (-0.1, -0.1)]
+    )]
+    rpts = [(f"r{j}", float(x), float(y)) for j, (x, y) in enumerate(
+        [(0, 0), (10, 10), (19, 21), (35, 35), (5, 5)]
+    )]
+    left = spark.createDataFrame(lpts, "event_id long, x double, y double")
+    right = spark.createDataFrame(rpts, "anchor_id string, x double, y double")
+    got = [
+        (r.event_id, r.anchor_id)
+        for r in K.within_distance_join(left, right, D).collect()
+    ]
+    want = [
+        (i, a)
+        for (i, lx, ly), (a, rx, ry) in itertools.product(lpts, rpts)
+        if (lx - rx) ** 2 + (ly - ry) ** 2 <= D * D
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(got) == len(set(got))  # no bucket-overlap duplicates
