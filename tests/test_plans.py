@@ -270,3 +270,29 @@ def test_whole_stage_codegen_covers_agg(spark):
     # and the aggregation is partial+final with pushdown (simple mode)
     s = plan_str(df, mode="simple")
     assert "partial_sum" in s and "PushedFilters: [IsNotNull" in s
+
+
+def test_within_distance_join_is_equi_hash_not_nested_loop(spark):
+    """The ε-join must plan as an EQUI join on the grid key (broadcast
+    or shuffled hash) — never BroadcastNestedLoopJoin, which is what a
+    naive range-predicate join degenerates to."""
+    from pyspark.sql import functions as F
+
+    from europe_gis_spark.operators import knn as K
+
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 997).cast("double").alias("x"),
+        (F.col("id") % 883).cast("double").alias("y"),
+    )
+    right = spark.range(0, 500).select(
+        F.concat(F.lit("a"), F.col("id")).alias("anchor_id"),
+        (F.col("id") * 2.0).alias("x"),
+        (F.col("id") * 1.7).alias("y"),
+    )
+    df = K.within_distance_join(left, right, 25.0)
+    p = plan_str(df, mode="simple")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+    assert ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "SortMergeJoin" in p
+    ), p
