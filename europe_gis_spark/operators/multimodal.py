@@ -350,6 +350,65 @@ def decode_audio(payload: bytes, fake: bool | None = None) -> np.ndarray:
     return (raw.astype(np.float32) / 32768.0).copy()
 
 
+def resample_audio(
+    wave: np.ndarray, from_rate: int, to_rate: int
+) -> np.ndarray:
+    """Linear-interpolation resample of a mono waveform — the real
+    transform step of the audio pipeline (sample-center mapping, edge
+    clamped; pure numpy, no codec). Identity when rates match."""
+    if from_rate == to_rate:
+        return np.asarray(wave, dtype=np.float32)
+    w = np.asarray(wave, dtype=np.float64)
+    n_out = max(int(round(len(w) * to_rate / from_rate)), 1)
+    src = np.arange(n_out) * (from_rate / to_rate)
+    i0 = np.minimum(np.floor(src).astype(int), len(w) - 1)
+    i1 = np.minimum(i0 + 1, len(w) - 1)
+    frac = np.clip(src - i0, 0.0, 1.0)
+    return (w[i0] * (1 - frac) + w[i1] * frac).astype(np.float32)
+
+
+CLIP_SCHEMA = (
+    "key string, payload binary, n_samples int, orig_samples int, sample_rate int"
+)
+
+
+def audio_clips(
+    df: DataFrame,
+    to_rate: int = 8_000,
+    from_rate: int = 16_000,
+    key_col: str = "url",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Decode → resample → re-encode 16-bit PCM WAV per Arrow batch —
+    the audio twin of :func:`image_thumbnails` (decode_wav →
+    resample_audio → encode_wav is codec-free end to end; non-WAV
+    payloads go through the deterministic fake decoder when ``fake``
+    allows). Output payloads are decodable WAVs, so stages compose."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            keys, payloads, ns, on = [], [], [], []
+            for key, payload in zip(b[key_col], b[payload_col]):
+                w = decode_audio(payload, fake=None if fake else False)
+                r = resample_audio(w, from_rate, to_rate)
+                keys.append(key)
+                payloads.append(encode_wav(r, sample_rate=to_rate))
+                ns.append(len(r))
+                on.append(len(w))
+            yield pd.DataFrame(
+                {
+                    "key": keys,
+                    "payload": payloads,
+                    "n_samples": np.array(ns, dtype=np.int32),
+                    "orig_samples": np.array(on, dtype=np.int32),
+                    "sample_rate": np.full(len(keys), to_rate, dtype=np.int32),
+                }
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(fn, schema=CLIP_SCHEMA)
+
+
 AUDIO_SCHEMA = "key string, n_samples int, rms double, zero_crossings int"
 
 

@@ -1420,3 +1420,39 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert {r.split: r["count"] for r in c} != {r.split: r["count"] for r in got} or True
     with pytest.raises(ValueError, match="sum to 1"):
         textops.hash_split(docs, fracs={"a": 0.5, "b": 0.4})
+
+
+def test_resample_audio_semantics():
+    """Identity at equal rates; 2x downsample of a ramp keeps the ramp
+    (linear interp of a linear signal is exact); length scales."""
+    ramp = np.linspace(-1, 1, 100, dtype=np.float32)
+    same = multimodal.resample_audio(ramp, 16_000, 16_000)
+    np.testing.assert_array_equal(same, ramp)
+    half = multimodal.resample_audio(ramp, 16_000, 8_000)
+    assert len(half) == 50
+    # a linear signal survives linear resampling exactly (within fp32)
+    np.testing.assert_allclose(half, ramp[::2], atol=1e-6)
+    up = multimodal.resample_audio(ramp, 8_000, 16_000)
+    assert len(up) == 200
+
+
+def test_audio_clips_real_wav_roundtrip(spark):
+    """decode_wav → resample → encode_wav through the Spark operator:
+    output payloads decode to the expected resampled waveforms."""
+    t = np.arange(1600) / 16_000.0
+    tone = np.sin(2 * np.pi * 440 * t).astype(np.float32) * 0.5
+    wav = multimodal.encode_wav(tone, sample_rate=16_000)
+    df = spark.createDataFrame(
+        [("a", bytearray(wav)), ("b", bytearray(b"not-audio"))],
+        "url string, payload binary",
+    )
+    got = {r.key: r for r in multimodal.audio_clips(df, to_rate=8_000).collect()}
+    a = got["a"]
+    assert (a.orig_samples, a.n_samples, a.sample_rate) == (1600, 800, 8000)
+    dec = multimodal.decode_wav(bytes(a.payload))
+    want = multimodal.resample_audio(tone, 16_000, 8_000)
+    # 16-bit quantization on the re-encode bounds the roundtrip error
+    np.testing.assert_allclose(dec, want, atol=2.0 / 32767)
+    b = got["b"]
+    assert b.orig_samples == 1024  # deterministic fake length
+    assert multimodal.decode_wav(bytes(b.payload)).shape == (512,)
