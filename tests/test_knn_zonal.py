@@ -167,3 +167,26 @@ def test_within_distance_join_exact_and_no_duplicates(spark):
     ]
     assert sorted(got) == sorted(want)
     assert len(got) == len(set(got))  # no bucket-overlap duplicates
+
+
+def test_within_distance_join_fuzz_vs_brute_force(spark):
+    """Random clouds at several distances: ε-join pair set == brute
+    force, duplicate-free."""
+    import itertools
+
+    from europe_gis_spark.operators import knn as K
+
+    rng = np.random.default_rng(23)
+    for D in (3.0, 17.5, 60.0):
+        lp = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 100, (60, 2)))]
+        rp = [(f"r{j}", float(x), float(y)) for j, (x, y) in enumerate(rng.uniform(0, 100, (25, 2)))]
+        left = spark.createDataFrame(lp, "event_id long, x double, y double")
+        right = spark.createDataFrame(rp, "anchor_id string, x double, y double")
+        got = [(r.event_id, r.anchor_id) for r in K.within_distance_join(left, right, D).collect()]
+        want = [
+            (i, a)
+            for (i, lx, ly), (a, rx, ry) in itertools.product(lp, rp)
+            if (lx - rx) ** 2 + (ly - ry) ** 2 <= D * D
+        ]
+        assert sorted(got) == sorted(want), f"D={D}"
+        assert len(got) == len(set(got))

@@ -54,3 +54,19 @@ def test_zorder_layout_prunes_bbox_scans(spark, tmp_path):
         spark.read.parquet(zp).filter(cond).count()
         == spark.read.parquet(pp).filter(cond).count()
     )
+
+
+def test_zorder_key_fuzz_vs_python(spark):
+    """Random bucketed coords: the column-arithmetic Morton key equals
+    the bit-twiddling python reference."""
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 1 << 20, 50)
+    ys = rng.integers(0, 1 << 20, 50)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], "x double, y double"
+    )
+    got = df.select(
+        "x", "y", layout.zorder_key(F.col("x"), F.col("y"), 0.0, 0.0, 1.0).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == _morton_py(int(r.x), int(r.y))
