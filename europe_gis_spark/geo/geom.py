@@ -112,7 +112,16 @@ def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
         [a[_dp_keep_mask(a, tol)][:-1], b[_dp_keep_mask(b, tol)][:-1]]
     )
     if len(out) < 3:
-        out = pts[sorted({0, far, (far + 1) % len(pts)})]
+        # anchor triangle: {0, far} plus any THIRD distinct index —
+        # (far+1) wraps onto 0 when far is the last vertex, which would
+        # collapse to a 2-point zero-area shell
+        third = (far + 1) % len(pts)
+        if third in (0, far):
+            third = (far - 1) % len(pts)
+        idx = sorted({0, far, third})
+        if len(idx) < 3:  # all-coincident ring
+            idx = list(range(min(3, len(pts))))
+        out = pts[idx]
     return np.vstack([out, out[:1]])
 
 

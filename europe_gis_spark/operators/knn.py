@@ -285,6 +285,11 @@ def within_distance_join(
     from pyspark.sql import functions as F
 
     d = float(dist)
+    if not d > 0.0:
+        raise ValueError(
+            f"dist must be positive, got {dist!r} — cell size = dist is "
+            "a divisor; dist=0 would degenerate to a cross join"
+        )
     lb = left.select(
         *left_cols,
         F.col("x").alias("_lx"),

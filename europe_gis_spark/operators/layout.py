@@ -117,6 +117,9 @@ def intersecting_row_groups(
             total += 1
             sx = md.row_group(g).column(names[x_col]).statistics
             sy = md.row_group(g).column(names[y_col]).statistics
+            if sx is None or sy is None:
+                hit += 1  # no stats ⇒ the reader cannot skip it either
+                continue
             if (
                 sx.min <= xmax
                 and sx.max >= xmin

@@ -101,15 +101,27 @@ def decode_image(payload: bytes, fake: bool | None = None) -> np.ndarray:
     loudly when the needed codec is absent.
     """
     if fake is None:
+        # magic match is a hint, not a guarantee: a truncated BMP, a
+        # renamed blob starting with "BM", or a PIL failure must all
+        # fall back to the fake decoder (the fake=None contract never
+        # raises)
         if (payload or b"")[:2] == b"BM":
-            # magic match is a hint, not a guarantee: a truncated BMP or
-            # a renamed blob starting with "BM" must still fall back to
-            # the fake decoder (the fake=None contract never raises)
             try:
                 return decode_bmp(payload)
             except Exception:
                 pass
-        fake = not codecs_available()
+        if codecs_available():
+            try:
+                import io
+
+                import PIL.Image
+
+                return np.asarray(
+                    PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+                )
+            except Exception:
+                pass
+        fake = True
     if not fake:
         if (payload or b"")[:2] == b"BM":
             return decode_bmp(payload)
@@ -350,6 +362,25 @@ def decode_audio(payload: bytes, fake: bool | None = None) -> np.ndarray:
     return (raw.astype(np.float32) / 32768.0).copy()
 
 
+def wav_sample_rate(payload: bytes) -> int | None:
+    """Actual sample rate from a RIFF/WAVE fmt chunk, or None when the
+    payload is not a parseable WAV — the rate `decode_wav` itself
+    normalizes away must still drive resampling ratios."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            if cid == b"fmt ":
+                return int(struct.unpack_from("<HHI", payload, pos + 8)[2])
+            pos += 8 + size + (size & 1)
+    except Exception:
+        return None
+    return None
+
+
 def resample_audio(
     wave: np.ndarray, from_rate: int, to_rate: int
 ) -> np.ndarray:
@@ -384,14 +415,18 @@ def audio_clips(
     the audio twin of :func:`image_thumbnails` (decode_wav →
     resample_audio → encode_wav is codec-free end to end; non-WAV
     payloads go through the deterministic fake decoder when ``fake``
-    allows). Output payloads are decodable WAVs, so stages compose."""
+    allows). A real WAV's OWN header rate drives the resampling ratio
+    (``from_rate`` only covers headerless fake payloads — a 44.1 kHz
+    input must not be resampled as if it were 16 kHz). Output payloads
+    are decodable WAVs, so stages compose."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             keys, payloads, ns, on = [], [], [], []
             for key, payload in zip(b[key_col], b[payload_col]):
                 w = decode_audio(payload, fake=None if fake else False)
-                r = resample_audio(w, from_rate, to_rate)
+                actual = wav_sample_rate(bytes(payload or b"")) or from_rate
+                r = resample_audio(w, actual, to_rate)
                 keys.append(key)
                 payloads.append(encode_wav(r, sample_rate=to_rate))
                 ns.append(len(r))

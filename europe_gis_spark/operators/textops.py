@@ -238,20 +238,31 @@ def tf_idf(docs: DataFrame, top_k: int = 5) -> DataFrame:
     over a web corpus.
 
     Plan (100 TB shape): explode → (doc_id, term) count with map-side
-    partial agg; document frequencies aggregate off that SAME table (no
-    second scan of the text); the tf⋈df join shuffles on term — the
-    vocabulary is corpus-scale (AQE still broadcasts it when it measures
-    small); corpus size N attaches via a broadcast 1-row aggregate; the
-    top-k is one doc_id-partitioned window. Ranking orders by the
-    ROUNDED score so float noise cannot flip boundary ranks between
-    engines (oracle parity), ties broken by term for determinism.
+    partial agg, LOCALLY CHECKPOINTED — document frequencies and the
+    tf⋈df join then genuinely reuse the materialized aggregate instead
+    of re-scanning and re-tokenizing the text (lineage reuse is not
+    free in Spark; without the checkpoint the most expensive stage runs
+    twice). The join shuffles on term — the vocabulary is corpus-scale
+    (AQE still broadcasts it when it measures small); corpus size N
+    attaches via a broadcast 1-row aggregate; the top-k is one
+    doc_id-partitioned window with WindowGroupLimit pushing k below the
+    shuffle. Ranking orders by the ROUNDED score so float noise cannot
+    flip boundary ranks between engines (oracle parity), ties broken by
+    term for determinism.
     """
     from pyspark.sql.window import Window
 
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfx = tf.groupBy("term").agg(F.count("*").alias("df"))
-    ndocs = docs.agg(F.count("*").alias("n_docs"))
+    # every doc yields ≥1 token (split of even empty text emits [""]),
+    # so distinct doc_id over the checkpointed aggregate == |docs| —
+    # avoids a third scan of the text table for a 1-row count
+    ndocs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(dfx, "term")
         .crossJoin(F.broadcast(ndocs))
@@ -410,8 +421,12 @@ def hash_split(
     items = list(fracs.items())
     for name, frac in items[:-1]:
         cum += frac
-        cutoff = format(int(cum * 16**8), "08x")
-        cond = prefix < F.lit(cutoff)
+        # cum can reach 1.0 mid-list (trailing zero-fraction buckets):
+        # int(1.0·16⁸) formats to NINE hex chars, which lexicographically
+        # sorts below every 8-char prefix — this bucket must simply take
+        # everything remaining instead
+        cut_i = int(cum * 16**8)
+        cond = F.lit(True) if cut_i >= 16**8 else prefix < F.lit(format(cut_i, "08x"))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))

@@ -233,17 +233,28 @@ def upsert_sink(
     (availableNow)."""
 
     def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         fresh = batch.dropDuplicates(list(key_cols))
-        # only a genuinely-absent sink may skip the anti-join; any OTHER
-        # read failure (corrupt footer, transient FS error) must abort
-        # the batch, not silently append duplicates
+        # only a genuinely-absent or genuinely-empty sink may skip the
+        # anti-join. Absent: filesystem existence check. Empty-shell (a
+        # killed first write left the directory but no committed part
+        # files): schema inference raises AnalysisException at READ
+        # time — nothing is at rest, so proceeding is correct and the
+        # retry loop must not wedge. Any error at WRITE time (corrupt
+        # footer surfacing in the anti-join, IO failure) still aborts
+        # the batch rather than appending duplicates.
         jvm_fs = spark._jvm.org.apache.hadoop.fs  # noqa: SLF001
         hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
         p = jvm_fs.Path(path)
         if p.getFileSystem(hconf).exists(p):
-            existing = spark.read.parquet(path).select(*key_cols).distinct()
-            fresh = fresh.join(existing, list(key_cols), "left_anti")
+            try:
+                existing = spark.read.parquet(path).select(*key_cols).distinct()
+            except AnalysisException:
+                existing = None  # directory shell with no committed data
+            if existing is not None:
+                fresh = fresh.join(existing, list(key_cols), "left_anti")
         fresh.write.mode("append").parquet(path)
 
     q = (

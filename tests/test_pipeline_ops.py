@@ -1415,11 +1415,26 @@ def test_hash_split_deterministic_and_proportional(spark):
     a = textops.hash_split(docs.filter(F.col("doc_id") < 10)).collect()
     b = textops.hash_split(docs).filter(F.col("doc_id") < 10).collect()
     assert {r.doc_id: r.split for r in a} == {r.doc_id: r.split for r in b}
-    # new salt re-deals
-    c = textops.hash_split(docs, salt="split:v2").groupBy("split").count().collect()
-    assert {r.split: r["count"] for r in c} != {r.split: r["count"] for r in got} or True
+    # new salt re-deals: per-doc membership must actually change
+    small = docs.filter(F.col("doc_id") < 1000)
+    v1 = {r.doc_id: r.split for r in textops.hash_split(small).collect()}
+    v2 = {
+        r.doc_id: r.split
+        for r in textops.hash_split(small, salt="split:v2").collect()
+    }
+    assert sum(1 for k in v1 if v1[k] != v2[k]) > 100  # ~32% expected
     with pytest.raises(ValueError, match="sum to 1"):
         textops.hash_split(docs, fracs={"a": 0.5, "b": 0.4})
+    # a trailing zero-fraction bucket must stay EMPTY (cum hits 1.0
+    # mid-list — the 9-hex-char cutoff regression)
+    z = (
+        textops.hash_split(small, fracs={"train": 0.9, "val": 0.1, "test": 0.0})
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    zc = {r.split: r["count"] for r in z}
+    assert zc.get("test", 0) == 0 and zc.get("val", 0) > 0
 
 
 def test_resample_audio_semantics():
@@ -1456,3 +1471,32 @@ def test_audio_clips_real_wav_roundtrip(spark):
     b = got["b"]
     assert b.orig_samples == 1024  # deterministic fake length
     assert multimodal.decode_wav(bytes(b.payload)).shape == (512,)
+
+
+def test_audio_clips_uses_header_rate_not_default(spark):
+    """A 44.1 kHz WAV resampled to 8 kHz must use ITS header rate for
+    the ratio — not the from_rate default meant for headerless fakes."""
+    t = np.arange(4410) / 44_100.0
+    tone = np.sin(2 * np.pi * 220 * t).astype(np.float32) * 0.5
+    wav = multimodal.encode_wav(tone, sample_rate=44_100)
+    assert multimodal.wav_sample_rate(wav) == 44_100
+    df = spark.createDataFrame([("a", bytearray(wav))], "url string, payload binary")
+    (row,) = multimodal.audio_clips(df, to_rate=8_000).collect()
+    # 0.1 s of audio -> 800 samples at 8 kHz, NOT 4410 * 8000/16000
+    assert row.n_samples == 800
+    assert multimodal.wav_sample_rate(b"RIFF1234AVI ") is None
+
+
+def test_simplify_ring_far_is_last_vertex_degenerate():
+    """Sliver whose farthest-from-anchor vertex is the LAST one must
+    fall back to a 3-point anchor triangle, not a 2-point shell."""
+    from europe_gis_spark.geo.geom import simplify_ring
+
+    ring = np.array(
+        [(0, 0), (1, 0.01), (2, 0.02), (3, 0)], dtype=float
+    )
+    ring = np.vstack([ring, ring[:1]])
+    s = simplify_ring(ring, 0.1)
+    assert len(s) >= 4  # 3 distinct vertices + closure
+    assert tuple(s[0]) == tuple(s[-1])
+    assert len({tuple(p) for p in s[:-1]}) >= 3
