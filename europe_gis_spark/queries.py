@@ -1985,6 +1985,43 @@ FROM t ORDER BY source, doc_id
 """
 
 
+def q_zscore_normalize(spark, sf_dir):
+    """Per-group z-score normalization ((v − μ)/σ, population σ) — the
+    standardization twin of minmax_normalize; group stats ride a
+    broadcast join back onto the rows."""
+    e = _read(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.round(
+                (F.col("value") - F.col("mu"))
+                / F.when(F.col("sigma") > 0, F.col("sigma")).otherwise(
+                    F.lit(1.0)
+                ),
+                6,
+            ).alias("z"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+SQL_ZSCORE = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.event_id,
+       ROUND((e.value - s.mu) / (CASE WHEN s.sigma > 0 THEN s.sigma ELSE 1.0 END), 6) AS z
+FROM events e JOIN stats s USING (event_type)
+ORDER BY e.event_type, e.event_id
+"""
+
+
 def q_retention(spark, sf_dir):
     """Cohort retention matrix: users bucketed by first-event week
     (ISO-Monday truncation, identical in both engines), activity
@@ -2498,6 +2535,7 @@ QUERIES = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "funnel": (q_funnel, SQL_FUNNEL),
     "retention": (q_retention, SQL_RETENTION),
+    "zscore_normalize": (q_zscore_normalize, SQL_ZSCORE),
     "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
