@@ -128,3 +128,40 @@ def intersecting_row_groups(
             ):
                 hit += 1
     return hit, total
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_mb: int = 512,
+    sort_cols: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction — the standard lake maintenance pass
+    (streaming sinks and fine-grained partition overwrites accumulate
+    KB-scale files whose per-file open/footer cost eventually dominates
+    scans). Rewrites ``src`` into ``dst`` as ⌈bytes/target⌉ files,
+    optionally re-sorted so row-group stats stay tight (pass the
+    Z-order key columns to preserve clustering through compaction).
+    Sizing reads actual file bytes from the filesystem — no sampling,
+    no collect of data rows. Returns the output file count."""
+    jvm_fs = spark._jvm.org.apache.hadoop.fs  # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    p = jvm_fs.Path(src)
+    fs = p.getFileSystem(hconf)
+    total = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    return int(n_files)

@@ -70,3 +70,36 @@ def test_zorder_key_fuzz_vs_python(spark):
     ).collect()
     for r in got:
         assert r.z == _morton_py(int(r.x), int(r.y))
+
+
+def test_compact_parquet_reduces_files_and_preserves_data(spark, tmp_path):
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("x")
+    )
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    n = layout.compact_parquet(spark, src, dst, target_file_mb=512)
+    assert n == 1
+    outs = glob.glob(dst + "/*.parquet")
+    assert len(outs) == 1
+    got = spark.read.parquet(dst)
+    assert got.count() == 50_000
+    assert got.agg(F.sum("id")).collect()[0][0] == 50_000 * 49_999 // 2
+    # sorted compaction keeps stats tight for the sort column
+    big_src, dst2 = str(tmp_path / "bigfrag"), str(tmp_path / "sorted")
+    spark.range(1_500_000).select(
+        F.col("id"),
+        (F.col("id") % 100).cast("double").alias("x"),
+        F.concat(F.lit("pad-pad-pad-"), F.col("id")).alias("pad"),
+    ).repartition(64).write.parquet(big_src)
+    n2 = layout.compact_parquet(
+        spark, big_src, dst2, target_file_mb=1, sort_cols=("x",)
+    )
+    assert n2 > 1
+    hit, total = layout.intersecting_row_groups(
+        dst2, "x", "x", (0.0, 0.0, 5.0, 5.0)
+    )
+    assert total > 1 and hit < total
