@@ -1436,11 +1436,53 @@ FROM rch GROUP BY component ORDER BY component
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs — non-SQL-expressible (blake2b bit ops);
-    rows-only driver check, exactness covered in pytest."""
+    """SimHash near-dup pairs, VALUE-checked: the banded multi-probe
+    candidate path must equal the exact all-pairs hamming-≤7 set. The
+    oracle (``_sql_simhash``) recomputes the 64-bit fingerprints at
+    SQL-build time with the SAME pure numpy kernel
+    (``dedup.simhash_batch`` — the engine-specific part is only the
+    hash values, which ARE the pair-filter's input), embeds them as
+    VALUES, and lets DuckDB do brute-force ``bit_count(xor) <= 7``.
+    Equality is guaranteed at check scale: pigeonhole recall (4×16-bit
+    bands + hamming-1 probes cover every hamming-≤7 pair) and the
+    hot-bucket cap is a measured no-op at sf0.01 (max bucket 23 ≪ 200;
+    cap behavior is separately pytest-gated)."""
     return dedup.simhash_near_pairs(_docs_with_dups(spark, sf_dir)).orderBy(
         "doc_a", "doc_b"
     )
+
+
+def _sql_simhash():
+    """Brute-force hamming-pair oracle over fingerprints computed here
+    (driver-side, pure numpy/pandas — no Spark) from the same
+    sf0.01 documents + planted dups the query reads. Returns None
+    (rows-only fallback) if the check-scale parquet is absent."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_CORRECT", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import pandas as pd
+
+    d = pd.read_parquet(path, columns=["doc_id", "text"])
+    exact = d[d.doc_id % 20 == 0].assign(doc_id=lambda x: x.doc_id + 100000)
+    near = d[d.doc_id % 25 == 0].assign(
+        doc_id=lambda x: x.doc_id + 200000, text=lambda x: "zz " + x.text
+    )
+    u = pd.concat([d, exact, near], ignore_index=True)
+    sh = dedup.simhash_batch(u.text.tolist())
+    rows = ",".join(
+        f"({i},{s})" for i, s in zip(u.doc_id.tolist(), sh.tolist())
+    )
+    return f"""
+WITH fp(doc_id, simhash) AS (VALUES {rows})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 7
+ORDER BY doc_a, doc_b
+"""
 
 
 def q_token_stats(spark, sf_dir):
@@ -2468,60 +2510,91 @@ SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.95 ORDER BY vec_a, vec_b
 """
 
 
+def q_pipeline_inference(spark, sf_dir):
+    """End-to-end W1→W4 serve path (ref scripts/jobs/model_prediction.py:
+    33-63) as a driver-checked query: event points → 2 km count raster →
+    16×16 tiles → halo-exchange 3×3 patch extraction (W1, validity W2,
+    own-layer center label W3) → resumable batched inference (W4 via
+    ``pipelines.run_inference``: unit-sliced, lineage-checkpointed,
+    dynamic-partition-overwrite output) with a deterministic linear
+    "model" pred = 2·mean(patch) + 1. The DuckDB oracle recomputes the
+    same 3×3 windows relationally (9-offset self-join; a patch is valid
+    iff all 9 pixels exist). Output read back from the parquet sink, so
+    the checkpoint/lineage write path is INSIDE the checked DAG."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from . import pipelines
+    from .operators import windows, zonal
+
+    pts = event_points(spark, sf_dir)
+    counts = pts.groupBy(
+        F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("x"),
+        F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("y"),
+    ).agg(F.count("*").cast("float").alias("value"))
+    tiles = zonal.cells_to_tiles(
+        counts.withColumn("layer", F.lit("cnt")), tile_w=16
+    )
+    patches = windows.extract_patches(tiles, tile_w=16, win=3).filter("valid")
+
+    tag = hashlib.md5(f"pipe_infer_v1:{sf_dir}".encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"egs_pipe_infer_{tag}")
+    # fresh run each call: the resume path itself is pytest-gated
+    # (test_resume_inference.py); the driver check wants current code
+    shutil.rmtree(base, ignore_errors=True)
+
+    def predict_fn(mat):
+        return 2.0 * mat.mean(axis=1, dtype=np.float64) + 1.0
+
+    pipelines.run_inference(
+        spark,
+        patches,
+        predict_fn,
+        f"{base}/out",
+        f"{base}/ckpt",
+        run_id="pipe1",
+        units=8,
+    )
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select(
+            "i",
+            "j",
+            F.col("label").cast("double").alias("label"),
+            F.round("pred", 6).alias("pred"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+SQL_PIPELINE_INFERENCE = f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+counts AS (
+  SELECT CAST(FLOOR((x - {AA_X0}) / 2000.0) AS INT) AS x,
+         CAST(FLOOR((y - {AA_Y0}) / 2000.0) AS INT) AS y,
+         COUNT(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+offs(di, dj) AS (VALUES (0,0),(0,1),(0,2),(1,0),(1,1),(1,2),(2,0),(2,1),(2,2)),
+win AS (
+  SELECT o.y AS i, o.x AS j, COUNT(*) AS npx, AVG(n.cnt) AS m,
+         MAX(CASE WHEN d.di = 1 AND d.dj = 1 THEN n.cnt END) AS center
+  FROM counts o
+  CROSS JOIN offs d
+  JOIN counts n ON n.y = o.y + d.di AND n.x = o.x + d.dj
+  GROUP BY o.y, o.x
+)
+SELECT i, j, CAST(center AS DOUBLE) AS label, ROUND(2 * m + 1, 6) AS pred
+FROM win WHERE npx = 9 ORDER BY i, j
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
 QUERIES = {
-    "pricing_summary": (q_pricing_summary, SQL_PRICING),
-    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE),
-    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
-    "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
-    "union_slices": (q_union_slices, SQL_UNION_SLICES),
-    "value_histogram": (q_histogram, SQL_HISTOGRAM),
-    "minmax_normalize": (q_minmax_normalize, SQL_MINMAX),
-    "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
-    "sliding_window": (q_sliding_window, SQL_SLIDING),
-    "deterministic_sample": (q_deterministic_sample, SQL_SAMPLE),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "left_join_fill": (q_left_join_fill, SQL_LEFT_JOIN_FILL),
-    "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
-    "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
-    "approx_cardinality": (q_approx_cardinality, SQL_APPROX_CARDINALITY),
-    "asof_join": (q_asof_join, SQL_ASOF),
-    "range_join": (q_range_join, SQL_RANGE_JOIN),
-    "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
-    "value_percentiles": (q_value_percentiles, SQL_PERCENTILES),
-    "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
-    "geo_border_overlap": (q_geo_border, _sql_geo_border()),
-    "geo_burn_values": (q_geo_burn_values, _sql_geo_burn_values()),
-    "geo_knn": (q_geo_knn, _sql_geo_knn()),
-    "geo_knn3": (q_geo_knn3, _sql_geo_knn3()),
-    "geo_within_dist": (q_geo_within_dist, _sql_geo_within_dist()),
-    "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
-    "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
-    "raster_regions": (q_raster_regions, SQL_RASTER_REGIONS),
-    "raster_region_geoms": (q_raster_region_geoms, None),
-    "region_geoms_simplified": (q_region_geoms_simplified, None),
-    "overlay_rects": (q_overlay_rects, _sql_overlay_rects()),
-    "salted_skew_join": (q_salted_skew_join, SQL_SALTED_JOIN),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
-    "dedup_ngram_jaccard": (q_dedup_jaccard, _sql_jaccard()),
-    "dedup_lsh_verified": (q_lsh_verified, _sql_lsh_verified()),
-    "dedup_components": (q_dedup_components, _sql_dedup_components()),
-    "simhash_pairs": (q_simhash_pairs, None),
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "quality_scores": (q_quality, SQL_QUALITY),
-    "lang_hits": (q_lang_hits, _sql_lang_hits()),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
-    "winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
-    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "repetition_stats": (q_repetition, SQL_REPETITION),
-    "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
-    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
-    "source_stats": (q_source_stats, SQL_SOURCE_STATS),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "dedup_keep_flags": (q_dedup_keep, _sql_dedup_keep()),
@@ -2538,9 +2611,60 @@ QUERIES = {
     "zscore_normalize": (q_zscore_normalize, SQL_ZSCORE),
     "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "ann_ivf_indexed": (q_ann_ivf_indexed, None),
+    "pipeline_inference": (q_pipeline_inference, SQL_PIPELINE_INFERENCE),
+    "geo_within_dist": (q_geo_within_dist, _sql_geo_within_dist()),
+    "raster_region_geoms": (q_raster_region_geoms, None),
+    "region_geoms_simplified": (q_region_geoms_simplified, None),
+    "winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition_stats": (q_repetition, SQL_REPETITION),
+    "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "source_stats": (q_source_stats, SQL_SOURCE_STATS),
+    "ann_ivf_topk": (q_ivf_topk, None),
+    "simhash_pairs": (q_simhash_pairs, _sql_simhash()),
+    "asof_join": (q_asof_join, SQL_ASOF),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
+    "value_percentiles": (q_value_percentiles, SQL_PERCENTILES),
+    "geo_burn_values": (q_geo_burn_values, _sql_geo_burn_values()),
+    "geo_knn3": (q_geo_knn3, _sql_geo_knn3()),
+    "raster_regions": (q_raster_regions, SQL_RASTER_REGIONS),
+    "overlay_rects": (q_overlay_rects, _sql_overlay_rects()),
+    "salted_skew_join": (q_salted_skew_join, SQL_SALTED_JOIN),
+    "dedup_lsh_verified": (q_lsh_verified, _sql_lsh_verified()),
+    "dedup_components": (q_dedup_components, _sql_dedup_components()),
+    "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_lsh_topk": (q_ann_lsh, None),
-    "ann_ivf_topk": (q_ivf_topk, None),
-    "ann_ivf_indexed": (q_ann_ivf_indexed, None),
     "embedding_dups": (q_embed_dups, SQL_EMBED_DUPS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
+    "union_slices": (q_union_slices, SQL_UNION_SLICES),
+    "value_histogram": (q_histogram, SQL_HISTOGRAM),
+    "minmax_normalize": (q_minmax_normalize, SQL_MINMAX),
+    "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
+    "sliding_window": (q_sliding_window, SQL_SLIDING),
+    "deterministic_sample": (q_deterministic_sample, SQL_SAMPLE),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "left_join_fill": (q_left_join_fill, SQL_LEFT_JOIN_FILL),
+    "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
+    "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
+    "approx_cardinality": (q_approx_cardinality, SQL_APPROX_CARDINALITY),
+    "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
+    "geo_border_overlap": (q_geo_border, _sql_geo_border()),
+    "geo_knn": (q_geo_knn, _sql_geo_knn()),
+    "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
+    "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
+    "dedup_ngram_jaccard": (q_dedup_jaccard, _sql_jaccard()),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_scores": (q_quality, SQL_QUALITY),
+    "lang_hits": (q_lang_hits, _sql_lang_hits()),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
 }
