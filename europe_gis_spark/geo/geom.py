@@ -143,9 +143,40 @@ def simplify_polygon(
     return out
 
 
+def ring_is_simple(ring: np.ndarray, chunk: int = 512) -> bool:
+    """True iff no two NON-adjacent edges of the closed ring properly
+    cross (strict orientation-sign test, so epsilon-touching fixtures
+    are not rejected; hole-vs-shell topology is out of scope). All-pairs
+    vectorized in ``chunk``-row blocks — O(E²) but validation runs once
+    per geometry at index/decode time, never per point."""
+    p = ring[:-1]
+    n = len(p)
+    ax, ay = p[:, 0], p[:, 1]
+    bx, by = np.roll(ax, -1), np.roll(ay, -1)
+    idx = np.arange(n)
+    for s in range(0, n, chunk):
+        i = idx[s : s + chunk][:, None]
+        j = idx[None, :]
+        # skip self and ring-adjacent pairs (shared endpoint is legal)
+        adj = (j == i) | (j == (i + 1) % n) | (j == (i - 1) % n)
+        dxi, dyi = (bx - ax)[i], (by - ay)[i]
+        o1 = dxi * (ay[j] - ay[i]) - dyi * (ax[j] - ax[i])
+        o2 = dxi * (by[j] - ay[i]) - dyi * (bx[j] - ax[i])
+        dxj, dyj = (bx - ax)[j], (by - ay)[j]
+        o3 = dxj * (ay[i] - ay[j]) - dyj * (ax[i] - ax[j])
+        o4 = dxj * (by[i] - ay[j]) - dyj * (bx[i] - ax[j])
+        proper = (o1 * o2 < 0) & (o3 * o4 < 0) & ~adj
+        if proper.any():
+            return False
+    return True
+
+
 def is_valid_polygon(parts: list[list[np.ndarray]]) -> bool:
-    """Cheap validity check in the spirit of ``features.is_valid_geom``:
-    every ring closed, ≥4 vertices, non-zero shell area, finite coords."""
+    """Validity check in the spirit of ``features.is_valid_geom`` /
+    shapely ``is_valid``: every ring closed, ≥4 vertices, non-zero shell
+    area, finite coords, and NO self-intersecting rings (a bowtie shell
+    passes every cheaper check yet breaks area/clip contracts — found by
+    Hypothesis via a clip-additivity violation)."""
     for rings in parts:
         if len(rings) == 0:
             return False
@@ -157,6 +188,8 @@ def is_valid_polygon(parts: list[list[np.ndarray]]) -> bool:
             if not (ring[0] == ring[-1]).all():
                 return False
             if i == 0 and abs(shoelace_area(ring)) < EPS:
+                return False
+            if not ring_is_simple(ring):
                 return False
     return True
 
@@ -376,6 +409,53 @@ def clip_polygon_rect(
     return out
 
 
+def ring_is_convex(ring: np.ndarray) -> bool:
+    """True iff the CLOSED ring is convex (all edge cross products share
+    one sign; exactly-collinear vertices allowed)."""
+    pts = ring[:-1]
+    e = np.roll(pts, -1, axis=0) - pts  # every edge, wrap included
+    e2 = np.roll(e, -1, axis=0)
+    cr = e[:, 0] * e2[:, 1] - e[:, 1] * e2[:, 0]  # every turn, wrap included
+    return bool((cr >= 0).all() or (cr <= 0).all())
+
+
+def _ring_clip_area(
+    ring: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float
+) -> float:
+    """EXACT unsigned area of simple-ring ∩ rect.
+
+    Sutherland–Hodgman is provably area-exact only for a CONVEX
+    subject; for concave subjects with disconnected intersections the
+    single-ring output relies on bridge-edge cancellation in the
+    shoelace sum. Rather than lean on that argument, convex rings take
+    the single-clip fast path and concave rings use the triangle-fan
+    winding decomposition from v0 — 1_ring = Σᵢ ±1_Tᵢ with
+    Tᵢ = (v0, vᵢ, vᵢ₊₁) signed by orientation, so
+    area(ring ∩ R) = Σᵢ sign(Tᵢ)·area(Tᵢ ∩ R), and every Tᵢ is convex
+    ⇒ each S–H sub-clip is exact. (Self-intersecting rings satisfy
+    neither method's contract — ``is_valid_polygon`` now rejects them;
+    the fan computes their signed-winding area, the consistent
+    convention.)"""
+    if ring_is_convex(ring):
+        clipped = clip_ring_rect(ring, xmin, ymin, xmax, ymax)
+        return abs(shoelace_area(clipped)) if clipped is not None else 0.0
+    ox, oy = ring[0]
+    total = 0.0
+    for i in range(1, len(ring) - 2):
+        tri = np.array(
+            [[ox, oy], ring[i], ring[i + 1], [ox, oy]], dtype=np.float64
+        )
+        s = shoelace_area(tri)
+        if s == 0.0:
+            continue
+        c = clip_ring_rect(tri, xmin, ymin, xmax, ymax)
+        if c is None:
+            continue
+        a = abs(shoelace_area(c))
+        total += a if s > 0 else -a
+    return abs(total)
+
+
 def clip_area_rect(
     parts: list[list[np.ndarray]],
     xmin: float,
@@ -383,19 +463,16 @@ def clip_area_rect(
     xmax: float,
     ymax: float,
 ) -> float:
-    """Area of polygon ∩ rectangle via Sutherland–Hodgman clipping.
+    """Area of polygon ∩ rectangle — exact for any simple rings
+    (convex: one Sutherland–Hodgman clip; concave: signed triangle-fan
+    decomposition, see ``_ring_clip_area``).
 
     Powers the area-weighted zonal reallocation (G5/G6,
     ``process_raster_layer.py:398-403``): weight = clip_area / cell_area.
     """
-
-    def ring_area(ring: np.ndarray) -> float:
-        clipped = clip_ring_rect(ring, xmin, ymin, xmax, ymax)
-        return abs(shoelace_area(clipped)) if clipped is not None else 0.0
-
     total = 0.0
     for rings in parts:
-        total += ring_area(rings[0])
+        total += _ring_clip_area(rings[0], xmin, ymin, xmax, ymax)
         for hole in rings[1:]:
-            total -= ring_area(hole)
+            total -= _ring_clip_area(hole, xmin, ymin, xmax, ymax)
     return max(total, 0.0)

@@ -104,6 +104,56 @@ def test_validity():
     assert not geom.is_valid_polygon([[degenerate]])
 
 
+def test_validity_rejects_self_intersection():
+    """Shapely-``is_valid`` parity: a bowtie passes closure/area/finite
+    checks but must be invalid. Regression for the Hypothesis-found
+    sliver whose edges v0→v1 and v2→v3 properly cross — it silently
+    violated clip-area additivity before ring_is_simple existed."""
+    bowtie = np.array(
+        [[0, 0], [10, 10], [10, 0], [0, 10], [0, 0]], dtype=float
+    )
+    assert not geom.is_valid_polygon([[bowtie]])
+    sliver = np.array(
+        [
+            [1001278.77781269, 1001603.53618786],
+            [999544.49822271, 998004.32288912],
+            [1000311.74456586, 999609.08399156],
+            [1000633.0, 999999.999367],
+            [1001278.77781269, 1001603.53618786],
+        ]
+    )
+    assert not geom.is_valid_polygon([[sliver]])
+    # concave but simple stays valid
+    u = np.array(
+        [[0, 0], [10, 0], [10, 10], [8, 10], [8, 2], [2, 2], [2, 10],
+         [0, 10], [0, 0]],
+        dtype=float,
+    )
+    assert geom.is_valid_polygon([[u]])
+
+
+def test_clip_area_concave_disconnected_exact():
+    """Triangle-fan clip path: a U-shape whose rect intersection is two
+    DISCONNECTED prongs (the case where single-pass Sutherland–Hodgman
+    output degenerates to one bridged ring) must give the exact area,
+    and stay additive across a splitting plane."""
+    u = [
+        np.array(
+            [[0, 0], [10, 0], [10, 10], [8, 10], [8, 2], [2, 2], [2, 10],
+             [0, 10], [0, 0]],
+            dtype=float,
+        )
+    ]
+    # prongs only: y ∈ [4, 12] → two 2×6 rectangles
+    assert geom.clip_area_rect([u], 0, 4, 10, 12) == pytest.approx(24.0)
+    # vertical-split additivity through the gap
+    a = geom.clip_area_rect([u], 0, 0, 10, 10)
+    al = geom.clip_area_rect([u], 0, 0, 5, 10)
+    ar = geom.clip_area_rect([u], 5, 0, 10, 10)
+    assert a == pytest.approx(geom.polygon_area([u]))
+    assert al + ar == pytest.approx(a)
+
+
 def test_cell_id_roundtrip_and_hierarchy():
     xs = np.array([4_321_000.0, 900_000.5, 7_400_000.0])
     ys = np.array([3_210_000.0, 900_000.5, 5_500_000.0])
