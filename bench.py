@@ -20,6 +20,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Two tiers (round-3 directive: keep the cross-round signal readable as
+# operators accumulate). HEADLINE is FROZEN at the round-2 set — every
+# entry has timings in BENCH_r01/r02/r03, so its total and per-query
+# deltas stay comparable across all rounds; never append here. Newly
+# landed operators go to ROTATING, graded on absolute cost + plan shape
+# until they age out (dropped once plan-pinned + stable two rounds).
 HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
@@ -35,21 +41,27 @@ HEADLINE = [
     "geo_knn",
     "geo_rebin",
     "raster_regions",
-    "raster_region_geoms",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
-    "simhash_pairs",
     "token_stats",
     "quality_scores",
     "fingerprint",
+    "cosine_topk",
+]
+
+ROTATING = [
+    # r3 additions
+    "raster_region_geoms",
+    "simhash_pairs",
     "decontaminate",
     "repetition_stats",
     "pii_scrub",
     "lm_score",
     "tfidf_topk",
     "corpus_select",
-    "cosine_topk",
+    # r4 additions
+    "pipeline_inference",
 ]
 
 
@@ -63,7 +75,7 @@ def run_bench(sf_dir: str, n_pages: int, skip_pages: bool, quiet: bool = True) -
 
     # best-of-2: the first run of each shape pays one-time JIT/codegen
     # compilation (~5-8 s) that would drown the steady-state signal
-    for name in HEADLINE:
+    for name in HEADLINE + ROTATING:
         fn, _sql = QUERIES[name]
         best = None
         for _ in range(2):
@@ -114,13 +126,21 @@ def run_bench(sf_dir: str, n_pages: int, skip_pages: bool, quiet: bool = True) -
     if not skip_pages:
         match_rate = assignment_match_rate(spark, n_sample=3000)
 
-    total = round(sum(timings.values()), 3)
+    # the comparable cross-round number is the FROZEN headline set's
+    # total (incl. the two flagship spatial-join timings); rotating
+    # queries report separately so new operators can't inflate it
+    head_names = set(HEADLINE) | {"spatial_join_pages", "spatial_join_metrics"}
+    head = {k: v for k, v in timings.items() if k in head_names}
+    new = {k: v for k, v in timings.items() if k not in head_names}
+    total = round(sum(head.values()), 3)
     delta = delta_vs_prev(timings, sf_dir)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "headline": {"total": total, "queries": head},
+        "new": {"total": round(sum(new.values()), 3), "queries": new},
         "sf": sf_dir,
     }
     if pages_per_sec is not None:
@@ -174,9 +194,13 @@ def delta_vs_prev(timings: dict, sf_dir: str) -> dict | None:
         for name, t in timings.items()
         if name in pq and pq[name] > 0
     }
+    head_names = set(HEADLINE) | {"spatial_join_pages", "spatial_join_metrics"}
     return {
         "prev_file": os.path.basename(prev_file),
-        "delta_pct": deltas,
+        "delta_pct": {k: v for k, v in deltas.items() if k in head_names},
+        "delta_pct_rotating": {
+            k: v for k, v in deltas.items() if k not in head_names
+        },
         "new_queries": sorted(set(timings) - set(pq)),
         "total_prev": prev.get("value"),
     }

@@ -187,6 +187,49 @@ def write_checkpoint(
         rows.write.mode("append").parquet(ckpt_path)
 
 
+def compact_checkpoint(
+    spark: SparkSession,
+    ckpt_path: str,
+    max_files: int = 64,
+    target_file_mb: int = 128,
+) -> int:
+    """Checkpoint-table growth hygiene: ``write_checkpoint`` appends one
+    small parquet file per completed batch of units, so a 10⁶-unit run
+    leaves a small-file swarm whose per-file footer cost eventually
+    dominates the resume anti-join's scan. Above ``max_files`` at-rest
+    files, rewrite the table via ``layout.compact_parquet`` (sized from
+    actual bytes) and swap it in with two renames — the completed-unit
+    SET is unchanged, so resume semantics are identical. A crash inside
+    the swap window can only LOSE lineage rows (units re-run and
+    overwrite their own output partitions — at-least-once safe), never
+    duplicate them. Returns the new file count, or 0 if no compaction
+    ran."""
+    jvm_fs = spark._jvm.org.apache.hadoop.fs  # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    p = jvm_fs.Path(ckpt_path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return 0
+    n_at_rest = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n_at_rest += 1
+    if n_at_rest <= max_files:
+        return 0
+    from ..operators.layout import compact_parquet
+
+    tmp = ckpt_path.rstrip("/") + "__compacting"
+    old = ckpt_path.rstrip("/") + "__precompact"
+    fs.delete(jvm_fs.Path(tmp), True)
+    fs.delete(jvm_fs.Path(old), True)
+    n = compact_parquet(spark, ckpt_path, tmp, target_file_mb=target_file_mb)
+    fs.rename(p, jvm_fs.Path(old))
+    fs.rename(jvm_fs.Path(tmp), p)
+    fs.delete(jvm_fs.Path(old), True)
+    return n
+
+
 def reset_checkpoint(spark: SparkSession, ckpt_path: str) -> None:
     """S13 collection-drop equivalent."""
     import shutil
@@ -203,6 +246,7 @@ def run_with_checkpoint(
     run_id: str,
     unit_col: str = "unit_id",
     ckpt_fmt: str = "parquet",
+    compact_above_files: int = 64,
 ) -> int:
     """Process only pending units; write output partitioned by unit;
     checkpoint afterwards. Returns number of units processed.
@@ -210,7 +254,10 @@ def run_with_checkpoint(
     Idempotent under retry/kill: output is partitioned by unit id with
     dynamic partition overwrite, so reprocessing a unit replaces its own
     partition exactly; the checkpoint row is written only after the data
-    write succeeds (write-ahead of nothing, checkpoint-behind).
+    write succeeds (write-ahead of nothing, checkpoint-behind). When the
+    append-only checkpoint table exceeds ``compact_above_files`` at-rest
+    files it is compacted in place (``compact_checkpoint``) — long runs
+    with many units stay resumable without a small-file swarm.
     """
     pend = pending_units(spark, units, ckpt_path, run_id, fmt=ckpt_fmt)
     n_pending = pend.count()
@@ -229,4 +276,6 @@ def run_with_checkpoint(
     write_checkpoint(
         spark, lineage_rows(done, unit_col), ckpt_path, run_id, fmt=ckpt_fmt
     )
+    if ckpt_fmt == "parquet" and compact_above_files is not None:
+        compact_checkpoint(spark, ckpt_path, max_files=compact_above_files)
     return n_pending

@@ -514,8 +514,10 @@ def contamination_flags(
     Scale shape: benchmark corpora are tiny next to a crawl, so the
     DISTINCT benchmark shingle set is the BROADCAST side; doc shingles
     explode map-side and hit-count via broadcast-hash join (only hit
-    rows reach the per-doc aggregation), then a broadcast join back
-    fills zero-hit docs. No all-pairs work anywhere.
+    rows reach the per-doc aggregation). The join BACK onto docs is a
+    plain shuffle join: ``hits`` has one row per contaminated doc —
+    corpus-scale when contamination is widespread — so it must never be
+    forced broadcast (AQE may still choose to when it measures small).
 
     Output: (doc_id, n_hits, contaminated).
     """
@@ -531,7 +533,7 @@ def contamination_flags(
     )
     return (
         docs.select("doc_id")
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),

@@ -250,10 +250,14 @@ def upsert_sink(
         p = jvm_fs.Path(path)
         if p.getFileSystem(hconf).exists(p):
             try:
-                existing = spark.read.parquet(path).select(*key_cols).distinct()
+                # schema inference is eager here: an empty shell fails NOW
+                at_rest = spark.read.parquet(path)
             except AnalysisException:
-                existing = None  # directory shell with no committed data
-            if existing is not None:
+                at_rest = None  # directory shell with no committed data
+            if at_rest is not None:
+                # OUTSIDE the except-guard: a misnamed key column must
+                # abort loudly, not silently disable the dedup anti-join
+                existing = at_rest.select(*key_cols).distinct()
                 fresh = fresh.join(existing, list(key_cols), "left_anti")
         fresh.write.mode("append").parquet(path)
 

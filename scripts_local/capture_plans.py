@@ -132,6 +132,44 @@ def main() -> None:
         )
     )
 
+    lm = textops.char_trigram_lm_scores(docs)
+    lm.collect()
+    sections.append(
+        (
+            "Trigram-LM quality score (FINAL adaptive plan: one trigram "
+            "count shuffle; the count table and the 1-row corpus-N both "
+            "come back via BROADCAST — scoring never shuffles trigram "
+            "rows)",
+            lm._jdf.queryExecution().executedPlan().toString().strip(),
+        )
+    )
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    dec = textops.contamination_flags(docs, bench)
+    dec.collect()
+    sections.append(
+        (
+            "Benchmark decontamination (FINAL adaptive plan: doc "
+            "shingles explode map-side into a BROADCAST hash join "
+            "against the tiny benchmark shingle set; the corpus-scale "
+            "hit table joins back un-hinted)",
+            dec._jdf.queryExecution().executedPlan().toString().strip(),
+        )
+    )
+
+    from europe_gis_spark.queries import q_corpus_select
+
+    sel = q_corpus_select(spark, "/root/testdata/sf0.001")
+    sel.collect()
+    sections.append(
+        (
+            "Corpus selection end-to-end (FINAL adaptive plan: every "
+            "branch reads the ONE localCheckpointed docs+dups union — "
+            "Scan ExistingRDD, no re-scan of documents.parquet)",
+            sel._jdf.queryExecution().executedPlan().toString().strip(),
+        )
+    )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Captured physical plans — the evidence behind the scale claims\n\n")

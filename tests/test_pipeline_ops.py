@@ -510,6 +510,22 @@ def test_stream_static_enrich_and_idempotent_upsert_sink(spark, tmp_path):
     assert spark.read.parquet(out).count() == 3  # exactly one row per key
 
 
+def test_upsert_sink_misnamed_key_aborts_loudly(spark, tmp_path):
+    """A key column absent from the at-rest sink must ABORT the batch
+    (StreamingQueryException wrapping the AnalysisException), never be
+    swallowed as 'empty sink shell' — swallowing would silently disable
+    the anti-join and append duplicates on every replay."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src, out, ck = str(tmp_path / "s"), str(tmp_path / "o"), str(tmp_path / "c")
+    spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1]})).write.parquet(src)
+    # seed the sink WITHOUT the misnamed key column
+    spark.createDataFrame(pd.DataFrame({"other": [9]})).write.parquet(out)
+    stream = spark.readStream.schema("k long, v long").parquet(src)
+    with pytest.raises(StreamingQueryException, match="k"):
+        incremental.upsert_sink(stream, out, ck, key_cols=("k",))
+
+
 # ------------------------------------------------------------- multimodal
 def test_multimodal_stub_plumbing(spark):
     pdf = pd.DataFrame(

@@ -204,6 +204,38 @@ def test_lm_score_scoring_is_map_side(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 
+def test_decontaminate_broadcasts_bench_side_only(spark):
+    """contamination_flags' load-bearing plan properties: the tiny
+    benchmark shingle set is the ONE forced broadcast; the hit table
+    (one row per contaminated doc — corpus-scale when contamination is
+    widespread) must join back UN-hinted so the planner is free to
+    shuffle it at scale."""
+    from europe_gis_spark.operators import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    df = textops.contamination_flags(docs, bench)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("strategy=broadcast") == 1, analyzed
+    # and the forced one resolves to a broadcast-hash join in the
+    # physical plan (the shingle probe stays map-side)
+    assert "BroadcastHashJoin" in plan_str(df, mode="simple")
+
+
+def test_corpus_select_reads_checkpointed_union_not_files(spark):
+    """q_corpus_select materializes the docs+dups union ONCE
+    (localCheckpoint) before fanning out to candidates/verify/keep/
+    quality; every branch of the final plan must read that in-memory
+    table (Scan ExistingRDD) — a documents.parquet FileScan anywhere
+    means a branch silently re-evaluates the union per job."""
+    from europe_gis_spark.queries import q_corpus_select
+
+    df = q_corpus_select(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, mode="simple")
+    assert "Scan ExistingRDD" in p, p
+    assert "documents.parquet" not in p, p
+
+
 def test_no_query_regresses_to_cartesian_or_row_python(spark):
     """Registry-wide guardrail: building every registered query's
     physical plan, none may contain a non-broadcast cartesian product

@@ -54,6 +54,49 @@ def test_resume_after_midrun_crash(spark, tmp_path):
     assert lineage.run_with_checkpoint(spark, units, process, out, ckpt, "runX") == 0
 
 
+def test_checkpoint_compaction_preserves_resume(spark, tmp_path):
+    """Growth hygiene: per-wave appends accumulate small files; above
+    the threshold run_with_checkpoint compacts the table in place, and
+    the completed-unit set (= resume behavior) is byte-identical."""
+    import glob
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    fn = lambda p: p.withColumn("payload", F.col("unit_id") * 10)
+    # 6 waves of appends, no compaction (threshold high)
+    for wave in range(6):
+        units = spark.range(wave * 4, wave * 4 + 4).select(
+            F.col("id").alias("unit_id")
+        )
+        lineage.run_with_checkpoint(
+            spark, units, fn, out, ckpt, "runC", compact_above_files=10_000
+        )
+    n_before = len(glob.glob(f"{ckpt}/**/*.parquet", recursive=True))
+    done_before = sorted(
+        r.unit_id for r in lineage.completed_units(spark, ckpt, "runC").collect()
+    )
+    assert done_before == list(range(24))
+    # direct call above threshold compacts; completed set unchanged
+    assert lineage.compact_checkpoint(spark, ckpt, max_files=4) > 0
+    n_after = len(glob.glob(f"{ckpt}/**/*.parquet", recursive=True))
+    assert n_after < n_before
+    done_after = sorted(
+        r.unit_id for r in lineage.completed_units(spark, ckpt, "runC").collect()
+    )
+    assert done_after == done_before
+    # below threshold: no-op
+    assert lineage.compact_checkpoint(spark, ckpt, max_files=10_000) == 0
+    # resume over the compacted table: everything done → 0 units, and a
+    # default run_with_checkpoint call (threshold 64) triggers its own
+    # in-line compaction path without disturbing semantics
+    all_units = spark.range(0, 24).select(F.col("id").alias("unit_id"))
+    assert (
+        lineage.run_with_checkpoint(spark, all_units, fn, out, ckpt, "runC") == 0
+    )
+    got = {(r.unit_id, r.payload) for r in spark.read.parquet(out).collect()}
+    assert got == {(i, i * 10) for i in range(24)}
+
+
 def test_reprocessing_unit_overwrites_not_duplicates(spark, tmp_path):
     """A unit reprocessed under a new run id overwrites its own output
     partition (dynamic partition overwrite) — no duplicate rows."""
