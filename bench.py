@@ -62,6 +62,9 @@ ROTATING = [
     "corpus_select",
     # r4 additions
     "pipeline_inference",
+    "url_dedup",
+    "domain_cap",
+    "pagerank",
 ]
 
 

@@ -2592,6 +2592,236 @@ FROM win WHERE npx = 9 ORDER BY i, j
 
 
 # --------------------------------------------------------------------------
+# web/URL curation (webops): canonical dedup, domain stats, hot-domain cap
+
+
+def _docs_with_urls(spark, sf_dir):
+    """documents + deterministic synthetic URLs (pure int/string
+    arithmetic — same construction mirrored in URLS_SQL): mixed
+    schemes, www./m. subdomains, upper/lower host case, .com/.co.uk/
+    .org suffixes, trailing slashes, utm/ref tracking junk, fragments,
+    and an occasionally-significant ?id= param. doc_id % 60 keys the
+    canonical page so distinct doc_ids collapse under canonicalization."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    did = F.col("doc_id")
+    pid = did % 60
+    scheme = F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    sub = (
+        F.when(did % 4 == 0, F.lit("www."))
+        .when(did % 4 == 1, F.lit("m."))
+        .otherwise(F.lit(""))
+    )
+    hostsrc = F.when(did % 6 == 0, F.upper("source")).otherwise(F.col("source"))
+    tld = (
+        F.when(pid % 3 == 0, F.lit(".com"))
+        .when(pid % 3 == 1, F.lit(".co.uk"))
+        .otherwise(F.lit(".org"))
+    )
+    slash = F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit(""))
+    qs = (
+        F.when(
+            did % 9 == 0,
+            F.concat(F.lit("?id="), pid.cast("string"), F.lit("&utm_source=feed")),
+        )
+        .when(did % 3 == 0, F.lit("?utm_source=feed&ref=tw"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(did % 5 == 0, F.lit("#sec2")).otherwise(F.lit(""))
+    return d.withColumn(
+        "url",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            sub,
+            hostsrc,
+            tld,
+            F.lit("/a/"),
+            pid.cast("string"),
+            slash,
+            qs,
+            frag,
+        ),
+    )
+
+
+URLS_SQL = """
+SELECT doc_id, source, text,
+  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+  (CASE WHEN doc_id % 4 = 0 THEN 'www.' WHEN doc_id % 4 = 1 THEN 'm.' ELSE '' END) ||
+  (CASE WHEN doc_id % 6 = 0 THEN UPPER(source) ELSE source END) ||
+  (CASE WHEN (doc_id % 60) % 3 = 0 THEN '.com'
+        WHEN (doc_id % 60) % 3 = 1 THEN '.co.uk' ELSE '.org' END) ||
+  '/a/' || CAST(doc_id % 60 AS VARCHAR) ||
+  (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+  (CASE WHEN doc_id % 9 = 0
+        THEN '?id=' || CAST(doc_id % 60 AS VARCHAR) || '&utm_source=feed'
+        WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=tw' ELSE '' END) ||
+  (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
+FROM documents
+"""
+
+# the canonicalization chain, mirrored step-for-step from
+# webops.url_canonical / url_host / registered_domain
+CANON_SQL = r"""
+c1 AS (SELECT *, REGEXP_REPLACE(url, '^https?://', '') AS s1 FROM urls),
+c2 AS (SELECT *,
+         LOWER(REGEXP_EXTRACT(s1, '^([^/?#]+)', 1)) AS host0,
+         REGEXP_REPLACE(s1, '^[^/?#]+', '') AS rest0
+       FROM c1),
+canon AS (
+  SELECT doc_id, url, text,
+         REGEXP_REPLACE(host0, '^(www|m)\.', '') ||
+         REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+           REGEXP_REPLACE(rest0, '#.*$', ''),
+           '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
+           '[?&]+$', ''), '/+$', '') AS canonical_url,
+         host0 AS host,
+         REGEXP_EXTRACT(host0,
+           '([^.]+\.(?:co\.uk|ac\.uk|com\.au|co\.jp)|[^.]+\.[^.]+)$', 1
+         ) AS domain
+  FROM c2)
+"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """Exact URL dedup after canonicalization (C4/CC-Net curation
+    stage): scheme/case/subdomain/tracking-param/fragment variants of
+    the same page collapse to one canonical key. Map-side string ops +
+    ONE groupBy shuffle on the canonical key."""
+    from .operators import webops
+
+    return webops.url_dedup_groups(_docs_with_urls(spark, sf_dir)).orderBy(
+        "canonical_url"
+    )
+
+
+SQL_URL_DEDUP = f"""
+WITH urls AS ({URLS_SQL}),
+{CANON_SQL}
+SELECT canonical_url, COUNT(*) AS n_variants, MIN(doc_id) AS canonical_doc,
+       COUNT(DISTINCT url) AS n_spellings
+FROM canon GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain (eTLD+1) skew map: doc count, distinct
+    hosts, mean length — what decides which domains get capped/salted."""
+    from .operators import webops
+
+    return webops.domain_stats(_docs_with_urls(spark, sf_dir)).orderBy("domain")
+
+
+SQL_DOMAIN_STATS = f"""
+WITH urls AS ({URLS_SQL}),
+{CANON_SQL}
+SELECT domain, COUNT(*) AS n_docs, COUNT(DISTINCT host) AS n_hosts,
+       ROUND(AVG(LENGTH(text)), 4) AS avg_chars
+FROM canon GROUP BY domain ORDER BY domain
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Hot-domain cap (crawl-skew control): keep ≤5 docs per registered
+    domain preferring longer text, deterministic doc_id tie-break. The
+    rank≤k filter rides Spark's WindowGroupLimit — no full-domain
+    buffering."""
+    from .operators import webops
+
+    return (
+        webops.cap_per_domain(_docs_with_urls(spark, sf_dir), k=5)
+        .select("doc_id", "domain", "rk", "kept")
+        .orderBy("domain", "rk", "doc_id")
+    )
+
+
+SQL_DOMAIN_CAP = f"""
+WITH urls AS ({URLS_SQL}),
+{CANON_SQL}
+SELECT doc_id, domain,
+       ROW_NUMBER() OVER (PARTITION BY domain
+                          ORDER BY LENGTH(text) DESC, doc_id) AS rk,
+       ROW_NUMBER() OVER (PARTITION BY domain
+                          ORDER BY LENGTH(text) DESC, doc_id) <= 5 AS kept
+FROM canon ORDER BY domain, rk, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# link graph: PageRank authority scoring
+
+
+def q_pagerank(spark, sf_dir):
+    """Link-graph PageRank (5 fixed iterations, d=0.85, dangling mass
+    redistributed uniformly) over a deterministic synthetic web graph
+    derived from documents (two affine edge families mod 60 — same
+    construction in the oracle). The iterative-algorithm family member
+    beyond connected components: per-iteration join+agg, lineage
+    checkpoint-truncated; the oracle unrolls the identical recurrence
+    as chained CTEs."""
+    from .operators import graph
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    e = d.select((did % 60).alias("src"), ((did * 7 + 3) % 60).alias("dst")).union(
+        d.select((did % 60).alias("src"), ((did * 13 + 5) % 60).alias("dst"))
+    )
+    return (
+        graph.pagerank(e, iters=5, damping=0.85)
+        .select("node", F.round("pr", 6).alias("pr"))
+        .orderBy("node")
+    )
+
+
+def _sql_pagerank(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled PageRank recurrence as chained CTEs — float literals
+    injected via repr() so both engines run the IDENTICAL double ops
+    (DuckDB would otherwise read 0.85 as DECIMAL and diverge)."""
+    dmp = repr(damping)
+    base_num = repr(1.0 - damping)
+    ctes = [
+        """raw AS (
+  SELECT doc_id % 60 AS src, (doc_id * 7 + 3) % 60 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 60 AS src, (doc_id * 13 + 5) % 60 AS dst FROM documents
+)""",
+        "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, SUM(r.pr / deg.outdeg) AS contrib
+  FROM edges e JOIN {p} r ON e.src = r.node JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""d{i} AS (
+  SELECT COALESCE(SUM(r.pr), 0) AS dang
+  FROM {p} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         {base_num} / (SELECT n FROM nn)
+         + {dmp} * (COALESCE(c.contrib, 0) + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS pr
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{iters} ORDER BY node"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -2613,6 +2843,10 @@ QUERIES = {
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "ann_ivf_indexed": (q_ann_ivf_indexed, None),
     "pipeline_inference": (q_pipeline_inference, SQL_PIPELINE_INFERENCE),
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
+    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "pagerank": (q_pagerank, _sql_pagerank()),
     "geo_within_dist": (q_geo_within_dist, _sql_geo_within_dist()),
     "raster_region_geoms": (q_raster_region_geoms, None),
     "region_geoms_simplified": (q_region_geoms_simplified, None),

@@ -1,0 +1,65 @@
+"""PageRank operator: exactness vs an in-test numpy reference of the
+same fixed-iteration recurrence, mass conservation, dangling handling."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from europe_gis_spark.operators import graph
+
+
+def ref_pagerank(edges, iters=5, d=0.85):
+    es = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({v for e in es for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for a, _ in es:
+        outdeg[idx[a]] += 1
+    pr = np.full(n, 1.0 / n)
+    base = (1.0 - d) / n
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for a, b in es:
+            contrib[idx[b]] += pr[idx[a]] / outdeg[idx[a]]
+        dang = pr[outdeg == 0].sum()
+        pr = base + d * (contrib + dang / float(n))
+    return {v: pr[idx[v]] for v in nodes}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    return {r.node: r.pr for r in graph.pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 25, 120), rng.integers(0, 25, 120))
+    ]
+    got = _run(spark, edges, iters=5, damping=0.85)
+    want = ref_pagerank(edges, iters=5, d=0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+
+
+def test_pagerank_mass_conserved_and_dangling(spark):
+    # node 3 is dangling (no out-edges); self-loop (1,1) must be dropped
+    edges = [(0, 1), (1, 2), (2, 3), (1, 1), (0, 3), (2, 0)]
+    got = _run(spark, edges, iters=8, damping=0.85)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    want = ref_pagerank(edges, iters=8, d=0.85)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+    # authority ordering: node 3 receives from 2 and 0 plus dangling
+    assert got[3] == max(got.values())
+
+
+def test_pagerank_hub_gets_rank(spark):
+    # star: everyone points at node 0
+    edges = [(i, 0) for i in range(1, 9)]
+    got = _run(spark, edges, iters=5)
+    assert got[0] == max(got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-9

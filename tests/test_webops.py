@@ -1,0 +1,103 @@
+"""URL curation operators (webops): canonicalization edge cases,
+registered-domain extraction, hot-domain cap semantics, and the plan
+shape of the cap window (WindowGroupLimit pushdown)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from europe_gis_spark.operators import webops
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    return [
+        r.c for r in df.select(webops.url_canonical("url").alias("c")).collect()
+    ]
+
+
+def test_url_canonical_collapses_variants(spark):
+    variants = [
+        "https://www.Example.com/a/1",
+        "http://example.com/a/1/",
+        "https://m.EXAMPLE.com/a/1?utm_source=feed&ref=tw",
+        "http://www.example.com/a/1#frag",
+        "https://example.com/a/1?utm_campaign=x&utm_medium=y",
+    ]
+    got = set(_canon(spark, variants))
+    assert got == {"example.com/a/1"}
+
+
+def test_url_canonical_keeps_significant_params(spark):
+    got = _canon(
+        spark,
+        [
+            "https://example.com/s?id=7&utm_source=feed",
+            "https://example.com/s?utm_source=feed&id=7",
+            "https://example.com/s?id=8",
+        ],
+    )
+    assert got[0] == "example.com/s?id=7"
+    # param ORDER is preserved (canonicalization strips junk, it does
+    # not reorder) — mid-string junk leaves the separator intact
+    assert got[1] == "example.com/s?id=7"
+    assert got[2] == "example.com/s?id=8"
+
+
+def test_registered_domain_mini_psl(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://www.news.example.co.uk/x",
+                    "http://a.b.site.org/y",
+                    "https://example.com",
+                ]
+            }
+        )
+    )
+    got = [
+        r.d
+        for r in df.select(webops.registered_domain("url").alias("d")).collect()
+    ]
+    assert got == ["example.co.uk", "site.org", "example.com"]
+
+
+def test_cap_per_domain_prefers_long_docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "url": [
+                "https://a.com/1",
+                "https://www.a.com/2",
+                "https://a.com/3",
+                "https://b.org/1",
+            ],
+            "text": ["xx", "xxxx", "x", "yyy"],
+        }
+    )
+    out = (
+        webops.cap_per_domain(spark.createDataFrame(pdf), k=2)
+        .orderBy("doc_id")
+        .collect()
+    )
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[2].rk == 1 and by_id[2].kept  # longest in a.com
+    assert by_id[1].rk == 2 and by_id[1].kept
+    assert by_id[3].rk == 3 and not by_id[3].kept  # capped out
+    assert by_id[4].rk == 1 and by_id[4].kept  # other domain unaffected
+
+
+def test_cap_window_uses_group_limit_pushdown(spark):
+    """The rank<=k filter must ride WindowGroupLimit (partial limit
+    before the shuffle) — at corpus scale a hot domain's rows must not
+    all be buffered through the window sort."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.withColumn("url", F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"), F.lit(".com/p/"), F.col("doc_id").cast("string")))
+    capped = webops.cap_per_domain(pages, k=3).filter("kept")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        capped.explain(mode="simple")
+    assert "WindowGroupLimit" in buf.getvalue()
