@@ -476,3 +476,137 @@ def clip_area_rect(
         for hole in rings[1:]:
             total -= _ring_clip_area(hole, xmin, ymin, xmax, ymax)
     return max(total, 0.0)
+
+
+def _sh_clip_areas_batch(
+    verts: np.ndarray,
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+) -> np.ndarray:
+    """Unsigned areas of P CONVEX polygons clipped against P rects, all
+    vectorized (no Python loop over polygons — the loop is over the 4
+    clip sides and grows the padded vertex buffer by ≤1 per side).
+
+    ``verts``: (P, K, 2) OPEN rings (no closing vertex) padded with
+    anything past each row's true count — every row here has the same
+    true count K (triangles or one tiled ring), so no count array is
+    needed on input."""
+    p, k0, _ = verts.shape
+    cnts = np.full(p, k0, dtype=np.int64)
+    bounds = (x0, x1, y0, y1)
+    for side in range(4):
+        k = verts.shape[1]
+        idx = np.arange(k)[None, :]
+        valid = idx < cnts[:, None]
+        x, y = verts[:, :, 0], verts[:, :, 1]
+        b = bounds[side][:, None]
+        coord = x if side < 2 else y
+        ina = (coord >= b) if side % 2 == 0 else (coord <= b)
+        nxt = (idx + 1) % np.maximum(cnts[:, None], 1)
+        bx = np.take_along_axis(x, nxt, 1)
+        by = np.take_along_axis(y, nxt, 1)
+        bcoord = bx if side < 2 else by
+        inb = (bcoord >= b) if side % 2 == 0 else (bcoord <= b)
+        emit_a = ina & valid
+        crossn = (ina != inb) & valid
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if side < 2:
+                t = (b - x) / (bx - x)
+                ix = np.broadcast_to(b, t.shape)
+                iy = y + t * (by - y)
+            else:
+                t = (b - y) / (by - y)
+                iy = np.broadcast_to(b, t.shape)
+                ix = x + t * (bx - x)
+        n_emit = emit_a.astype(np.int64) + crossn.astype(np.int64)
+        pos_end = np.cumsum(n_emit, axis=1)
+        pos_a = pos_end - n_emit
+        pos_c = pos_end - crossn.astype(np.int64)
+        new_k = k + 1
+        out = np.zeros((p, new_k, 2), dtype=np.float64)
+        rows = np.broadcast_to(np.arange(p)[:, None], (p, k))
+        out[rows[emit_a], pos_a[emit_a], 0] = x[emit_a]
+        out[rows[emit_a], pos_a[emit_a], 1] = y[emit_a]
+        out[rows[crossn], pos_c[crossn], 0] = ix[crossn]
+        out[rows[crossn], pos_c[crossn], 1] = iy[crossn]
+        cnts = pos_end[:, -1]
+        verts = out
+    # shoelace over the per-row valid prefix
+    k = verts.shape[1]
+    idx = np.arange(k)[None, :]
+    valid = idx < cnts[:, None]
+    x, y = verts[:, :, 0], verts[:, :, 1]
+    nxt = (idx + 1) % np.maximum(cnts[:, None], 1)
+    bx = np.take_along_axis(x, nxt, 1)
+    by = np.take_along_axis(y, nxt, 1)
+    terms = np.where(valid, x * by - bx * y, 0.0)
+    areas = 0.5 * np.abs(terms.sum(axis=1))
+    areas[cnts < 3] = 0.0
+    return areas
+
+
+def _ring_clip_areas_batch(
+    ring: np.ndarray,
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+) -> np.ndarray:
+    """Exact unsigned areas of one simple ring ∩ R rects — the batched
+    twin of ``_ring_clip_area`` (same convex fast path / triangle-fan
+    decomposition, one numpy pass over all rects)."""
+    r = len(x0)
+    if ring_is_convex(ring):
+        open_ring = np.asarray(ring[:-1], dtype=np.float64)
+        verts = np.broadcast_to(
+            open_ring[None, :, :], (r, *open_ring.shape)
+        ).copy()
+        return _sh_clip_areas_batch(verts, x0, y0, x1, y1)
+    ox, oy = ring[0]
+    v = np.asarray(ring, dtype=np.float64)
+    a = v[1:-1]
+    b = v[2:]
+    t = len(a)
+    tris = np.empty((t, 3, 2), dtype=np.float64)
+    tris[:, 0, 0] = ox
+    tris[:, 0, 1] = oy
+    tris[:, 1] = a
+    tris[:, 2] = b
+    signs = np.sign(
+        (a[:, 0] - ox) * (b[:, 1] - oy) - (a[:, 1] - oy) * (b[:, 0] - ox)
+    )
+    # (T, R) product batch: triangle j clipped against rect c
+    verts = np.repeat(tris, r, axis=0)
+    areas = _sh_clip_areas_batch(
+        verts,
+        np.tile(x0, t),
+        np.tile(y0, t),
+        np.tile(x1, t),
+        np.tile(y1, t),
+    ).reshape(t, r)
+    return np.abs((signs[:, None] * areas).sum(axis=0))
+
+
+def clip_areas_rects(
+    parts: list[list[np.ndarray]],
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+) -> np.ndarray:
+    """Vectorized ``clip_area_rect``: exact areas of polygon ∩ each of R
+    rects in one numpy pass — the batch kernel the G5 overlay-weight
+    operators call per (polygon, Arrow-batch-of-cells) instead of a
+    per-cell Python loop."""
+    x0 = np.asarray(x0, dtype=np.float64)
+    y0 = np.asarray(y0, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    total = np.zeros(len(x0), dtype=np.float64)
+    for rings in parts:
+        total += _ring_clip_areas_batch(rings[0], x0, y0, x1, y1)
+        for hole in rings[1:]:
+            total -= _ring_clip_areas_batch(hole, x0, y0, x1, y1)
+    return np.clip(total, 0.0, None)

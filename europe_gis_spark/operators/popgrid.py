@@ -69,8 +69,12 @@ def overlay_weights(
     """J3/G6: polygon×grid-square intersection areas.
 
     The (small) zone-polygon list is decoded once per Python worker from
-    the task closure; grid squares stream through in Arrow batches; each
-    batch computes exact clip areas only against cell-cover candidates.
+    the task closure; grid squares stream through in Arrow batches. Per
+    (polygon, batch): a vectorized bbox prefilter picks candidate cells,
+    then ONE ``geom.clip_areas_rects`` call computes every exact clip
+    area — no per-cell Python loop anywhere (the former per-cell
+    cover_polygon + clip loop was the kernel's bottleneck at cell
+    counts ≫ polygon counts, the 100 TB-side regime).
     Output: (grd_id, zone_id, area_frac) with area_frac = |cell ∩ zone|
     / |cell| — the areal-interpolation weight of
     process_raster_layer.py:402-403.
@@ -79,35 +83,52 @@ def overlay_weights(
     for pid, buf in polygons:
         parts = wkb.polygon_parts(wkb.decode(buf))
         if geom.is_valid_polygon(parts):
-            cover = set(gcells.cover_polygon(parts, res).tolist())
-            decoded.append((pid, parts, cover))
+            bbs = np.array([geom.ring_bbox(rings[0]) for rings in parts])
+            bbox = (
+                bbs[:, 0].min(),
+                bbs[:, 1].min(),
+                bbs[:, 2].max(),
+                bbs[:, 3].max(),
+            )
+            decoded.append((pid, parts, bbox))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "grd_id": pd.Series(dtype=object),
+                "zone_id": pd.Series(dtype=object),
+                "area_frac": pd.Series(dtype=np.float64),
+            }
+        )
         for b in batches:
-            out_grd, out_zone, out_frac = [], [], []
-            x0 = b["x0"].to_numpy()
-            y0 = b["y0"].to_numpy()
-            size = b["size"].to_numpy()
-            grd = b["grd_id"].tolist()
-            for i in range(len(b)):
-                cx0, cy0, s = x0[i], y0[i], size[i]
-                cell_area = s * s
-                ring = np.array(
-                    [[cx0, cy0], [cx0 + s, cy0], [cx0 + s, cy0 + s],
-                     [cx0, cy0 + s], [cx0, cy0]]
+            x0 = b["x0"].to_numpy(dtype=np.float64)
+            y0 = b["y0"].to_numpy(dtype=np.float64)
+            size = b["size"].to_numpy(dtype=np.float64)
+            grd = np.asarray(b["grd_id"], dtype=object)
+            frames = []
+            for pid, parts, (px0, py0, px1, py1) in decoded:
+                cand = (
+                    (x0 < px1)
+                    & (x0 + size > px0)
+                    & (y0 < py1)
+                    & (y0 + size > py0)
                 )
-                ccells = set(gcells.cover_polygon([[ring]], res).tolist())
-                for pid, parts, cover in decoded:
-                    if not (ccells & cover):
-                        continue
-                    a = geom.clip_area_rect(parts, cx0, cy0, cx0 + s, cy0 + s)
-                    if a > 0:
-                        out_grd.append(grd[i])
-                        out_zone.append(pid)
-                        out_frac.append(a / cell_area)
-            yield pd.DataFrame(
-                {"grd_id": out_grd, "zone_id": out_zone, "area_frac": out_frac}
-            )
+                if not cand.any():
+                    continue
+                cx0, cy0, cs = x0[cand], y0[cand], size[cand]
+                a = geom.clip_areas_rects(parts, cx0, cy0, cx0 + cs, cy0 + cs)
+                pos = a > 0
+                if pos.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "grd_id": grd[cand][pos],
+                                "zone_id": pid,
+                                "area_frac": a[pos] / (cs[pos] * cs[pos]),
+                            }
+                        )
+                    )
+            yield pd.concat(frames, ignore_index=True) if frames else empty
 
     src = grid.select(
         "grd_id", "x0", "y0", F.lit(1000.0).alias("size")

@@ -1041,6 +1041,22 @@ GROUP BY r.comp, n.value
 ORDER BY value, n_px, ymin, xmin, ymax, xmax
 """
 
+# same flood-fill closure, but the comparable is the DECODED GEOMETRY:
+# area_px must equal the pixel count exactly (rectilinear integer-corner
+# rings ⇒ shoelace is exact in doubles) and the outer-ring bbox must be
+# the pixel bbox in corner coordinates
+SQL_REGION_GEOM_AREAS = (
+    SQL_RASTER_REGIONS.rsplit("SELECT 'density'", 1)[0]
+    + """SELECT 'density' AS layer, n.value AS value, COUNT(*) AS n_px,
+       CAST(COUNT(*) AS DOUBLE) AS area_px,
+       MIN(n.x) AS x0, MIN(n.y) AS y0,
+       MAX(n.x) + 1 AS x1, MAX(n.y) + 1 AS y1
+FROM nodes n JOIN rch r ON r.node = n.id
+GROUP BY r.comp, n.value
+ORDER BY value, n_px, x0, y0, x1, y1
+"""
+)
+
 
 def q_raster_region_geoms(spark, sf_dir):
     """F9 full features.shapes parity: region POLYGON geometry as WKB
@@ -1052,6 +1068,55 @@ def q_raster_region_geoms(spark, sf_dir):
     return L.region_geometries(
         _density_tiles(spark, sf_dir), tile_w=16
     ).orderBy("region_id")
+
+
+def q_region_geom_areas(spark, sf_dir):
+    """F9 geometry correctness, DRIVER-checked: decode every region's
+    WKB in-engine (Arrow-batched mapInPandas, numpy shoelace with
+    holes) and emit (value, n_px, area_px, outer-ring corner bbox).
+    The oracle closes the same raster's 4-neighbor graph and states
+    area_px = n_px (exact: integer-corner rectilinear rings) and
+    bbox = pixel bbox + 1 on the max corners — so a mistraced ring,
+    dropped hole, or wrong orientation hash-mismatches here, not just
+    in pytest."""
+    import pandas as pd
+
+    from .geo import geom as ggeom, wkb as gwkb
+    from .operators import layers as L
+
+    g = L.region_geometries(_density_tiles(spark, sf_dir), tile_w=16)
+
+    def fn(batches):
+        for b in batches:
+            area, x0, y0, x1, y1 = [], [], [], [], []
+            for buf in b["wkb"]:
+                parts = gwkb.polygon_parts(gwkb.decode(bytes(buf)))
+                area.append(ggeom.polygon_area(parts))
+                bx0, by0, bx1, by1 = ggeom.ring_bbox(parts[0][0])
+                x0.append(int(bx0))
+                y0.append(int(by0))
+                x1.append(int(bx1))
+                y1.append(int(by1))
+            yield pd.DataFrame(
+                {
+                    "layer": b["layer"],
+                    "value": b["value"],
+                    "n_px": b["n_px"],
+                    "area_px": area,
+                    "x0": x0,
+                    "y0": y0,
+                    "x1": x1,
+                    "y1": y1,
+                }
+            )
+
+    return g.mapInPandas(
+        fn,
+        schema=(
+            "layer string, value double, n_px long, area_px double, "
+            "x0 long, y0 long, x1 long, y1 long"
+        ),
+    ).orderBy("value", "n_px", "x0", "y0", "x1", "y1")
 
 
 def q_region_geoms_simplified(spark, sf_dir):
@@ -2849,6 +2914,7 @@ QUERIES = {
     "pagerank": (q_pagerank, _sql_pagerank()),
     "geo_within_dist": (q_geo_within_dist, _sql_geo_within_dist()),
     "raster_region_geoms": (q_raster_region_geoms, None),
+    "region_geom_areas": (q_region_geom_areas, SQL_REGION_GEOM_AREAS),
     "region_geoms_simplified": (q_region_geoms_simplified, None),
     "winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),

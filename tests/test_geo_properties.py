@@ -97,6 +97,33 @@ def test_clip_area_bounds_and_additivity(parts):
     assert abs((a_l + a_r) - a) <= 1e-6 * max(a, 1.0)
 
 
+@settings(max_examples=25, deadline=None)
+@given(parts=star_polygons(), data=st.data())
+def test_batch_clip_areas_equal_scalar(parts, data):
+    """clip_areas_rects (the vectorized G5 weights kernel) must be
+    BIT-identical to the scalar clip_area_rect on every rect — convex
+    fast path and concave triangle-fan alike."""
+    xmin, ymin, xmax, ymax = geom.ring_bbox(parts[0][0])
+    n = 12
+    rx0 = np.array(
+        data.draw(st.lists(st.floats(xmin - 5000, xmax), min_size=n, max_size=n))
+    )
+    ry0 = np.array(
+        data.draw(st.lists(st.floats(ymin - 5000, ymax), min_size=n, max_size=n))
+    )
+    w = np.array(
+        data.draw(st.lists(st.floats(10.0, 30000.0), min_size=n, max_size=n))
+    )
+    batch = geom.clip_areas_rects(parts, rx0, ry0, rx0 + w, ry0 + w)
+    scalar = np.array(
+        [
+            geom.clip_area_rect(parts, a, b, c, d)
+            for a, b, c, d in zip(rx0, ry0, rx0 + w, ry0 + w)
+        ]
+    )
+    assert (batch == scalar).all()
+
+
 @settings(max_examples=50, deadline=None)
 @given(
     lon=st.floats(-15.0, 35.0, allow_nan=False),
