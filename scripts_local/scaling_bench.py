@@ -212,7 +212,10 @@ two local parallelism levels, per the sandbox protocol in
 | plain join | {report['plain_throughput_N']:,} | {report['plain_throughput_4N']:,} | {report['plain_efficiency']} |
 | join + per-page metrics (tokens + SimHash) | {report['metrics_throughput_N']:,} | {report['metrics_throughput_4N']:,} | {report['metrics_efficiency']} |
 
-Target: efficiency ≥ 0.8.
+Target: efficiency ≥ 0.8. (Cross-round regression forensics: see
+BENCH/AB_R2_R3.md — alternating r2-vs-current paired JVMs — and
+BENCH/scaling_sessions.jsonl for every session this round including
+rejected ones.)
 
 Raw timings (sec, ALL pairs in order — recompute any pair's ratio from
 these): plain N={lo['plain_all']} 4N={hi['plain_all']};
