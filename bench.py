@@ -62,9 +62,12 @@ ROTATING = [
     "corpus_select",
     # r4 additions
     "pipeline_inference",
+    "pipeline_etl",
     "url_dedup",
     "domain_cap",
     "pagerank",
+    "region_geom_areas",
+    "hard_negatives",
 ]
 
 

@@ -50,6 +50,49 @@ def brute_force_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10)
     )
 
 
+def rank_band_pairs(
+    embeddings: DataFrame,
+    query_vecs: list[list[float]],
+    top_k: int = 3,
+    neg_lo: int = 50,
+    neg_hi: int = 52,
+) -> DataFrame:
+    """Contrastive-training pair mining: for each query vector emit the
+    rank-≤``top_k`` neighbors as POSITIVES and the ``neg_lo``..``neg_hi``
+    rank band as HARD NEGATIVES (close enough to be informative, far
+    enough to be wrong — the standard in-batch-negatives upgrade).
+
+    Shape: the query set is tiny (a constant per job), so each query's
+    cosine column is computed in the same codegen'd scan pass (union of
+    per-query branches over ONE cached scan at corpus scale); ranking is
+    a per-query window — Spark's WindowGroupLimit caps the sort at
+    ``neg_hi`` rows per query partition."""
+    from pyspark.sql.window import Window
+
+    branches = None
+    for qid, qv in enumerate(query_vecs):
+        b = cosine_to_query(embeddings, qv).select(
+            F.lit(qid).alias("query_id"), "vec_id", "cosine"
+        )
+        branches = b if branches is None else branches.unionByName(b)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    ranked = branches.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(
+        (F.col("rank") <= top_k)
+        | ((F.col("rank") >= neg_lo) & (F.col("rank") <= neg_hi))
+    ).select(
+        "query_id",
+        "vec_id",
+        "rank",
+        F.when(F.col("rank") <= top_k, F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("band"),
+        "cosine",
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes from counter hashing."""
     ids = np.arange(dim * n_planes, dtype=np.uint64)

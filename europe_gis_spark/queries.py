@@ -2488,6 +2488,52 @@ SELECT vec_id, label, cosine FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+QUERY_VECS = [
+    QUERY_VEC,
+    [((i * 53) % 17 - 8) / 9.0 for i in range(64)],
+    [((i * 29 + 11) % 23 - 11) / 12.0 for i in range(64)],
+]
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive pair mining (training-data layer): per query vector,
+    rank-≤3 cosine neighbors as positives + the 50–52 hard-negative
+    band. One scan feeds all query branches; per-query window rank is
+    WindowGroupLimit-capped."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.rank_band_pairs(
+        e, QUERY_VECS, top_k=3, neg_lo=50, neg_hi=52
+    ).orderBy("query_id", "rank")
+
+
+def _sql_hard_negatives() -> str:
+    def cos(qv):
+        v = "[" + ", ".join(repr(x) for x in qv) + "]"
+        return (
+            f"ROUND(LIST_DOT_PRODUCT(embedding::DOUBLE[], {v}) / "
+            f"(SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])) "
+            f"* SQRT(LIST_DOT_PRODUCT({v}, {v}))), 8)"
+        )
+
+    branches = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS query_id, vec_id, {cos(qv)} AS cosine FROM embeddings"
+        for qid, qv in enumerate(QUERY_VECS)
+    )
+    return f"""
+WITH c AS ({branches}),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM c
+)
+SELECT query_id, vec_id, rank,
+       CASE WHEN rank <= 3 THEN 'pos' ELSE 'neg' END AS band, cosine
+FROM r WHERE rank <= 3 OR (rank BETWEEN 50 AND 52)
+ORDER BY query_id, rank
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
     """Multi-probe LSH ANN — recall vs brute force is pytest-gated;
     rows-only driver check (hyperplanes not SQL-expressible)."""
@@ -2653,6 +2699,124 @@ win AS (
 )
 SELECT i, j, CAST(center AS DOUBLE) AS label, ROUND(2 * m + 1, 6) AS pred
 FROM win WHERE npx = 9 ORDER BY i, j
+"""
+
+
+def q_pipeline_etl(spark, sf_dir):
+    """Entry-point-1 lifecycle (the layers half of
+    ``pipelines.process_raster_layers``, ref raster_processor.py:334-341)
+    as a driver-checked query: event counts → two raster layers ('pop'
+    and 'ww', the log-recode and clamp-recode rules) → 16×16 tiles →
+    tiles_to_cells → F1–F4 recode → G8/F5 min-max normalize, processed
+    as lineage-checkpointed per-layer units and read back THROUGH the
+    dynamic-partition-overwrite parquet sink. The oracle rebuilds the
+    tile canvas (fill −1000 for in-tile pixels with no data — only
+    tiles containing ≥1 cell exist) and applies the same recode/
+    normalize arithmetic relationally. unit ids (xxhash64) are engine
+    bookkeeping and excluded from the comparable columns."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .checkpoint import lineage
+    from .operators import zonal
+
+    pts = event_points(spark, sf_dir)
+    counts = pts.groupBy(
+        F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("x"),
+        F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("y"),
+    ).agg(F.count("*").alias("cnt"))
+    pop = counts.select(
+        "x", "y", F.col("cnt").cast("float").alias("value"), F.lit("pop").alias("layer")
+    )
+    ww = counts.select(
+        "x",
+        "y",
+        (F.col("cnt") - 3).cast("float").alias("value"),
+        F.lit("ww").alias("layer"),
+    )
+    tiles = zonal.cells_to_tiles(pop.unionByName(ww), tile_w=16).select(
+        "*",
+        (F.col("tile_col") * 16 * 2000.0).alias("x0"),
+        (F.col("tile_row") * 16 * 2000.0).alias("y0"),
+        F.lit(2000.0).alias("cell_size"),
+    )
+    recoded = zonal.minmax_normalize(
+        zonal.recode_layers(zonal.tiles_to_cells(tiles, tile_w=16))
+    )
+    layer_units = tiles.select("layer").distinct().select(
+        F.abs(F.xxhash64("layer")).alias("unit_id"), "layer"
+    )
+
+    def run_layers(pending):
+        keep = pending.select("layer", "unit_id")
+        return recoded.join(F.broadcast(keep), "layer").select(
+            "unit_id", "layer", "y", "x", "value", "recoded", "norm"
+        )
+
+    tag = hashlib.md5(f"pipe_etl_v1:{sf_dir}".encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"egs_pipe_etl_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    lineage.run_with_checkpoint(
+        spark, layer_units, run_layers, f"{base}/out", f"{base}/ckpt", "etl1"
+    )
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select(
+            "layer",
+            "y",
+            "x",
+            F.col("value").cast("double").alias("value"),
+            F.round("recoded", 6).alias("recoded"),
+            F.col("norm").cast("long").alias("norm"),
+        )
+        .orderBy("layer", "y", "x")
+    )
+
+
+SQL_PIPELINE_ETL = f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+counts AS (
+  SELECT CAST(FLOOR((x - {AA_X0}) / 2000.0) AS INT) AS x,
+         CAST(FLOOR((y - {AA_Y0}) / 2000.0) AS INT) AS y,
+         COUNT(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+tl AS (SELECT DISTINCT x // 16 AS tx, y // 16 AS ty FROM counts),
+off AS (SELECT UNNEST(RANGE(0, 16)) AS d),
+canvas AS (
+  SELECT CAST(tl.tx * 16 + ox.d AS INT) AS x, CAST(tl.ty * 16 + oy.d AS INT) AS y
+  FROM tl, off ox, off oy
+),
+lay(layer) AS (VALUES ('pop'), ('ww')),
+cells AS (
+  SELECT l.layer, c.x, c.y,
+         CASE WHEN k.cnt IS NULL THEN -1000.0
+              WHEN l.layer = 'pop' THEN CAST(k.cnt AS DOUBLE)
+              ELSE CAST(k.cnt - 3 AS DOUBLE) END AS value
+  FROM canvas c CROSS JOIN lay l LEFT JOIN counts k USING (x, y)
+),
+rec AS (
+  SELECT layer, x, y, value,
+         CASE WHEN layer = 'pop'
+              THEN LEAST(LN(GREATEST(value, 2.0)), 10.0) / 10.0
+              WHEN layer = 'ww' AND value < 0 THEN 0.0
+              ELSE value END AS recoded
+  FROM cells
+),
+stats AS (
+  SELECT layer, MIN(value) AS vmin, MAX(value) AS vmax
+  FROM cells WHERE value > -1000.0 GROUP BY layer
+)
+SELECT r.layer, r.y, r.x, r.value,
+       ROUND(r.recoded, 6) AS recoded,
+       CASE WHEN r.value <= -1000.0 THEN 0
+            ELSE CAST(FLOOR(255.999 * (r.value - s.vmin) /
+                 (CASE WHEN s.vmax > s.vmin THEN s.vmax - s.vmin ELSE 1.0 END)) AS BIGINT)
+       END AS norm
+FROM rec r JOIN stats s USING (layer)
+ORDER BY layer, y, x
 """
 
 
@@ -2908,6 +3072,7 @@ QUERIES = {
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "ann_ivf_indexed": (q_ann_ivf_indexed, None),
     "pipeline_inference": (q_pipeline_inference, SQL_PIPELINE_INFERENCE),
+    "pipeline_etl": (q_pipeline_etl, SQL_PIPELINE_ETL),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
@@ -2937,9 +3102,10 @@ QUERIES = {
     "dedup_lsh_verified": (q_lsh_verified, _sql_lsh_verified()),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
-    "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
-    "ann_lsh_topk": (q_ann_lsh, None),
+    "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "embedding_dups": (q_embed_dups, SQL_EMBED_DUPS),
+    "ann_lsh_topk": (q_ann_lsh, None),
+    "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),

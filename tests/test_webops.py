@@ -87,6 +87,29 @@ def test_cap_per_domain_prefers_long_docs(spark):
     assert by_id[4].rk == 1 and by_id[4].kept  # other domain unaffected
 
 
+def test_url_canonical_idempotent_on_fuzzed_urls(spark):
+    """canonical(canonical(u)) == canonical(u): canonicalization is a
+    projection — rerunning the pipeline over already-curated URLs must
+    be a no-op (replay/idempotence property the dedup key relies on)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    schemes = ["http://", "https://", ""]
+    subs = ["", "www.", "m.", "blog."]
+    hosts = ["Example.com", "a.b.co.uk", "X9.org", "s.example.com.au"]
+    paths = ["", "/", "/p/1", "/a/b/", "/q%20x"]
+    qs = ["", "?id=3", "?utm_source=a", "?id=3&utm_medium=b&ref=t", "?ref=z&id=4"]
+    frags = ["", "#x", "#a?b"]
+    urls = [
+        rng.choice(schemes) + rng.choice(subs) + rng.choice(hosts)
+        + rng.choice(paths) + rng.choice(qs) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    once = _canon(spark, urls)
+    twice = _canon(spark, once)
+    assert once == twice
+
+
 def test_cap_window_uses_group_limit_pushdown(spark):
     """The rank<=k filter must ride WindowGroupLimit (partial limit
     before the shuffle) — at corpus scale a hot domain's rows must not
