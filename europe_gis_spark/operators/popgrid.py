@@ -154,26 +154,35 @@ def overlay_intersection(
     for pid, buf in polygons:
         parts = wkb.polygon_parts(wkb.decode(buf))
         if geom.is_valid_polygon(parts):
-            cover = set(gcells.cover_polygon(parts, res).tolist())
-            decoded.append((pid, parts, cover))
+            bbs = np.array([geom.ring_bbox(rings[0]) for rings in parts])
+            bbox = (
+                bbs[:, 0].min(),
+                bbs[:, 1].min(),
+                bbs[:, 2].max(),
+                bbs[:, 3].max(),
+            )
+            decoded.append((pid, parts, bbox))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = {"grd_id": [], "zone_id": [], "geometry": [], "area": []}
-            x0 = b["x0"].to_numpy()
-            y0 = b["y0"].to_numpy()
-            size = b["size"].to_numpy()
+            x0 = b["x0"].to_numpy(dtype=np.float64)
+            y0 = b["y0"].to_numpy(dtype=np.float64)
+            size = b["size"].to_numpy(dtype=np.float64)
             grd = b["grd_id"].tolist()
-            for i in range(len(b)):
-                cx0, cy0, s = x0[i], y0[i], size[i]
-                ring = np.array(
-                    [[cx0, cy0], [cx0 + s, cy0], [cx0 + s, cy0 + s],
-                     [cx0, cy0 + s], [cx0, cy0]]
-                )
-                ccells = set(gcells.cover_polygon([[ring]], res).tolist())
-                for pid, parts, cover in decoded:
-                    if not (ccells & cover):
-                        continue
+            # vectorized bbox prefilter per polygon (the per-cell
+            # cover_polygon of the old loop cost more than the clips);
+            # geometry assembly stays per-pair (ragged WKB output) but
+            # only runs on bbox-surviving pairs
+            for pid, parts, (px0, py0, px1, py1) in decoded:
+                cand = np.nonzero(
+                    (x0 < px1)
+                    & (x0 + size > px0)
+                    & (y0 < py1)
+                    & (y0 + size > py0)
+                )[0]
+                for i in cand:
+                    cx0, cy0, s = x0[i], y0[i], size[i]
                     clipped = geom.clip_polygon_rect(
                         parts, cx0, cy0, cx0 + s, cy0 + s
                     )

@@ -157,6 +157,19 @@ def main() -> None:
         )
     )
 
+    from europe_gis_spark.queries import q_url_dedup
+
+    ud = q_url_dedup(spark, "/root/testdata/sf0.001")
+    ud.collect()
+    sections.append(
+        (
+            "Canonical-URL dedup (map-side JVM regex canonicalization; "
+            "only the distinct-agg exchange pair, both keyed on the "
+            "canonical key)",
+            ud._jdf.queryExecution().executedPlan().toString().strip(),
+        )
+    )
+
     from europe_gis_spark.queries import q_corpus_select
 
     sel = q_corpus_select(spark, "/root/testdata/sf0.001")

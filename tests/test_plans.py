@@ -236,6 +236,28 @@ def test_corpus_select_reads_checkpointed_union_not_files(spark):
     assert "documents.parquet" not in p, p
 
 
+def test_url_dedup_single_exchange_map_side_canonical(spark):
+    """url_dedup's load-bearing shape: canonicalization is pure JVM
+    string expressions (no Python evaluator anywhere), and the ONLY
+    exchanges are the canonical-key aggregation's partial/final pair —
+    one logical shuffle, nothing reshuffles the raw URL rows."""
+    from europe_gis_spark.queries import q_url_dedup
+
+    df = q_url_dedup(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, mode="simple")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    body = p.split("AdaptiveSparkPlan")[-1]
+    # hash exchanges: the standard distinct-agg pair and nothing else —
+    # (canonical_url, url) for partial_count(distinct), then
+    # canonical_url for the final agg; every exchange keys on the
+    # canonical key (raw rows are never reshuffled on anything else)
+    import re
+
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", body)
+    assert len(hashes) <= 2, body
+    assert all("canonical_url" in h for h in hashes), hashes
+
+
 def test_no_query_regresses_to_cartesian_or_row_python(spark):
     """Registry-wide guardrail: building every registered query's
     physical plan, none may contain a non-broadcast cartesian product
