@@ -68,6 +68,7 @@ ROTATING = [
     "pagerank",
     "region_geom_areas",
     "hard_negatives",
+    "geo_pip_shuffle",
 ]
 
 

@@ -280,3 +280,150 @@ def pages_per_region(
         .withColumnRenamed("poly_id", "nuts_id")
         .orderBy(F.desc("n_pages"))
     )
+
+
+def polygon_cover_df(
+    polygons_df: DataFrame,
+    id_col: str = "nuts_id",
+    geom_col: str = "geometry",
+    burn_col: str = "burn",
+    res: int = gcells.RES_DEFAULT,
+) -> DataFrame:
+    """Distributed cover-cell table: one row per (cover cell, polygon) —
+    the shuffle-join twin of the driver-built PolyIndex, for polygon
+    sets too large to broadcast (LAU 1e5+, ~600 MB decoded). Decode +
+    validity + cover run inside mapInPandas; the caller supplies an
+    explicit ``burn_col`` (int) because a distributed table has no
+    input order — last-wins needs it stated, not implied."""
+    from ..geo import geom as ggeom, wkb as gwkb
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cells_out, pids, burns = [], [], []
+            for pid, burn, buf in zip(b[id_col], b[burn_col], b[geom_col]):
+                parts = gwkb.polygon_parts(gwkb.decode(bytes(buf)))
+                if not ggeom.is_valid_polygon(parts):
+                    continue
+                cov = gcells.cover_polygon(parts, res)
+                cells_out.append(cov)
+                pids.extend([pid] * len(cov))
+                burns.extend([burn] * len(cov))
+            cell_arr = (
+                np.concatenate(cells_out) if cells_out else np.empty(0, np.int64)
+            )
+            yield pd.DataFrame(
+                {"cell": cell_arr, "poly_id": pids, "burn": burns}
+            )
+
+    return polygons_df.select(id_col, burn_col, geom_col).mapInPandas(
+        fn, schema="cell long, poly_id string, burn long"
+    )
+
+
+def pip_join_shuffle(
+    points: DataFrame,
+    polygons_df: DataFrame,
+    keep_cols: tuple[str, ...] = ("url",),
+    id_col: str = "nuts_id",
+    geom_col: str = "geometry",
+    burn_col: str = "burn",
+    res: int = gcells.RES_DEFAULT,
+    boundary: str = "include",
+    n_salt: int = 8,
+) -> DataFrame:
+    """Cell-bucketed SHUFFLE spatial join — the no-broadcast scale path
+    the north-star names ("cell-bucketed hash join plus exact
+    point-in-polygon refinement") for when the polygon side outgrows
+    the broadcast budget (ARCHITECTURE.md §2 fallback).
+
+    Stages (3 wide ops vs the broadcast path's 1 — the documented price
+    of dropping the broadcast):
+      1. points gain a cell id map-side; cover table from
+         :func:`polygon_cover_df`; candidate pairs via a cell-keyed
+         join pinned ``shuffle_hash`` (the planner must never try to
+         broadcast either corpus-scale side).
+      2. exact ray-cast refine via COGROUP on (poly_id, salt):
+         geometry ships ONCE per group — never duplicated per candidate
+         pair — and the salt splits hot polygons (a capital-city
+         polygon at crawl scale) across ``n_salt`` independent tasks.
+      3. last-wins burn order (MergeAlg.replace parity with the
+         broadcast path): max_by(poly_id, burn) per point, then a left
+         join back so unmatched points keep poly_id = NULL.
+
+    ``keep_cols`` must uniquely key a point row (used for the last-wins
+    regroup and the NULL-fill join).
+    """
+    from ..geo import geom as ggeom, wkb as gwkb
+
+    pts = points
+    if "cell" not in pts.columns:
+
+        def add_cell(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                x = b["x"].to_numpy(dtype=np.float64, na_value=np.nan)
+                y = b["y"].to_numpy(dtype=np.float64, na_value=np.nan)
+                out = b.copy()
+                ok = np.isfinite(x) & np.isfinite(y)
+                cid = np.full(len(b), -1, dtype=np.int64)
+                if ok.any():
+                    cid[ok] = gcells.cell_id(x[ok], y[ok], res)
+                out["cell"] = cid
+                yield out
+
+        in_cols = list(keep_cols) + ["x", "y"]
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in pts.select(*in_cols).schema.fields
+        ) + ", cell bigint"
+        pts = pts.select(*in_cols).mapInPandas(add_cell, schema=schema)
+
+    cover = polygon_cover_df(
+        polygons_df, id_col=id_col, geom_col=geom_col, burn_col=burn_col, res=res
+    )
+    pairs = pts.join(cover.hint("shuffle_hash"), "cell").withColumn(
+        "salt", F.pmod(F.xxhash64("x", "y"), F.lit(n_salt))
+    )
+    salts = pairs.sparkSession.range(n_salt).select(
+        F.col("id").alias("salt")
+    )
+    geoms = (
+        polygons_df.select(
+            F.col(id_col).alias("poly_id"), F.col(geom_col).alias("geometry")
+        )
+        .crossJoin(F.broadcast(salts))
+    )
+
+    out_cols = list(keep_cols)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pairs.select(*out_cols).schema.fields
+    ) + ", poly_id string, burn long"
+
+    def refine(key, cand: pd.DataFrame, geo: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=object) for c in out_cols}
+            | {"poly_id": pd.Series(dtype=object), "burn": pd.Series(dtype="int64")}
+        )
+        if len(cand) == 0 or len(geo) == 0:
+            return empty
+        parts = gwkb.polygon_parts(gwkb.decode(bytes(geo["geometry"].iloc[0])))
+        x = cand["x"].to_numpy(dtype=np.float64)
+        y = cand["y"].to_numpy(dtype=np.float64)
+        hit = ggeom.points_in_polygon(x, y, parts, boundary)
+        if not hit.any():
+            return empty
+        got = cand.loc[hit, out_cols + ["burn"]].copy()
+        got["poly_id"] = key[0]
+        return got[out_cols + ["poly_id", "burn"]]
+
+    hits = (
+        pairs.groupBy("poly_id", "salt")
+        .cogroup(geoms.groupBy("poly_id", "salt"))
+        .applyInPandas(refine, schema=out_schema)
+    )
+    best = hits.groupBy(*keep_cols).agg(
+        F.max_by("poly_id", "burn").alias("poly_id")
+    )
+    return points.select(*keep_cols, "x", "y").join(
+        best, list(keep_cols), "left"
+    )

@@ -726,6 +726,34 @@ def q_geo_pip(spark, sf_dir):
     )
 
 
+def q_geo_pip_shuffle(spark, sf_dir):
+    """The NO-BROADCAST twin of q_geo_pip: cell-bucketed shuffle hash
+    join (pinned) + salted-cogroup exact PIP refine + last-wins —
+    the LAU-scale path when the polygon side outgrows the broadcast
+    budget. Shares q_geo_pip's oracle: both paths must produce
+    identical region assignments."""
+    import pandas as pd
+
+    pts = event_points(spark, sf_dir)
+    polys_df = spark.createDataFrame(
+        pd.DataFrame(
+            [(pid, _poly_wkb(v), i) for i, (pid, v) in enumerate(PIP_POLYS)],
+            columns=["nuts_id", "geometry", "burn"],
+        )
+    )
+    assigned = geo_join.pip_join_shuffle(
+        pts, polys_df, keep_cols=("event_id", "value")
+    )
+    return (
+        assigned.groupBy("poly_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy(F.asc_nulls_first("poly_id"))
+    )
+
+
 def _sql_geo_pip() -> str:
     # last-wins burn order (MergeAlg.replace): the CASE probes polygons
     # in REVERSE input order so the last-burned polygon takes the pixel
@@ -3090,6 +3118,7 @@ QUERIES = {
     "source_stats": (q_source_stats, SQL_SOURCE_STATS),
     "ann_ivf_topk": (q_ivf_topk, None),
     "simhash_pairs": (q_simhash_pairs, _sql_simhash()),
+    "geo_pip_shuffle": (q_geo_pip_shuffle, _sql_geo_pip()),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
@@ -3101,9 +3130,9 @@ QUERIES = {
     "salted_skew_join": (q_salted_skew_join, SQL_SALTED_JOIN),
     "dedup_lsh_verified": (q_lsh_verified, _sql_lsh_verified()),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
-    "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
-    "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "embedding_dups": (q_embed_dups, SQL_EMBED_DUPS),
+    "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
+    "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
     "ann_lsh_topk": (q_ann_lsh, None),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),

@@ -258,6 +258,22 @@ def test_url_dedup_single_exchange_map_side_canonical(spark):
     assert all("canonical_url" in h for h in hashes), hashes
 
 
+def test_pip_shuffle_join_never_broadcasts_corpus_sides(spark):
+    """The no-broadcast spatial-join path must stay that way: the
+    candidate-pair join is a SHUFFLED hash join on the cell key (the
+    planner would broadcast the small cover table at test scale —
+    corpus-scale LAU covers are exactly what this path exists to NOT
+    broadcast), and the refine is the salted cogroup
+    (FlatMapCoGroupsInPandas). The only sanctioned broadcast is the
+    n_salt-row salt range on the geometry side."""
+    from europe_gis_spark.queries import q_geo_pip_shuffle
+
+    df = q_geo_pip_shuffle(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, mode="simple")
+    assert "ShuffledHashJoin [cell" in p.replace("L#", " ").replace("#", " "), p
+    assert "FlatMapCoGroupsInPandas" in p, p
+
+
 def test_no_query_regresses_to_cartesian_or_row_python(spark):
     """Registry-wide guardrail: building every registered query's
     physical plan, none may contain a non-broadcast cartesian product
