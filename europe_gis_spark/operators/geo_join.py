@@ -181,23 +181,64 @@ def assign_polygons(
     return resolved.mapInPandas(fn, schema=out_schema)
 
 
+# Java-regex twins of extract/html.py's _GEO_META_RE / _COORD_TEXT_RE —
+# the coordinate extraction is pure regex, so it can run JVM-side on
+# the (lossy-UTF-8-decoded) html: the ASCII patterns match byte-for-byte
+# the same set of documents (invalid sequences decode to U+FFFD, which
+# the patterns cannot match through), pinned by the both-paths-equal
+# pytest and the per-row numpy oracle in bench.assignment_match_rate.
+GEO_META_JAVA = (
+    r'(?i)<meta\s+name="geo\.position"\s+content="\s*'
+    r'(-?\d+(?:\.\d+)?)\s*;\s*(-?\d+(?:\.\d+)?)\s*"'
+)
+COORD_TEXT_JAVA = r"coordinates:\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)"
+
+
+def _jvm_coords(pages: DataFrame):
+    """(lat, lon) columns via JVM regexp_extract — html-meta first,
+    text pattern as fallback, NULL when neither matches (the exact
+    decision order of hx.extract_coords)."""
+    h = F.col("html").cast("string")
+    mlat = F.regexp_extract(h, GEO_META_JAVA, 1)
+    mlon = F.regexp_extract(h, GEO_META_JAVA, 2)
+    tlat = F.regexp_extract(F.col("text"), COORD_TEXT_JAVA, 1)
+    tlon = F.regexp_extract(F.col("text"), COORD_TEXT_JAVA, 2)
+    lat = F.when(mlat != "", mlat.cast("double")).otherwise(
+        F.when(tlat != "", tlat.cast("double"))
+    )
+    lon = F.when(mlat != "", mlon.cast("double")).otherwise(
+        F.when(tlat != "", tlon.cast("double"))
+    )
+    return lat, lon
+
+
 def tag_pages(
     pages: DataFrame,
     idx_bc,
     host_hints: pd.DataFrame | None = None,
     boundary: str = "include",
     with_metrics: bool = False,
+    jvm_extract: bool = True,
 ) -> DataFrame:
     """Single-pass geo-tag: extraction + projection + PIP assignment in
     ONE mapInPandas (one JVM↔Python Arrow crossing; only ``url`` and the
     tiny computed columns come back — the html payload never makes a
     round trip). This is the hot path the pages/sec metric measures.
 
+    ``jvm_extract=True`` (default) runs the coordinate regexes JVM-side
+    (``_jvm_coords``) so the html payload never crosses Arrow AT ALL —
+    the Python pass receives (url, lat, lon[, text]) ≈ tens of bytes per
+    page instead of the KB-scale html. On a bandwidth-bound executor the
+    Arrow transfer was the plain variant's dominant cost; the legacy
+    all-Python path is kept (``jvm_extract=False``) and pinned equal
+    row-for-row by pytest.
+
     ``with_metrics=True`` additionally computes the per-page
     training-data metrics in the same pass (token count + 64-bit SimHash
     dedup fingerprint) — the fused form of the reference's one-loop
     multi-layer fill (``dataset_creation.py:58-75``): at crawl scale you
-    never re-read a page payload for a second metric pass.
+    never re-read a page payload for a second metric pass (text still
+    crosses for the metrics; html still doesn't).
     """
     from .dedup import simhash_batch
 
@@ -208,6 +249,51 @@ def tag_pages(
     schema = "url string, poly_id string, x double, y double"
     if with_metrics:
         schema += ", n_tokens int, simhash long"
+
+    if jvm_extract:
+        jlat, jlon = _jvm_coords(pages)
+        cols = ["url", jlat.alias("lat"), jlon.alias("lon")] + (
+            ["text"] if with_metrics else []
+        )
+        src = pages.select(*cols)
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            idx = idx_bc.value
+            for b in batches:
+                n = len(b)
+                lat = b["lat"].to_numpy(dtype=np.float64, na_value=np.nan)
+                lon = b["lon"].to_numpy(dtype=np.float64, na_value=np.nan)
+                if with_metrics:
+                    texts = b["text"].tolist()
+                    ntok = np.array(
+                        [len((t or "").split()) for t in texts], dtype=np.int32
+                    )
+                    sims = simhash_batch(texts)
+                if hints:
+                    miss = np.isnan(lat)
+                    if miss.any():
+                        hosts = hx.host_series(b["url"])
+                        for i in np.nonzero(miss)[0]:
+                            h = hosts.iat[i]
+                            if h in hints:
+                                lat[i], lon[i] = hints[h]
+                x, y = proj.forward(lon, lat)
+                ok = np.isfinite(x) & np.isfinite(y)
+                poly = np.array([None] * n, dtype=object)
+                if ok.any():
+                    rows, ords = gindex.assign_points(
+                        idx, x[ok], y[ok], boundary=boundary, match="last"
+                    )
+                    ok_idx = np.nonzero(ok)[0]
+                    for r, o in zip(rows, ords):
+                        poly[ok_idx[r]] = idx.poly_ids[o]
+                out = {"url": b["url"], "poly_id": poly, "x": x, "y": y}
+                if with_metrics:
+                    out["n_tokens"] = ntok
+                    out["simhash"] = sims
+                yield pd.DataFrame(out)
+
+        return src.mapInPandas(fn, schema=schema)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = idx_bc.value

@@ -137,3 +137,35 @@ def test_multi_match_overlap_counting(spark, level3):
     assert counts["border-v"] == 2
     assert counts["corner-4"] == 4
     assert counts["interior"] == 1
+
+
+def test_jvm_extract_path_equals_python_path(spark, fixture_pages, level3):
+    """The JVM-regex coordinate prefilter (tag_pages jvm_extract=True,
+    the default — html never crosses Arrow) must be row-for-row equal
+    to the all-Python extraction path on the full fixture set, which
+    includes non-UTF8 bytes, empty html, boundary points and
+    hint-fallback hosts — for both the plain and the fused-metrics
+    variant."""
+    pages = spark.createDataFrame(fixture_pages)
+    idx = geo_join.build_polygon_index_bc(spark, spark.createDataFrame(level3))
+    hints = pgen.host_city_hints()
+    for metrics in (False, True):
+        a = (
+            geo_join.tag_pages(
+                pages, idx, host_hints=hints, with_metrics=metrics,
+                jvm_extract=True,
+            )
+            .toPandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        b = (
+            geo_join.tag_pages(
+                pages, idx, host_hints=hints, with_metrics=metrics,
+                jvm_extract=False,
+            )
+            .toPandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
