@@ -224,8 +224,21 @@ def compact_checkpoint(
     fs.delete(jvm_fs.Path(tmp), True)
     fs.delete(jvm_fs.Path(old), True)
     n = compact_parquet(spark, ckpt_path, tmp, target_file_mb=target_file_mb)
-    fs.rename(p, jvm_fs.Path(old))
-    fs.rename(jvm_fs.Path(tmp), p)
+    # Hadoop rename reports most failures by RETURNING FALSE (and
+    # renaming onto an existing dir nests the source inside it) — a
+    # swallowed false here would silently duplicate lineage data, so
+    # both renames are checked and abort loudly
+    if not fs.rename(p, jvm_fs.Path(old)):
+        fs.delete(jvm_fs.Path(tmp), True)
+        raise RuntimeError(
+            f"checkpoint compaction aborted: rename {ckpt_path} -> {old} failed"
+        )
+    if not fs.rename(jvm_fs.Path(tmp), p):
+        # restore the original table before raising
+        fs.rename(jvm_fs.Path(old), p)
+        raise RuntimeError(
+            f"checkpoint compaction aborted: rename {tmp} -> {ckpt_path} failed"
+        )
     fs.delete(jvm_fs.Path(old), True)
     return n
 

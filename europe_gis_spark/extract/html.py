@@ -39,8 +39,12 @@ _ENTITIES = [
 _GEO_META_RE = re.compile(
     rb'(?i)<meta\s+name="geo\.position"\s+content="\s*(-?\d+(?:\.\d+)?)\s*;\s*(-?\d+(?:\.\d+)?)\s*"'
 )
+# re.ASCII: coordinates are ASCII by definition here — Python str \d
+# would otherwise match Unicode digits (fullwidth ４５ etc.) that the
+# JVM-regex twin (geo_join.COORD_TEXT_JAVA, Java ASCII \d) and Spark's
+# double cast both reject, silently diverging the two extraction paths
 _COORD_TEXT_RE = re.compile(
-    r"coordinates:\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)"
+    r"coordinates:\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)", re.ASCII
 )
 _HOST_RE = re.compile(r"^[a-z][a-z0-9+.-]*://([^/:?#]+)")
 

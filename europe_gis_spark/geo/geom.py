@@ -577,16 +577,26 @@ def _ring_clip_areas_batch(
     signs = np.sign(
         (a[:, 0] - ox) * (b[:, 1] - oy) - (a[:, 1] - oy) * (b[:, 0] - ox)
     )
-    # (T, R) product batch: triangle j clipped against rect c
-    verts = np.repeat(tris, r, axis=0)
-    areas = _sh_clip_areas_batch(
-        verts,
-        np.tile(x0, t),
-        np.tile(y0, t),
-        np.tile(x1, t),
-        np.tile(y1, t),
-    ).reshape(t, r)
-    return np.abs((signs[:, None] * areas).sum(axis=0))
+    # (T, R) product batch: triangle j clipped against rect c — chunked
+    # over the rect axis so peak memory stays O(chunk · T), not O(R · T)
+    # (a 2k-vertex zone polygon against a 10k-cell Arrow batch would
+    # otherwise allocate ~2e7-row float64 intermediates per clip side)
+    max_rows = 200_000
+    chunk = max(1, max_rows // max(t, 1))
+    out = np.empty(r, dtype=np.float64)
+    for s in range(0, r, chunk):
+        e = min(s + chunk, r)
+        rr = e - s
+        verts = np.repeat(tris, rr, axis=0)
+        areas = _sh_clip_areas_batch(
+            verts,
+            np.tile(x0[s:e], t),
+            np.tile(y0[s:e], t),
+            np.tile(x1[s:e], t),
+            np.tile(y1[s:e], t),
+        ).reshape(t, rr)
+        out[s:e] = np.abs((signs[:, None] * areas).sum(axis=0))
+    return out
 
 
 def clip_areas_rects(

@@ -44,6 +44,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph (no edges, or self-loops only): empty result with
+        # the right schema, not a ZeroDivisionError
+        return nodes.select("node", F.lit(0.0).alias("pr"))
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     base = (1.0 - damping) / n_nodes

@@ -79,9 +79,12 @@ def rank_band_pairs(
         F.desc("cosine"), F.asc("vec_id")
     )
     ranked = branches.withColumn("rank", F.row_number().over(w))
-    return ranked.filter(
-        (F.col("rank") <= top_k)
-        | ((F.col("rank") >= neg_lo) & (F.col("rank") <= neg_hi))
+    # the conjunctive rank <= neg_hi filter FIRST: InferWindowGroupLimit
+    # only extracts simple conjuncts, so a bare disjunction would force
+    # a full per-query sort; with the bound in place each map partition
+    # forwards at most neg_hi rows per query before the band filter
+    return ranked.filter(F.col("rank") <= neg_hi).filter(
+        (F.col("rank") <= top_k) | (F.col("rank") >= neg_lo)
     ).select(
         "query_id",
         "vec_id",

@@ -25,8 +25,13 @@ _SUFFIX_ALT = "|".join(s.replace(".", r"\.") for s in MULTI_LABEL_SUFFIXES)
 REGISTERED_DOMAIN_PATTERN = rf"([^.]+\.(?:{_SUFFIX_ALT})|[^.]+\.[^.]+)$"
 
 # tracking params stripped by canonicalization (the utm_*/ref junk that
-# makes byte-identical pages look like distinct URLs)
-JUNK_PARAM_PATTERN = r"(utm_[a-z]+|ref)=[^&#]*&?"
+# makes byte-identical pages look like distinct URLs). The param name is
+# ANCHORED to a preceding ?/& (kept via the capture group — RE2 has no
+# lookbehind) so names merely ENDING in 'ref'/'utm_x' (href, xref) are
+# never corrupted; the + quantifier consumes ADJACENT junk params in one
+# match, since after '?utm_a=1&' is consumed a following 'ref=2' has no
+# separator left to anchor on.
+JUNK_PARAM_PATTERN = r"([?&])((?:utm_[a-z]+|ref)=[^&#]*&?)+"
 
 
 def url_host(url: Column | str) -> Column:
@@ -48,7 +53,7 @@ def url_canonical(url: Column | str) -> Column:
     host = F.regexp_replace(url_host(s1), r"^(www|m)\.", "")
     rest = F.regexp_replace(s1, r"^[^/?#]+", "")
     rest = F.regexp_replace(rest, r"#.*$", "")
-    rest = F.regexp_replace(rest, JUNK_PARAM_PATTERN, "")
+    rest = F.regexp_replace(rest, JUNK_PARAM_PATTERN, "$1")
     rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.regexp_replace(rest, r"/+$", "")
     return F.concat(host, rest)

@@ -2930,7 +2930,7 @@ canon AS (
          REGEXP_REPLACE(host0, '^(www|m)\.', '') ||
          REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
            REGEXP_REPLACE(rest0, '#.*$', ''),
-           '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
+           '([?&])((?:utm_[a-z]+|ref)=[^&#]*&?)+', '\1', 'g'),
            '[?&]+$', ''), '/+$', '') AS canonical_url,
          host0 AS host,
          REGEXP_EXTRACT(host0,

@@ -57,6 +57,17 @@ def test_pagerank_mass_conserved_and_dangling(spark):
     assert got[3] == max(got.values())
 
 
+def test_pagerank_empty_and_selfloop_only_graphs(spark):
+    """No edges (or self-loops only) → empty (node, pr) result, never a
+    ZeroDivisionError on the driver."""
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(empty).count() == 0
+    loops = spark.createDataFrame(pd.DataFrame({"src": [1, 2], "dst": [1, 2]}))
+    out = graph.pagerank(loops)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "pr"]
+
+
 def test_pagerank_hub_gets_rank(spark):
     # star: everyone points at node 0
     edges = [(i, 0) for i in range(1, 9)]

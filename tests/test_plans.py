@@ -258,6 +258,16 @@ def test_url_dedup_single_exchange_map_side_canonical(spark):
     assert all("canonical_url" in h for h in hashes), hashes
 
 
+def test_hard_negatives_window_is_group_limited(spark):
+    """The rank filter must stay conjunct-first so InferWindowGroupLimit
+    caps each query partition's sort at neg_hi rows — a bare disjunction
+    silently forces a full per-query corpus sort."""
+    from europe_gis_spark.queries import q_hard_negatives
+
+    p = plan_str(q_hard_negatives(spark, "/root/testdata/sf0.001"), mode="simple")
+    assert "WindowGroupLimit" in p, p
+
+
 def test_pip_shuffle_join_never_broadcasts_corpus_sides(spark):
     """The no-broadcast spatial-join path must stay that way: the
     candidate-pair join is a SHUFFLED hash join on the cell key (the

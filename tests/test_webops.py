@@ -27,6 +27,30 @@ def test_url_canonical_collapses_variants(spark):
     assert got == {"example.com/a/1"}
 
 
+def test_url_canonical_never_corrupts_lookalike_params(spark):
+    """Params whose names merely END in 'ref'/'utm_x' (href, xref) are
+    NOT tracking junk and must survive byte-for-byte; adjacent junk
+    params must still all be stripped (the + chain handles the consumed
+    separator)."""
+    got = _canon(
+        spark,
+        [
+            "https://a.com/s?href=1",
+            "https://a.com/s?xref=abc&id=2",
+            "https://a.com/s?utm_a=1&ref=2&id=3",
+            "https://a.com/s?href=b&ref=a",
+            "https://a.com/s?utm_a=1&utm_b=2&ref=x",
+        ],
+    )
+    assert got == [
+        "a.com/s?href=1",
+        "a.com/s?xref=abc&id=2",
+        "a.com/s?id=3",
+        "a.com/s?href=b",
+        "a.com/s",
+    ]
+
+
 def test_url_canonical_keeps_significant_params(spark):
     got = _canon(
         spark,
