@@ -169,3 +169,71 @@ def test_jvm_extract_path_equals_python_path(spark, fixture_pages, level3):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_shuffle_pip_equals_broadcast_pip(spark, fixture_pages, level3):
+    """pip_join_shuffle (no-broadcast cell-bucketed hash join + salted
+    cogroup refine) must assign every resolvable page to exactly the
+    same polygon as the broadcast-index path — same burn order, same
+    boundary rule — across the full fixture set (hot city cell, border
+    points, multi-polygon regions)."""
+    pages = spark.createDataFrame(fixture_pages)
+    resolved = geo_join.resolve_pages(
+        spark, pages, host_hints=pgen.host_city_hints()
+    ).filter("x IS NOT NULL")
+    pts = resolved.select("url", "x", "y")
+    polys_pdf = level3.copy()
+    polys_pdf["burn"] = range(len(polys_pdf))
+    polys_df = spark.createDataFrame(polys_pdf)
+    got = {
+        r.url: r.poly_id
+        for r in geo_join.pip_join_shuffle(
+            pts, polys_df, keep_cols=("url",)
+        ).collect()
+    }
+    idx = geo_join.build_polygon_index_bc(spark, spark.createDataFrame(level3))
+    want = {
+        r.url: r.poly_id
+        for r in geo_join.assign_polygons(
+            resolved, idx, keep_cols=("url",)
+        ).collect()
+    }
+    assert got == want
+    assert any(v is not None for v in want.values())
+
+
+def test_streaming_geo_tag_equals_batch(spark, fixture_pages, level3, tmp_path):
+    """The flagship geo-tag runs unchanged inside Structured Streaming
+    (mapInPandas is streaming-capable; the broadcast index rides the
+    closure): incremental_ingest with tag_pages as the transform must
+    produce EXACTLY the batch assignments, and a second invocation must
+    be a no-op (exactly-once over already-seen files)."""
+    from europe_gis_spark.streaming import incremental
+
+    src, dst, ck = str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "ck")
+    pages = spark.createDataFrame(fixture_pages)
+    pages.write.parquet(src)
+    idx = geo_join.build_polygon_index_bc(spark, spark.createDataFrame(level3))
+    hints = pgen.host_city_hints()
+
+    incremental.incremental_ingest(
+        spark,
+        src,
+        dst,
+        ck,
+        schema=pages.schema,
+        transform=lambda s: geo_join.tag_pages(s, idx, host_hints=hints),
+    )
+    got = {r.url: r.poly_id for r in spark.read.parquet(dst).collect()}
+    want = {
+        r.url: r.poly_id
+        for r in geo_join.tag_pages(pages, idx, host_hints=hints).collect()
+    }
+    assert got == want
+    # drain again with no new files: nothing appended
+    incremental.incremental_ingest(
+        spark, src, dst, ck,
+        schema=pages.schema,
+        transform=lambda s: geo_join.tag_pages(s, idx, host_hints=hints),
+    )
+    assert spark.read.parquet(dst).count() == len(want)
