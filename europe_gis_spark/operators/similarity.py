@@ -106,19 +106,44 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 SIG_SCHEMA = "vec_id long, bucket int"
 
 
+def lsh_buckets_np(mat: np.ndarray, n_planes: int, seed: int) -> np.ndarray:
+    """Sign-projection bucket ids for a row-matrix — the exact kernel
+    the ``lsh_buckets`` mapInPandas pass runs per Arrow batch, exposed
+    so the DuckDB oracle can recompute buckets driver-side."""
+    mat = np.asarray(mat, dtype=np.float64)
+    planes = hyperplanes(mat.shape[1], n_planes, seed)
+    bits = (mat @ planes.T > 0).astype(np.int64)
+    return (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int32)
+
+
+def lsh_probe_set(
+    query_vec: list[float], n_planes: int, probe_hamming: int, seed: int
+) -> list[int]:
+    """The query's bucket plus all buckets within ``probe_hamming`` bit
+    flips (multi-probe LSH probe set), sorted."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qbits = (planes @ np.asarray(query_vec, dtype=np.float64) > 0).astype(int)
+    qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
+    probe = {qbucket}
+    if probe_hamming >= 1:
+        probe |= {qbucket ^ (1 << j) for j in range(n_planes)}
+    if probe_hamming >= 2:
+        probe |= {
+            qbucket ^ (1 << j) ^ (1 << j2)
+            for j in range(n_planes)
+            for j2 in range(j + 1, n_planes)
+        }
+    return sorted(probe)
+
+
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 8, seed: int = 7) -> DataFrame:
     """Sign-projection signature → int bucket (vectorized one-pass)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes = None
         for b in batches:
             mat = np.array(b["embedding"].tolist(), dtype=np.float64)
-            if planes is None:
-                planes = hyperplanes(mat.shape[1], n_planes, seed)
-            proj = mat @ planes.T
-            bits = (proj > 0).astype(np.int64)
-            bucket = (bits * (1 << np.arange(n_planes))).sum(axis=1)
-            yield pd.DataFrame({"vec_id": b["vec_id"], "bucket": bucket.astype(np.int32)})
+            bucket = lsh_buckets_np(mat, n_planes, seed)
+            yield pd.DataFrame({"vec_id": b["vec_id"], "bucket": bucket})
 
     return embeddings.select("vec_id", "embedding").mapInPandas(fn, schema=SIG_SCHEMA)
 
@@ -138,24 +163,38 @@ def ann_topk(
     Defaults (5 planes, hamming ≤ 2) probe ≈ half the corpus on
     uniform-random embeddings — real embedding distributions cluster,
     where the same settings probe far less; tune per corpus."""
-    planes = hyperplanes(len(query_vec), n_planes, seed)
-    qbits = (planes @ np.asarray(query_vec, dtype=np.float64) > 0).astype(int)
-    qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
-    probe = {qbucket}
-    if probe_hamming >= 1:
-        probe |= {qbucket ^ (1 << j) for j in range(n_planes)}
-    if probe_hamming >= 2:
-        probe |= {
-            qbucket ^ (1 << j) ^ (1 << j2)
-            for j in range(n_planes)
-            for j2 in range(j + 1, n_planes)
-        }
-    probe = sorted(probe)
+    probe = lsh_probe_set(query_vec, n_planes, probe_hamming, seed)
     buckets = lsh_buckets(embeddings, n_planes, seed).filter(
         F.col("bucket").isin(probe)
     )
     cand = embeddings.join(buckets, "vec_id", "left_semi")
     return brute_force_topk(cand, query_vec, k)
+
+
+def spherical_kmeans(x: np.ndarray, n_lists: int, iters: int, seed: int) -> np.ndarray:
+    """Fixed-iteration spherical k-means on an ALREADY-ORDERED sample
+    matrix — pure numpy, bit-deterministic for a given row order, so the
+    same kernel serves both the Spark training path and the driver-side
+    DuckDB-oracle recomputation (the simhash_pairs oracle pattern)."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    ids = h64(np.arange(len(x), dtype=np.uint64), seed, 61)
+    init = np.argsort(ids)[:n_lists]
+    c = x[init].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                v = x[m].sum(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def _md5_hex(v) -> str:
+    import hashlib
+
+    return hashlib.md5(str(v).encode()).hexdigest()
 
 
 def train_ivf_centroids(
@@ -171,26 +210,53 @@ def train_ivf_centroids(
 
     The sample is tiny and the iteration count fixed, so training cost
     is independent of corpus size; only assignment scans the corpus.
+    The sample order key is md5(vec_id) with a vec_id tie-break — an
+    ENGINE-PORTABLE total order (same trick as hash_split), so a pandas
+    driver-side recomputation (``train_ivf_centroids_pandas``) yields
+    bit-identical centroids and the ANN queries get exact oracles.
     """
     pdf = (
         embeddings.select("vec_id", "embedding")
-        .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(1_000_003)))
+        .orderBy(
+            F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8")),
+            F.asc("vec_id"),
+        )
         .limit(sample)
         .toPandas()
     )
     x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    ids = h64(np.arange(len(x), dtype=np.uint64), seed, 61)
-    init = np.argsort(ids)[:n_lists]
-    c = x[init].copy()
-    for _ in range(iters):
-        assign = np.argmax(x @ c.T, axis=1)
-        for j in range(n_lists):
-            m = assign == j
-            if m.any():
-                v = x[m].sum(axis=0)
-                c[j] = v / max(np.linalg.norm(v), 1e-12)
-    return c
+    return spherical_kmeans(x, n_lists, iters, seed)
+
+
+def train_ivf_centroids_pandas(
+    pdf,
+    n_lists: int = 64,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Driver-side twin of ``train_ivf_centroids`` over a pandas frame
+    (columns vec_id, embedding) — no Spark. Used by the DuckDB oracle
+    builders to recompute the engine-specific intermediate (centroids →
+    list assignments → probe set) so the downstream exact top-k can be
+    brute-forced relationally; a pytest pins bit-equality of the two
+    training paths."""
+    sel = (
+        pdf[["vec_id", "embedding"]]
+        .assign(_k=pdf["vec_id"].map(_md5_hex))
+        .sort_values(["_k", "vec_id"], kind="mergesort")
+        .head(sample)
+    )
+    x = np.array(sel["embedding"].tolist(), dtype=np.float64)
+    return spherical_kmeans(x, n_lists, iters, seed)
+
+
+def assign_lists_np(emb: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Numpy twin of the ``ivf_assign`` mapInPandas kernel (normalize →
+    max-dot centroid), for oracle-side recomputation."""
+    mat = np.asarray(emb, dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return np.argmax(mat @ np.asarray(centroids).T, axis=1).astype(np.int32)
 
 
 def ivf_assign(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:

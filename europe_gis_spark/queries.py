@@ -2563,10 +2563,88 @@ ORDER BY query_id, rank
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Multi-probe LSH ANN — recall vs brute force is pytest-gated;
-    rows-only driver check (hyperplanes not SQL-expressible)."""
+    """Multi-probe LSH ANN, VALUE-checked via the materialized-
+    intermediate pattern (simhash_pairs trick): the engine-specific
+    part is only the hyperplane sign buckets, which the oracle builder
+    recomputes driver-side with the same numpy kernel
+    (``similarity.lsh_buckets_np``); the candidate vec_ids are embedded
+    as VALUES and DuckDB brute-forces the exact cosine top-k within
+    them. Recall vs brute force is separately pytest-gated."""
     e = _read(spark, sf_dir, "embeddings")
     return similarity.ann_topk(e, QUERY_VEC, k=10)
+
+
+def _check_scale_embeddings():
+    """The check-scale embeddings table as pandas (None if absent) —
+    shared by the ANN oracle builders, which recompute the engine-
+    specific candidate sets driver-side at SQL-build time."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_CORRECT", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import pandas as pd
+
+    return pd.read_parquet(path, columns=["vec_id", "embedding"])
+
+
+def _sql_topk_within(cand_ids) -> str:
+    """Exact cosine top-10 restricted to a candidate id set — the
+    downstream exact math every ANN variant shares (same formula the
+    hash-green cosine_topk oracle uses)."""
+    vals = ",".join(f"({int(v)})" for v in cand_ids)
+    qv = "[" + ", ".join(repr(v) for v in QUERY_VEC) + "]"
+    return f"""
+WITH cand(vec_id) AS (VALUES {vals}),
+c AS (
+  SELECT e.vec_id, e.label,
+         ROUND(LIST_DOT_PRODUCT(e.embedding::DOUBLE[], {qv})
+               / (SQRT(LIST_DOT_PRODUCT(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * SQRT(LIST_DOT_PRODUCT({qv}, {qv}))), 8) AS cosine
+  FROM embeddings e JOIN cand USING (vec_id)
+)
+SELECT vec_id, label, cosine FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _sql_ann_ivf():
+    """Oracle for ann_ivf_topk AND ann_ivf_indexed (pytest pins the two
+    paths equal under shared centroids): recompute the seeded spherical
+    k-means centroids with the bit-identical pandas training twin
+    (md5-ordered sample — engine-portable), assign every vector to its
+    list with the same numpy kernel, take the 16 probed lists, and let
+    DuckDB brute-force exact top-k within the probed candidates."""
+    d = _check_scale_embeddings()
+    if d is None:
+        return None
+    import numpy as np
+
+    cent = similarity.train_ivf_centroids_pandas(d, n_lists=64, seed=7)
+    lists = similarity.assign_lists_np(
+        np.array(d["embedding"].tolist(), dtype=np.float64), cent
+    )
+    probe = similarity.probe_lists(cent, QUERY_VEC, 16)
+    cand = d["vec_id"].to_numpy()[np.isin(lists, probe)]
+    return _sql_topk_within(cand)
+
+
+def _sql_ann_lsh():
+    """Oracle for ann_lsh_topk: recompute the sign-projection buckets
+    (5 planes, seed 7 — ann_topk defaults) with the same numpy kernel,
+    expand the hamming-≤2 multi-probe set, embed the candidate ids,
+    brute-force exact top-k within them."""
+    d = _check_scale_embeddings()
+    if d is None:
+        return None
+    import numpy as np
+
+    buckets = similarity.lsh_buckets_np(
+        np.array(d["embedding"].tolist(), dtype=np.float64), 5, 7
+    )
+    probe = similarity.lsh_probe_set(QUERY_VEC, 5, 2, 7)
+    cand = d["vec_id"].to_numpy()[np.isin(buckets, probe)]
+    return _sql_topk_within(cand)
 
 
 def _embeddings_with_dups(spark, sf_dir):
@@ -2587,7 +2665,11 @@ def _embeddings_with_dups(spark, sf_dir):
 
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN (spherical k-means coarse quantizer, probe-limited exact
-    rerank) — rows-only driver check; recall + probe-fraction are
+    rerank), VALUE-checked: the oracle (``_sql_ann_ivf``) retrains the
+    centroids with the bit-identical pandas twin (the md5-ordered
+    sample is engine-portable), recomputes list assignments + the
+    16-list probe set in numpy, and brute-forces the exact top-k within
+    the probed candidates in DuckDB. Recall + probe-fraction are
     pytest-gated. The scale path writes the index partitioned by
     list_id so probes become partition pruning."""
     e = _read(spark, sf_dir, "embeddings")
@@ -2599,8 +2681,9 @@ def q_ann_ivf_indexed(spark, sf_dir):
     points to: train the coarse quantizer, WRITE the index partitioned
     by list_id, answer the query by reading ONLY the probed lists
     (Catalyst turns the probe filter into parquet PartitionFilters —
-    plan-pinned in test_plans.py). Rows-only driver check; parity with
-    the scan-based ivf_topk under shared centroids is pytest-gated."""
+    plan-pinned in test_plans.py). Shares ``_sql_ann_ivf`` with the
+    scan-based ivf_topk: identical centroids/probes by construction, so
+    the indexed read-back must reproduce the same exact top-k."""
     import hashlib
     import os
     import tempfile
@@ -3081,6 +3164,11 @@ def _sql_pagerank(iters: int = 5, damping: float = 0.85) -> str:
 # --------------------------------------------------------------------------
 # registry
 
+# built once: ann_ivf_topk and ann_ivf_indexed share the same oracle
+# (identical centroids/probe set by construction; path parity is
+# pytest-pinned), so don't retrain the pandas k-means twin twice
+_ANN_IVF_SQL = _sql_ann_ivf()
+
 QUERIES = {
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
@@ -3098,7 +3186,7 @@ QUERIES = {
     "zscore_normalize": (q_zscore_normalize, SQL_ZSCORE),
     "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
-    "ann_ivf_indexed": (q_ann_ivf_indexed, None),
+    "ann_ivf_indexed": (q_ann_ivf_indexed, _ANN_IVF_SQL),
     "pipeline_inference": (q_pipeline_inference, SQL_PIPELINE_INFERENCE),
     "pipeline_etl": (q_pipeline_etl, SQL_PIPELINE_ETL),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
@@ -3116,7 +3204,7 @@ QUERIES = {
     "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "source_stats": (q_source_stats, SQL_SOURCE_STATS),
-    "ann_ivf_topk": (q_ivf_topk, None),
+    "ann_ivf_topk": (q_ivf_topk, _ANN_IVF_SQL),
     "simhash_pairs": (q_simhash_pairs, _sql_simhash()),
     "geo_pip_shuffle": (q_geo_pip_shuffle, _sql_geo_pip()),
     "asof_join": (q_asof_join, SQL_ASOF),
@@ -3133,7 +3221,7 @@ QUERIES = {
     "embedding_dups": (q_embed_dups, SQL_EMBED_DUPS),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
-    "ann_lsh_topk": (q_ann_lsh, None),
+    "ann_lsh_topk": (q_ann_lsh, _sql_ann_lsh()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE),

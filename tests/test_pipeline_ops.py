@@ -1102,6 +1102,22 @@ def test_embedding_dups_find_planted_pairs(spark):
         assert got[p] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_ivf_training_paths_bit_equal(spark):
+    """The Spark training path (md5-ordered sample via orderBy/limit)
+    and the pandas oracle twin must produce BIT-IDENTICAL centroids —
+    this equality is what lets the ANN driver queries carry an exact
+    DuckDB oracle (VERDICT r4 directive 1)."""
+    import numpy as np
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    c_spark = similarity.train_ivf_centroids(e, n_lists=64, seed=7)
+    c_pandas = similarity.train_ivf_centroids_pandas(pdf, n_lists=64, seed=7)
+    assert np.array_equal(c_spark, c_pandas)
+
+
 def test_ann_recall_vs_brute_force(spark):
     sf = "/root/testdata/sf0.01"
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
