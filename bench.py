@@ -202,15 +202,28 @@ def delta_vs_prev(timings: dict, sf_dir: str) -> dict | None:
         if name in pq and pq[name] > 0
     }
     head_names = set(HEADLINE) | {"spatial_join_pages", "spatial_join_metrics"}
-    return {
+    # total_prev is recomputed over the FROZEN headline name-set from the
+    # previous round's per-query timings — never taken from prev['value'],
+    # whose basis changed at the r3→r4 headline/rotating split (a raw
+    # prev-value comparison across that boundary is apples-to-oranges)
+    prev_head = {k: v for k, v in pq.items() if k in head_names}
+    out = {
         "prev_file": os.path.basename(prev_file),
         "delta_pct": {k: v for k, v in deltas.items() if k in head_names},
         "delta_pct_rotating": {
             k: v for k, v in deltas.items() if k not in head_names
         },
         "new_queries": sorted(set(timings) - set(pq)),
-        "total_prev": prev.get("value"),
+        "total_prev": round(sum(prev_head.values()), 3) if prev_head else None,
+        "total_prev_basis": "frozen_headline_names",
     }
+    # the cross-round signal is only valid if the frozen set is frozen BY
+    # NAME: flag (don't crash the bench) if the previous round timed a
+    # different headline name-set than this one
+    prev_missing = sorted(head_names - set(pq))
+    if prev_missing:
+        out["headline_names_missing_in_prev"] = prev_missing
+    return out
 
 
 def assignment_match_rate(spark, n_sample: int = 3000) -> float:

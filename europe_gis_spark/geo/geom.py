@@ -146,28 +146,66 @@ def simplify_polygon(
 def ring_is_simple(ring: np.ndarray, chunk: int = 512) -> bool:
     """True iff no two NON-adjacent edges of the closed ring properly
     cross (strict orientation-sign test, so epsilon-touching fixtures
-    are not rejected; hole-vs-shell topology is out of scope). All-pairs
-    vectorized in ``chunk``-row blocks — O(E²) but validation runs once
-    per geometry at index/decode time, never per point."""
+    are not rejected; hole-vs-shell topology is out of scope).
+
+    Both pair axes are tiled in ``chunk`` blocks (upper triangle only),
+    so peak temporaries are bounded by (chunk × chunk) booleans — never
+    (chunk × E), which at LAU-scale rings (E ≈ 1e5) would be ~0.4 GB a
+    piece. Boundary edges are spatially local along the ring, so the
+    per-block bbox reject skips almost every far-apart block pair and
+    the orientation test runs only on the surviving per-pair
+    bbox-overlap candidates (1-D gather, memory ∝ candidates) —
+    worst-case O(E²) but near-linear on real geographies."""
     p = ring[:-1]
     n = len(p)
     ax, ay = p[:, 0], p[:, 1]
     bx, by = np.roll(ax, -1), np.roll(ay, -1)
+    exmin, exmax = np.minimum(ax, bx), np.maximum(ax, bx)
+    eymin, eymax = np.minimum(ay, by), np.maximum(ay, by)
     idx = np.arange(n)
+    blocks = []
     for s in range(0, n, chunk):
-        i = idx[s : s + chunk][:, None]
-        j = idx[None, :]
-        # skip self and ring-adjacent pairs (shared endpoint is legal)
-        adj = (j == i) | (j == (i + 1) % n) | (j == (i - 1) % n)
-        dxi, dyi = (bx - ax)[i], (by - ay)[i]
-        o1 = dxi * (ay[j] - ay[i]) - dyi * (ax[j] - ax[i])
-        o2 = dxi * (by[j] - ay[i]) - dyi * (bx[j] - ax[i])
-        dxj, dyj = (bx - ax)[j], (by - ay)[j]
-        o3 = dxj * (ay[i] - ay[j]) - dyj * (ax[i] - ax[j])
-        o4 = dxj * (by[i] - ay[j]) - dyj * (bx[i] - ax[j])
-        proper = (o1 * o2 < 0) & (o3 * o4 < 0) & ~adj
-        if proper.any():
-            return False
+        b = idx[s : s + chunk]
+        blocks.append(
+            (
+                b,
+                exmin[b].min(),
+                exmax[b].max(),
+                eymin[b].min(),
+                eymax[b].max(),
+            )
+        )
+    for bi_pos, (i, ixmin, ixmax, iymin, iymax) in enumerate(blocks):
+        for j, jxmin, jxmax, jymin, jymax in blocks[bi_pos:]:
+            if jxmin > ixmax or jxmax < ixmin or jymin > iymax or jymax < iymin:
+                continue
+            ii, jj = i[:, None], j[None, :]
+            # upper triangle only (crossing is symmetric); skip self and
+            # ring-adjacent pairs (shared endpoint is legal)
+            skip = (
+                (jj <= ii)
+                | (jj == (ii + 1) % n)
+                | (jj == (ii - 1) % n)
+            )
+            cand = (
+                ~skip
+                & (exmin[ii] <= exmax[jj])
+                & (exmin[jj] <= exmax[ii])
+                & (eymin[ii] <= eymax[jj])
+                & (eymin[jj] <= eymax[ii])
+            )
+            if not cand.any():
+                continue
+            ci, cj = np.nonzero(cand)
+            ci, cj = i[ci], j[cj]
+            dxi, dyi = bx[ci] - ax[ci], by[ci] - ay[ci]
+            o1 = dxi * (ay[cj] - ay[ci]) - dyi * (ax[cj] - ax[ci])
+            o2 = dxi * (by[cj] - ay[ci]) - dyi * (bx[cj] - ax[ci])
+            dxj, dyj = bx[cj] - ax[cj], by[cj] - ay[cj]
+            o3 = dxj * (ay[ci] - ay[cj]) - dyj * (ax[ci] - ax[cj])
+            o4 = dxj * (by[ci] - ay[cj]) - dyj * (bx[ci] - ax[cj])
+            if ((o1 * o2 < 0) & (o3 * o4 < 0)).any():
+                return False
     return True
 
 

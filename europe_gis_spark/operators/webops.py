@@ -35,15 +35,19 @@ JUNK_PARAM_PATTERN = r"([?&])((?:utm_[a-z]+|ref)=[^&#]*&?)+"
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased hostname: scheme stripped, first path/query/fragment
-    delimiter ends the host."""
+    """Lowercased hostname: scheme and any ``user:pass@`` userinfo
+    stripped, and the host ends at the first ``:`` (port), ``/``, ``?``
+    or ``#`` — mirroring ``extract/html.py``'s ``_HOST_RE`` semantics,
+    so ``example.com`` and ``example.com:80`` share one host (and one
+    canonical-URL/domain key)."""
     u = F.col(url) if isinstance(url, str) else url
     s1 = F.regexp_replace(u, r"^https?://", "")
-    return F.lower(F.regexp_extract(s1, r"^([^/?#]+)", 1))
+    return F.lower(F.regexp_extract(s1, r"^(?:[^/?#@]*@)?([^/:?#]+)", 1))
 
 
 def url_canonical(url: Column | str) -> Column:
     """Canonical URL for dedup keys: drop scheme, lowercase host, strip
+    userinfo and the port (``example.com`` ≡ ``example.com:80``), strip
     a leading www./m. subdomain, drop the fragment, remove tracking
     params (``utm_*``, ``ref``), trim dangling ``?``/``&`` and trailing
     slashes. Pure string expression — canonicalization is map-side and
@@ -96,15 +100,12 @@ def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def cap_per_domain(
-    pages: DataFrame, k: int, url_col: str = "url"
-) -> DataFrame:
-    """Hot-domain cap: keep at most ``k`` docs per registered domain,
-    preferring longer documents (rank by length desc, doc_id as the
-    deterministic tie-break). The standard crawl-skew control — a
-    single analytic window per domain partition; Spark's WindowGroupLimit
-    pushes the rank<=k filter into the sort, so no domain's full row
-    set is ever buffered."""
+def domain_rank_flags(pages: DataFrame, k: int, url_col: str = "url") -> DataFrame:
+    """Audit variant of the hot-domain cap: EVERY row comes back with
+    its within-domain rank (length desc, doc_id tie-break) and a
+    ``kept`` flag. Because all rows are emitted, each domain's full row
+    set flows through the window sort — use ``cap_per_domain`` for the
+    actual skew control; this form is for cap-effect reporting."""
     w = Window.partitionBy("domain").orderBy(
         F.desc(F.length("text")), F.asc("doc_id")
     )
@@ -112,4 +113,17 @@ def cap_per_domain(
         pages.withColumn("domain", registered_domain(url_col))
         .withColumn("rk", F.row_number().over(w))
         .withColumn("kept", F.col("rk") <= k)
+    )
+
+
+def cap_per_domain(pages: DataFrame, k: int, url_col: str = "url") -> DataFrame:
+    """Hot-domain cap: keep at most ``k`` docs per registered domain,
+    preferring longer documents (rank by length desc, doc_id as the
+    deterministic tie-break). The standard crawl-skew control — a
+    single analytic window per domain partition, and because the
+    ``rk <= k`` filter is applied HERE, Spark's InferWindowGroupLimit
+    pushes a partial limit below the exchange (plan-asserted), so no
+    hot domain's full row set is ever buffered through the sort."""
+    return domain_rank_flags(pages, k, url_col).filter(F.col("rk") <= k).drop(
+        "kept"
     )

@@ -3005,7 +3005,7 @@ FROM documents
 CANON_SQL = r"""
 c1 AS (SELECT *, REGEXP_REPLACE(url, '^https?://', '') AS s1 FROM urls),
 c2 AS (SELECT *,
-         LOWER(REGEXP_EXTRACT(s1, '^([^/?#]+)', 1)) AS host0,
+         LOWER(REGEXP_EXTRACT(s1, '^(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host0,
          REGEXP_REPLACE(s1, '^[^/?#]+', '') AS rest0
        FROM c1),
 canon AS (
@@ -3063,14 +3063,17 @@ FROM canon GROUP BY domain ORDER BY domain
 
 def q_domain_cap(spark, sf_dir):
     """Hot-domain cap (crawl-skew control): keep ≤5 docs per registered
-    domain preferring longer text, deterministic doc_id tie-break. The
-    rank≤k filter rides Spark's WindowGroupLimit — no full-domain
-    buffering."""
+    domain preferring longer text, deterministic doc_id tie-break.
+    ``cap_per_domain`` applies the rank≤k filter itself so Spark's
+    InferWindowGroupLimit caps the per-domain sort (plan-asserted in
+    test_webops) — no full-domain buffering. The audit twin
+    ``domain_rank_flags`` (all rows + kept flag) is exercised with the
+    same window semantics through this oracle's rank column."""
     from .operators import webops
 
     return (
         webops.cap_per_domain(_docs_with_urls(spark, sf_dir), k=5)
-        .select("doc_id", "domain", "rk", "kept")
+        .select("doc_id", "domain", "rk")
         .orderBy("domain", "rk", "doc_id")
     )
 
@@ -3080,10 +3083,8 @@ WITH urls AS ({URLS_SQL}),
 {CANON_SQL}
 SELECT doc_id, domain,
        ROW_NUMBER() OVER (PARTITION BY domain
-                          ORDER BY LENGTH(text) DESC, doc_id) AS rk,
-       ROW_NUMBER() OVER (PARTITION BY domain
-                          ORDER BY LENGTH(text) DESC, doc_id) <= 5 AS kept
-FROM canon ORDER BY domain, rk, doc_id
+                          ORDER BY LENGTH(text) DESC, doc_id) AS rk
+FROM canon QUALIFY rk <= 5 ORDER BY domain, rk, doc_id
 """
 
 

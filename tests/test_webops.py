@@ -67,6 +67,41 @@ def test_url_canonical_keeps_significant_params(spark):
     assert got[2] == "example.com/s?id=8"
 
 
+def test_url_host_strips_port_and_userinfo(spark):
+    """Hosts with an explicit port or userinfo must collapse to the
+    bare hostname (mirrors extract/html.py's _HOST_RE) — otherwise
+    'example.com' vs 'example.com:80' dedup as distinct canonical URLs
+    and registered_domain yields ':8080'-suffixed keys."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "http://example.com:8080/a/1",
+                    "https://Example.com/a/1",
+                    "http://user:pw@example.com:80/a/1",
+                    "https://a.com/path@x",
+                ]
+            }
+        )
+    )
+    hosts = [r.h for r in df.select(webops.url_host("url").alias("h")).collect()]
+    assert hosts == ["example.com", "example.com", "example.com", "a.com"]
+    got = _canon(
+        spark,
+        [
+            "http://example.com:8080/a/1",
+            "https://example.com/a/1",
+            "http://user@example.com/a/1",
+        ],
+    )
+    assert set(got) == {"example.com/a/1"}
+    doms = [
+        r.d
+        for r in df.select(webops.registered_domain("url").alias("d")).collect()
+    ]
+    assert doms == ["example.com", "example.com", "example.com", "a.com"]
+
+
 def test_registered_domain_mini_psl(spark):
     df = spark.createDataFrame(
         pd.DataFrame(
@@ -99,16 +134,16 @@ def test_cap_per_domain_prefers_long_docs(spark):
             "text": ["xx", "xxxx", "x", "yyy"],
         }
     )
-    out = (
-        webops.cap_per_domain(spark.createDataFrame(pdf), k=2)
-        .orderBy("doc_id")
-        .collect()
-    )
+    df = spark.createDataFrame(pdf)
+    out = webops.domain_rank_flags(df, k=2).orderBy("doc_id").collect()
     by_id = {r.doc_id: r for r in out}
     assert by_id[2].rk == 1 and by_id[2].kept  # longest in a.com
     assert by_id[1].rk == 2 and by_id[1].kept
     assert by_id[3].rk == 3 and not by_id[3].kept  # capped out
     assert by_id[4].rk == 1 and by_id[4].kept  # other domain unaffected
+    # the cap itself returns ONLY the kept rows (filtered form)
+    capped = {r.doc_id for r in webops.cap_per_domain(df, k=2).collect()}
+    assert capped == {1, 2, 4}
 
 
 def test_url_canonical_idempotent_on_fuzzed_urls(spark):
@@ -140,7 +175,7 @@ def test_cap_window_uses_group_limit_pushdown(spark):
     all be buffered through the window sort."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     pages = docs.withColumn("url", F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"), F.lit(".com/p/"), F.col("doc_id").cast("string")))
-    capped = webops.cap_per_domain(pages, k=3).filter("kept")
+    capped = webops.cap_per_domain(pages, k=3)
     import contextlib
     import io
 
