@@ -16,13 +16,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-# mini public-suffix table: suffixes under which the registrable domain
-# has THREE labels (a real deployment ships the full PSL as a broadcast
-# lookup; the rule shape — longest-matching suffix — is identical)
-MULTI_LABEL_SUFFIXES = ("co.uk", "ac.uk", "com.au", "co.jp")
+from .psl import PSL_2LABEL, PSL_3LABEL, WILDCARD_EXCEPTIONS, WILDCARD_TLDS
 
-_SUFFIX_ALT = "|".join(s.replace(".", r"\.") for s in MULTI_LABEL_SUFFIXES)
-REGISTERED_DOMAIN_PATTERN = rf"([^.]+\.(?:{_SUFFIX_ALT})|[^.]+\.[^.]+)$"
+_PSL2 = sorted(PSL_2LABEL)
+_PSL3 = sorted(PSL_3LABEL)
+_WILD = sorted(WILDCARD_TLDS)
+_EXC = sorted(WILDCARD_EXCEPTIONS)
 
 # tracking params stripped by canonicalization (the utm_*/ref junk that
 # makes byte-identical pages look like distinct URLs). The param name is
@@ -64,9 +63,32 @@ def url_canonical(url: Column | str) -> Column:
 
 
 def registered_domain(url: Column | str) -> Column:
-    """Registrable domain (eTLD+1) of the URL's host under the mini
-    suffix table: 3 labels under MULTI_LABEL_SUFFIXES, else 2."""
-    return F.regexp_extract(url_host(url), REGISTERED_DOMAIN_PATTERN, 1)
+    """Registrable domain (eTLD+1) of the URL's host under the vendored
+    public-suffix-list snapshot (``psl.py`` — PSL semantics: longest
+    matching suffix wins, ``*.tld`` wildcards with ``!`` exceptions,
+    implicit ``*`` fallback for unknown TLDs).
+
+    Compiled to a pure column expression: the suffix sets become
+    Catalyst ``InSet`` literals (O(1) JVM hash probe per row, map-side,
+    whole-stage codegen) — no broadcast join, no shuffle, no Python, so
+    the skew map / dedup keys stay free at 100 TB. The DuckDB oracle
+    inlines the SAME sets via ``psl.domain_case_sql`` — single source
+    of truth, the two engines cannot drift."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last1 = F.element_at(parts, -1)
+    last2 = F.array_join(F.slice(parts, -2, 2), ".")
+    last3 = F.array_join(F.slice(parts, -3, 3), ".")
+    last4 = F.array_join(F.slice(parts, -4, 4), ".")
+    return (
+        F.when(n <= 1, host)
+        .when((n >= 4) & last3.isin(_PSL3), last4)
+        .when((n >= 3) & last2.isin(_PSL2), last3)
+        .when(last1.isin(_WILD) & last2.isin(_EXC), last2)
+        .when((n >= 3) & last1.isin(_WILD), last3)
+        .otherwise(last2)
+    )
 
 
 def url_dedup_groups(pages: DataFrame, url_col: str = "url") -> DataFrame:

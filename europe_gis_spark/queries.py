@@ -3001,8 +3001,13 @@ FROM documents
 """
 
 # the canonicalization chain, mirrored step-for-step from
-# webops.url_canonical / url_host / registered_domain
-CANON_SQL = r"""
+# webops.url_canonical / url_host / registered_domain (the domain CASE
+# is GENERATED from the same vendored PSL snapshot the engine compiles
+# into its InSet literals — single source of truth)
+from .operators.psl import domain_case_sql as _domain_case_sql  # noqa: E402
+
+CANON_SQL = (
+    r"""
 c1 AS (SELECT *, REGEXP_REPLACE(url, '^https?://', '') AS s1 FROM urls),
 c2 AS (SELECT *,
          LOWER(REGEXP_EXTRACT(s1, '^(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host0,
@@ -3016,11 +3021,12 @@ canon AS (
            '([?&])((?:utm_[a-z]+|ref)=[^&#]*&?)+', '\1', 'g'),
            '[?&]+$', ''), '/+$', '') AS canonical_url,
          host0 AS host,
-         REGEXP_EXTRACT(host0,
-           '([^.]+\.(?:co\.uk|ac\.uk|com\.au|co\.jp)|[^.]+\.[^.]+)$', 1
-         ) AS domain
+         """
+    + _domain_case_sql("host0")
+    + r""" AS domain
   FROM c2)
 """
+)
 
 
 def q_url_dedup(spark, sf_dir):

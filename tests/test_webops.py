@@ -102,23 +102,52 @@ def test_url_host_strips_port_and_userinfo(spark):
     assert doms == ["example.com", "example.com", "example.com", "a.com"]
 
 
-def test_registered_domain_mini_psl(spark):
+PSL_CASES = [
+    # (host, registrable domain) — exercises every PSL rule class
+    ("www.news.example.co.uk", "example.co.uk"),  # 2-label ICANN suffix
+    ("a.b.site.org", "site.org"),  # generic TLD
+    ("example.com", "example.com"),  # bare eTLD+1
+    ("foo.github.io", "foo.github.io"),  # private-section suffix
+    ("deep.sub.foo.github.io", "foo.github.io"),
+    ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),  # 3-label suffix
+    ("x.bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+    ("www.ck", "www.ck"),  # !www.ck wildcard exception
+    ("sub.www.ck", "www.ck"),
+    ("shop.foo.ck", "shop.foo.ck"),  # *.ck wildcard
+    ("a.shop.foo.ck", "shop.foo.ck"),
+    ("localhost", "localhost"),  # single label
+    ("blog.example.com.au", "example.com.au"),
+    ("unknown.tld.zz", "tld.zz"),  # implicit * rule
+    ("co.uk", "co.uk"),  # host IS a public suffix
+    ("x.blogspot.com", "x.blogspot.com"),
+]
+
+
+def test_registered_domain_psl_snapshot(spark):
+    """Every PSL rule class (2-label ICANN, 3-label, private section,
+    wildcard + exception, implicit *) resolves correctly, and the
+    generated DuckDB CASE mirrors the Spark InSet expression exactly
+    on the same hosts — single-source-of-truth check."""
+    import duckdb
+
+    from europe_gis_spark.operators import psl
+
+    hosts = [h for h, _ in PSL_CASES]
     df = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "url": [
-                    "https://www.news.example.co.uk/x",
-                    "http://a.b.site.org/y",
-                    "https://example.com",
-                ]
-            }
-        )
+        pd.DataFrame({"url": [f"http://{h}/p" for h in hosts]})
     )
     got = [
         r.d
         for r in df.select(webops.registered_domain("url").alias("d")).collect()
     ]
-    assert got == ["example.co.uk", "site.org", "example.com"]
+    assert got == [want for _, want in PSL_CASES]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE h(host VARCHAR)")
+    con.executemany("INSERT INTO h VALUES (?)", [(h,) for h in hosts])
+    mirrored = [
+        r[0] for r in con.sql(f"SELECT {psl.domain_case_sql('host')} FROM h").fetchall()
+    ]
+    assert mirrored == got
 
 
 def test_cap_per_domain_prefers_long_docs(spark):
