@@ -13,6 +13,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: above this node count the per-round rank snapshot moves from
+#: executor-memory ``localCheckpoint`` to reliable disk ``checkpoint``
+#: — RDDs of 10^10 ranks won't stay memory-resident on real clusters,
+#: and a lost executor would otherwise force a full-lineage replay
+DISK_CHECKPOINT_NODES = 50_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -20,6 +26,8 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    tol: float | None = None,
+    disk_checkpoint_nodes: int = DISK_CHECKPOINT_NODES,
 ) -> DataFrame:
     """PageRank with a FIXED iteration count (deterministic — oracle-
     checkable against the same unrolled recurrence), uniform dangling-
@@ -30,6 +38,21 @@ def pagerank(
     dangling mass is ONE scalar aggregate joined back via a 1-row
     crossJoin (broadcast by construction). Returns (node, pr) with pr
     summing to 1 over the node universe src ∪ dst.
+
+    Convergence mode: with ``tol`` set, iteration stops early once the
+    L1 rank delta Σ|pr_new − pr_old| falls below ``tol`` (one extra
+    scalar aggregate per round — cheap next to the contribution join);
+    ``iters`` becomes the maximum, and exhausting it without reaching
+    ``tol`` raises loudly (same non-convergence contract as
+    ``dedup.connected_components``).
+
+    Lineage: ranks are re-checkpointed each round so round N never
+    replays rounds 1..N−1. Below ``disk_checkpoint_nodes`` that is an
+    eager ``localCheckpoint`` (executor memory); above it the snapshot
+    goes to the RELIABLE checkpoint directory — 10^10-node rank RDDs
+    neither fit in executor memory nor should vanish with one lost
+    executor (sets a spark.sql.warehouse-adjacent default checkpoint
+    dir if none is configured).
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -44,6 +67,20 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    spark = edges.sparkSession
+    use_disk = n_nodes > disk_checkpoint_nodes
+    if use_disk and spark.sparkContext.getCheckpointDir() is None:
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "egs_pagerank_ckpt")
+        )
+
+    def _snapshot(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if use_disk else df.localCheckpoint(
+            eager=True
+        )
     if n_nodes == 0:
         # empty graph (no edges, or self-loops only): empty result with
         # the right schema, not a ZeroDivisionError
@@ -66,7 +103,7 @@ def pagerank(
         dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
         )
-        ranks = (
+        new_ranks = _snapshot(
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .crossJoin(dangling)
             .select(
@@ -80,6 +117,43 @@ def pagerank(
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "node")
+                .agg(
+                    F.sum(F.abs(F.col("n.pr") - F.col("o.pr"))).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                return ranks
+        else:
+            ranks = new_ranks
+    if tol is not None:
+        raise RuntimeError(
+            f"pagerank did not reach tol={tol} within {iters} iterations"
         )
     return ranks
+
+
+def pagerank_topk(
+    edges: DataFrame,
+    k: int = 10,
+    round_to: int = 6,
+    **kwargs,
+) -> DataFrame:
+    """The deliverable form of authority scoring: the ``k`` highest-
+    ranked nodes. Global top-k by rounded rank with a node tie-break —
+    Spark executes orderBy().limit() as TakeOrderedAndProject (per-
+    partition heap + driver merge of k rows, never a full sort
+    shuffle). Ordering on ROUND(pr, round_to) absorbs last-ulp float
+    jitter between engines so the DuckDB oracle is exact."""
+    pr = pagerank(edges, **kwargs)
+    return (
+        pr.select("node", F.round("pr", round_to).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(k)
+    )

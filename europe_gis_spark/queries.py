@@ -3108,22 +3108,48 @@ def q_pagerank(spark, sf_dir):
     as chained CTEs."""
     from .operators import graph
 
-    d = _read(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    e = d.select((did % 60).alias("src"), ((did * 7 + 3) % 60).alias("dst")).union(
-        d.select((did % 60).alias("src"), ((did * 13 + 5) % 60).alias("dst"))
-    )
     return (
-        graph.pagerank(e, iters=5, damping=0.85)
+        graph.pagerank(_pagerank_edges(spark, sf_dir), iters=5, damping=0.85)
         .select("node", F.round("pr", 6).alias("pr"))
         .orderBy("node")
     )
 
 
-def _sql_pagerank(iters: int = 5, damping: float = 0.85) -> str:
+def _pagerank_edges(spark, sf_dir):
+    """The deterministic synthetic web graph both PageRank queries and
+    their oracles share: two affine edge families mod 60."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        (did % 60).alias("src"), ((did * 7 + 3) % 60).alias("dst")
+    ).union(
+        d.select((did % 60).alias("src"), ((did * 13 + 5) % 60).alias("dst"))
+    )
+
+
+def q_pagerank_topk(spark, sf_dir):
+    """The deliverable form of authority scoring: top-10 nodes by
+    PageRank after 7 fixed iterations — TakeOrderedAndProject (per-
+    partition heap, k rows to the driver, no full sort shuffle) over
+    the same checkpoint-truncated iterative core as ``pagerank``.
+    Ordering on ROUND(pr,6) absorbs last-ulp float jitter so the
+    unrolled-CTE oracle ranks identically. Convergence mode (``tol``)
+    is pytest-gated (data-dependent stop is not oracle-stable)."""
+    from .operators import graph
+
+    return graph.pagerank_topk(
+        _pagerank_edges(spark, sf_dir), k=10, iters=7, damping=0.85
+    )
+
+
+def _sql_pagerank(
+    iters: int = 5, damping: float = 0.85, topk: int | None = None
+) -> str:
     """Unrolled PageRank recurrence as chained CTEs — float literals
     injected via repr() so both engines run the IDENTICAL double ops
-    (DuckDB would otherwise read 0.85 as DECIMAL and diverge)."""
+    (DuckDB would otherwise read 0.85 as DECIMAL and diverge).
+    ``topk`` switches the final select to the rounded-rank top-k form
+    (ORDER BY rounded pr DESC, node — the pagerank_topk contract)."""
     dmp = repr(damping)
     base_num = repr(1.0 - damping)
     ctes = [
@@ -3164,7 +3190,13 @@ def _sql_pagerank(iters: int = 5, damping: float = 0.85) -> str:
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{iters} ORDER BY node"
+        + (
+            f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{iters} "
+            + "ORDER BY ROUND(pr, 6) DESC, node LIMIT "
+            + str(topk)
+            if topk is not None
+            else f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{iters} ORDER BY node"
+        )
     )
 
 
@@ -3200,6 +3232,7 @@ QUERIES = {
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "pagerank": (q_pagerank, _sql_pagerank()),
+    "pagerank_topk": (q_pagerank_topk, _sql_pagerank(iters=7, topk=10)),
     "geo_within_dist": (q_geo_within_dist, _sql_geo_within_dist()),
     "raster_region_geoms": (q_raster_region_geoms, None),
     "region_geom_areas": (q_region_geom_areas, SQL_REGION_GEOM_AREAS),

@@ -74,3 +74,59 @@ def test_pagerank_hub_gets_rank(spark):
     got = _run(spark, edges, iters=5)
     assert got[0] == max(got.values())
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_convergence_mode_stops_early(spark):
+    """tol-based termination: a loose tolerance must stop well before
+    the iteration cap and land within tol-ball of the power-iteration
+    fixed point; an unreachable tolerance raises loudly."""
+    import pytest
+
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 20, 80), rng.integers(0, 20, 80))
+    ]
+    got = _run(spark, edges, iters=50, damping=0.85, tol=1e-10)
+    # reference: effectively-converged fixed point
+    want = ref_pagerank(edges, iters=200, d=0.85)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-8, v
+    with pytest.raises(RuntimeError, match="did not reach"):
+        _run(spark, edges, iters=2, damping=0.85, tol=1e-15)
+
+
+def test_pagerank_disk_checkpoint_path(spark):
+    """Above the node threshold the per-round snapshot must go through
+    the RELIABLE checkpoint (disk) path and still produce the exact
+    fixed-iteration result."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    got = _run(spark, edges, iters=5, damping=0.85, disk_checkpoint_nodes=2)
+    want = ref_pagerank(edges, iters=5, d=0.85)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+    assert spark.sparkContext.getCheckpointDir() is not None
+
+
+def test_pagerank_topk_is_take_ordered(spark):
+    """pagerank_topk returns the k top-authority nodes (rounded-rank
+    order, node tie-break) and plans as TakeOrderedAndProject — a
+    per-partition heap, never a full sort shuffle."""
+    rng = np.random.default_rng(5)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 30, 150), rng.integers(0, 30, 150))
+    ]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    top = graph.pagerank_topk(df, k=5, iters=5, damping=0.85)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        top.explain(mode="simple")
+    assert "TakeOrderedAndProject" in buf.getvalue()
+    rows = top.collect()
+    want = ref_pagerank(edges, iters=5, d=0.85)
+    ranked = sorted(want.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+    assert [r.node for r in rows] == [v for v, _ in ranked]
