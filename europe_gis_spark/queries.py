@@ -726,6 +726,57 @@ def q_geo_pip(spark, sf_dir):
     )
 
 
+def q_incremental_tag(spark, sf_dir):
+    """The flagship geo-tag path crossed with a STREAMING trigger, as a
+    driver-checked query (r4 directive 7): event points land in a
+    parquet source directory, Structured Streaming drains them with
+    Trigger.AvailableNow through the cell-bucketed PIP assignment
+    (the broadcast index rides the mapInPandas closure — identical
+    kernel to the batch path), and every micro-batch flows through the
+    IDEMPOTENT keyed upsert sink. The drain runs TWICE — the second
+    invocation must be an exactly-once no-op — and the result is read
+    BACK FROM THE SINK, so source offsets, the foreachBatch anti-join
+    and the at-rest parquet are all inside the checked DAG. Oracle:
+    the batch flagship's (``_sql_geo_pip``) — stream ≡ batch."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from .streaming import incremental
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"egs_inc_tag_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    dst = os.path.join(root, "dst")
+    ck = os.path.join(root, "ck")
+    pts = event_points(spark, sf_dir)
+    pts.write.parquet(src)
+    polys = [(pid, _poly_wkb(v)) for pid, v in PIP_POLYS]
+    polys_df = spark.createDataFrame(
+        pd.DataFrame(polys, columns=["nuts_id", "geometry"])
+    )
+    idx_bc = geo_join.build_polygon_index_bc(spark, polys_df)
+    for _ in range(2):  # second drain: exactly-once no-op
+        stream = spark.readStream.schema(pts.schema).parquet(src)
+        tagged = geo_join.assign_polygons(
+            stream, idx_bc, keep_cols=("event_id", "value")
+        )
+        incremental.upsert_sink(tagged, dst, ck, key_cols=("event_id",))
+    return (
+        spark.read.parquet(dst)
+        .groupBy("poly_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy(F.asc_nulls_first("poly_id"))
+    )
+
+
 def q_geo_pip_shuffle(spark, sf_dir):
     """The NO-BROADCAST twin of q_geo_pip: cell-bucketed shuffle hash
     join (pinned) + salted-cogroup exact PIP refine + last-wins —
@@ -3247,6 +3298,7 @@ QUERIES = {
     "ann_ivf_topk": (q_ivf_topk, _ANN_IVF_SQL),
     "simhash_pairs": (q_simhash_pairs, _sql_simhash()),
     "geo_pip_shuffle": (q_geo_pip_shuffle, _sql_geo_pip()),
+    "incremental_tag": (q_incremental_tag, _sql_geo_pip()),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
