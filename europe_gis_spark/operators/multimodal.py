@@ -7,11 +7,13 @@ plumbing the reference uses for raw raster scanlines
 ``struct.unpack`` over binary) generalized to media.
 
 Compression codecs (PIL/libjpeg/ffmpeg) are NOT in this container, but
-UNCOMPRESSED container formats are pure-Python decodable, so those are
-REAL here: 24/32-bit BI_RGB BMP (``decode_bmp``) and 16-bit PCM WAV
-(``decode_wav``), each with an encoder twin for fixtures/sinks and
-golden-byte tests. ``decode_image``/``decode_audio`` auto-detect by
-magic bytes: BMP/WAV payloads decode for real; compressed formats fall
+stdlib-decodable formats are REAL here: 24/32-bit BI_RGB BMP
+(``decode_bmp``), zlib-compressed 8-bit PNG (``decode_png`` — IDAT
+inflate + Sub/Up/Average/Paeth unfilter, the one compressed format a
+pure-Python engine can own) and 16-bit PCM WAV (``decode_wav``), each
+with an encoder twin for fixtures/sinks and golden-byte tests.
+``decode_image``/``decode_audio`` auto-detect by magic bytes:
+BMP/PNG/WAV payloads decode for real; other compressed formats fall
 back to a deterministic fake decoder (seeded from the payload bytes)
 that exercises the full Spark-side plumbing — schema, partitioning, UDF
 signature, Arrow batch shape. ``fake=False`` requires a real decode and
@@ -90,24 +92,165 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W) / (H, W, 1|3|4) uint8 → PNG bytes via stdlib ``zlib``
+    (fixture/sink twin of :func:`decode_png`): 8-bit grayscale / RGB /
+    RGBA, filter 0 on every scanline, one IDAT chunk. Deterministic
+    (fixed zlib level), so golden-byte tests hold."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError("encode_png wants 1 (gray), 3 (RGB) or 4 (RGBA) channels")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw, 6)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (None/Sub/Up/Average/Paeth)
+    — the sequential half of the decode. Up and Sub are vectorized
+    (full-row add / per-lane cumsum); Average and Paeth carry an
+    intra-row dependency and run per-pixel across each such row."""
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    data = rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, cur = int(filters[y]), data[y]
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-byte-lane cumulative sum
+            lanes = cur.reshape(-1, bpp)
+            rec = np.cumsum(lanes, axis=0).reshape(-1)
+        elif f == 2:  # Up
+            rec = cur + prev
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] & 0xFF if x >= bpp else 0
+                b = prev[x] & 0xFF
+                if f == 3:
+                    rec[x] = cur[x] + ((a + b) >> 1)
+                else:
+                    cc = prev[x - bpp] & 0xFF if x >= bpp else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    rec[x] = cur[x] + pred
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {f}")
+        rec = rec & 0xFF
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-Python PNG decode via stdlib ``zlib`` — the ONE compressed
+    image format this engine owns natively (r4 directive 5): IDAT
+    inflate + per-scanline unfilter (Sub/Up/Average/Paeth), 8-bit
+    grayscale / gray+alpha / RGB / RGBA, non-interlaced. Palette,
+    16-bit and Adam7 variants raise loudly (no silent wrong pixels);
+    JPEG et al. still require absent codecs."""
+    import zlib
+
+    if payload[: len(PNG_MAGIC)] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_MAGIC)
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant not supported by the native decoder "
+            f"(bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace}): 8-bit gray/graya/RGB/RGBA, "
+            f"non-interlaced only"
+        )
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    px = _png_unfilter(raw, h, stride, channels)
+    return px.reshape(h, w, channels)
+
+
 def decode_image(payload: bytes, fake: bool | None = None) -> np.ndarray:
     """Decode an image payload to (H, W, C) uint8.
 
-    Uncompressed BMP decodes FOR REAL, pure-Python (magic-byte
-    detected). Compressed formats need PIL/libjpeg (not installed):
-    the default (``fake=None``) falls back to the deterministic fake
-    decoder (8×8×3 from the payload digest) so PIPELINES NEVER HIT A
-    RAISE at runtime; ``fake=False`` requires a real decode and raises
-    loudly when the needed codec is absent.
+    Uncompressed BMP and zlib-compressed PNG (8-bit, non-interlaced)
+    decode FOR REAL, pure-Python (magic-byte detected; PNG gray/alpha
+    variants normalize to RGB like BMP's alpha-drop). Other compressed
+    formats need PIL/libjpeg (not installed): the default
+    (``fake=None``) falls back to the deterministic fake decoder
+    (8×8×3 from the payload digest) so PIPELINES NEVER HIT A RAISE at
+    runtime; ``fake=False`` requires a real decode and raises loudly
+    when the needed codec is absent.
     """
+
+    def to_rgb(arr: np.ndarray) -> np.ndarray:
+        c = arr.shape[2]
+        if c == 3:
+            return arr
+        if c == 4:
+            return np.ascontiguousarray(arr[:, :, :3])  # drop alpha
+        if c == 2:
+            arr = arr[:, :, :1]  # gray+alpha → gray
+        return np.repeat(arr, 3, axis=2)
+
     if fake is None:
-        # magic match is a hint, not a guarantee: a truncated BMP, a
-        # renamed blob starting with "BM", or a PIL failure must all
-        # fall back to the fake decoder (the fake=None contract never
-        # raises)
+        # magic match is a hint, not a guarantee: a truncated payload,
+        # a renamed blob starting with the magic, or a PIL failure must
+        # all fall back to the fake decoder (the fake=None contract
+        # never raises)
         if (payload or b"")[:2] == b"BM":
             try:
                 return decode_bmp(payload)
+            except Exception:
+                pass
+        if (payload or b"")[: len(PNG_MAGIC)] == PNG_MAGIC:
+            try:
+                return to_rgb(decode_png(payload))
             except Exception:
                 pass
         if codecs_available():
@@ -125,12 +268,14 @@ def decode_image(payload: bytes, fake: bool | None = None) -> np.ndarray:
     if not fake:
         if (payload or b"")[:2] == b"BM":
             return decode_bmp(payload)
+        if (payload or b"")[: len(PNG_MAGIC)] == PNG_MAGIC:
+            return to_rgb(decode_png(payload))
         if not codecs_available():
             raise NotImplementedError(
                 "compressed-image codecs not available in this "
-                "environment (uncompressed BMP decodes natively); pass "
-                "fake=True (or leave the default) for the deterministic "
-                "test decoder"
+                "environment (uncompressed BMP and 8-bit PNG decode "
+                "natively); pass fake=True (or leave the default) for "
+                "the deterministic test decoder"
             )
         import io
 

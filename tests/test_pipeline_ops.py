@@ -1532,3 +1532,137 @@ def test_simplify_ring_far_is_last_vertex_degenerate():
     assert len(s) >= 4  # 3 distinct vertices + closure
     assert tuple(s[0]) == tuple(s[-1])
     assert len({tuple(p) for p in s[:-1]}) >= 3
+
+
+# ---------------------------------------------------------------- PNG codec
+def _png_forward_filter(img, ftypes):
+    """Reference FORWARD PNG filter (test-side twin of the decoder's
+    unfilter) — encodes each scanline with the given filter type."""
+    import zlib  # noqa: F401
+
+    h, w, c = img.shape
+    bpp = c
+    out = bytearray()
+    prev = np.zeros(w * c, np.int32)
+    for y, f in zip(range(h), ftypes):
+        cur = img[y].reshape(-1).astype(np.int32)
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            enc = cur.copy()
+            enc[bpp:] = (cur[bpp:] - cur[:-bpp]) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        else:
+            enc = np.empty_like(cur)
+            for x in range(w * c):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[x] = (cur[x] - pred) % 256
+        out.append(f)
+        out += bytes(enc.astype(np.uint8))
+        prev = cur
+    return bytes(out)
+
+
+def _build_png(img, ftypes):
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    ct = {1: 0, 3: 2, 6: None, 4: 6}[c]
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        multimodal.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(_png_forward_filter(img, ftypes)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_golden_bytes_and_roundtrip():
+    """encode_png is byte-deterministic (golden sha256 pinned) and
+    decode_png inverts it bit-exactly for gray/RGB/RGBA."""
+    import hashlib
+
+    g = multimodal.encode_png(np.array([[[255, 0, 0]]], np.uint8))
+    assert (
+        hashlib.sha256(g).hexdigest()
+        == "b1ff9c8ea3a780bad09b346c423d2d0e46815926879b18e841d928376a946640"
+    )
+    np.testing.assert_array_equal(
+        multimodal.decode_png(g), np.array([[[255, 0, 0]]], np.uint8)
+    )
+    rng = np.random.default_rng(0)
+    for shape in [(5, 7), (4, 6, 3), (3, 3, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = multimodal.decode_png(multimodal.encode_png(img))
+        want = img[:, :, None] if img.ndim == 2 else img
+        np.testing.assert_array_equal(dec, want)
+
+
+def test_png_every_filter_type_inverts():
+    """Sub/Up/Average/Paeth unfilter must invert an independent
+    test-side forward-filter implementation on random pixels."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (10, 9, 3), dtype=np.uint8)
+    for ftypes in [[1] * 10, [2] * 10, [3] * 10, [4] * 10,
+                   [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]]:
+        np.testing.assert_array_equal(
+            multimodal.decode_png(_build_png(img, ftypes)), img
+        )
+
+
+def test_png_unsupported_variants_raise_loudly():
+    """16-bit / palette / interlaced PNGs must raise, never produce
+    silently-wrong pixels; fake=None still never raises (falls back)."""
+    img = np.zeros((2, 2, 3), np.uint8)
+    good = bytearray(multimodal.encode_png(img))
+    bad16 = bytearray(good)
+    bad16[24] = 16  # IHDR bit-depth byte
+    with pytest.raises(NotImplementedError, match="bit_depth=16"):
+        multimodal.decode_png(bytes(bad16))
+    pal = bytearray(good)
+    pal[25] = 3  # IHDR color-type byte → palette
+    with pytest.raises(NotImplementedError, match="color_type=3"):
+        multimodal.decode_png(bytes(pal))
+    # fake=None contract: corrupt PNG falls back to the 8x8 fake
+    assert multimodal.decode_image(bytes(bad16)).shape == (8, 8, 3)
+
+
+def test_image_thumbnails_accepts_png_end_to_end(spark):
+    """PNG fixtures flow through the Spark thumbnail operator: decoded
+    natively (magic-detected), resized, re-encoded — exact pixels;
+    RGBA input drops alpha like the BMP path."""
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    grad[:, :, 2] = np.arange(16, dtype=np.uint8)[None, :] * 16
+    rgba = np.dstack([grad, np.full((16, 16), 7, np.uint8)])
+    df = spark.createDataFrame(
+        [
+            ("p", bytearray(multimodal.encode_png(grad))),
+            ("q", bytearray(multimodal.encode_png(rgba))),
+        ],
+        "url string, payload binary",
+    )
+    got = {r.key: r for r in multimodal.image_thumbnails(df, 8, 8).collect()}
+    for k in ("p", "q"):
+        r = got[k]
+        assert (r.orig_height, r.orig_width, r.height, r.width) == (16, 16, 8, 8)
+        dec = multimodal.decode_bmp(bytes(r.payload))
+        np.testing.assert_array_equal(dec, multimodal.resize_image(grad, 8, 8))
