@@ -51,16 +51,10 @@ HEADLINE = [
 ]
 
 ROTATING = [
-    # r3 additions
-    "raster_region_geoms",
-    "simhash_pairs",
-    "decontaminate",
-    "repetition_stats",
-    "pii_scrub",
-    "lm_score",
-    "tfidf_topk",
-    "corpus_select",
-    # r4 additions
+    # r3 additions aged out in r5: plan-pinned + timing-stable across
+    # r3/r4 (raster_region_geoms, simhash_pairs, decontaminate,
+    # repetition_stats, pii_scrub, lm_score, tfidf_topk, corpus_select)
+    # r4 additions (second round)
     "pipeline_inference",
     "pipeline_etl",
     "url_dedup",
@@ -69,6 +63,11 @@ ROTATING = [
     "region_geom_areas",
     "hard_negatives",
     "geo_pip_shuffle",
+    # r5 additions
+    "pagerank_topk",
+    "incremental_tag",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
 ]
 
 
@@ -185,12 +184,38 @@ def delta_vs_prev(timings: dict, sf_dir: str) -> dict | None:
         with open(prev_file) as f:
             prev = json.load(f)
         if "queries" not in prev and "tail" in prev:
-            # the round driver wraps bench stdout: the metric line is
-            # embedded in the captured tail — recover the LAST one
+            # the round driver wraps bench stdout and keeps only the
+            # LAST 2000 chars — the metric line may be left-truncated.
+            # Recover a complete line if present, else scrape the
+            # (possibly partial) per-query timing pairs from the
+            # segment before the "headline" block.
             tail = prev["tail"]
             i = tail.rfind('{"metric"')
-            dec = json.JSONDecoder()
-            prev, _ = dec.raw_decode(tail[i:])
+            if i >= 0:
+                prev_inner, _ = json.JSONDecoder().raw_decode(tail[i:])
+            else:
+                # everything before the "sf"/"delta_vs_prev" keys is
+                # per-query timings (top-level queries + headline/new
+                # blocks repeat the same name→seconds pairs); the delta
+                # block MUST be excluded — its name→percent pairs would
+                # overwrite real timings
+                cut = len(tail)
+                for mark in (', "sf":', ', "delta_vs_prev":'):
+                    j = tail.find(mark)
+                    if j >= 0:
+                        cut = min(cut, j)
+                seg = tail[:cut]
+                pairs = re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', seg)
+                wrapper_sf = prev.get("sf")
+                prev_inner = {
+                    "queries": {k: float(v) for k, v in pairs},
+                    # wrapper stores the numeric scale factor; map it
+                    # back onto the directory convention
+                    "sf": f"/root/testdata/sf{wrapper_sf}"
+                    if wrapper_sf is not None
+                    else None,
+                }
+            prev = prev_inner
     except Exception:
         return None
     if prev.get("sf") != sf_dir:

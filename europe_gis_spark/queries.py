@@ -3259,61 +3259,21 @@ def _sql_pagerank(
 # pytest-pinned), so don't retrain the pandas k-means twin twice
 _ANN_IVF_SQL = _sql_ann_ivf()
 
+# ordered LEAST-RECENTLY-DRIVER-CHECKED FIRST (r4 directive 2): the
+# driver's per-round window takes the head of this dict, so entries
+# whose newest CORRECTNESS row is oldest (or whose code/oracle just
+# changed) must lead. Re-sort each round from CORRECTNESS_r{N}.json.
 QUERIES = {
-    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
-    "lm_score": (q_lm_score, SQL_LM_SCORE),
-    "dedup_keep_flags": (q_dedup_keep, _sql_dedup_keep()),
-    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "corpus_select": (q_corpus_select, _sql_corpus_select()),
-    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
-    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
-    "budget_select": (q_budget_select, SQL_BUDGET_SELECT),
-    "curriculum_buckets": (q_curriculum, SQL_CURRICULUM),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "funnel": (q_funnel, SQL_FUNNEL),
-    "retention": (q_retention, SQL_RETENTION),
-    "zscore_normalize": (q_zscore_normalize, SQL_ZSCORE),
-    "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
-    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "ann_ivf_topk": (q_ivf_topk, _ANN_IVF_SQL),
     "ann_ivf_indexed": (q_ann_ivf_indexed, _ANN_IVF_SQL),
-    "pipeline_inference": (q_pipeline_inference, SQL_PIPELINE_INFERENCE),
-    "pipeline_etl": (q_pipeline_etl, SQL_PIPELINE_ETL),
+    "ann_lsh_topk": (q_ann_lsh, _sql_ann_lsh()),
+    "pagerank_topk": (q_pagerank_topk, _sql_pagerank(iters=7, topk=10)),
+    "incremental_tag": (q_incremental_tag, _sql_geo_pip()),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "pagerank": (q_pagerank, _sql_pagerank()),
-    "pagerank_topk": (q_pagerank_topk, _sql_pagerank(iters=7, topk=10)),
-    "geo_within_dist": (q_geo_within_dist, _sql_geo_within_dist()),
-    "raster_region_geoms": (q_raster_region_geoms, None),
-    "region_geom_areas": (q_region_geom_areas, SQL_REGION_GEOM_AREAS),
-    "region_geoms_simplified": (q_region_geoms_simplified, None),
-    "winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
-    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "repetition_stats": (q_repetition, SQL_REPETITION),
-    "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
-    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
-    "source_stats": (q_source_stats, SQL_SOURCE_STATS),
-    "ann_ivf_topk": (q_ivf_topk, _ANN_IVF_SQL),
-    "simhash_pairs": (q_simhash_pairs, _sql_simhash()),
-    "geo_pip_shuffle": (q_geo_pip_shuffle, _sql_geo_pip()),
-    "incremental_tag": (q_incremental_tag, _sql_geo_pip()),
-    "asof_join": (q_asof_join, SQL_ASOF),
-    "range_join": (q_range_join, SQL_RANGE_JOIN),
-    "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
-    "value_percentiles": (q_value_percentiles, SQL_PERCENTILES),
-    "geo_burn_values": (q_geo_burn_values, _sql_geo_burn_values()),
-    "geo_knn3": (q_geo_knn3, _sql_geo_knn3()),
-    "raster_regions": (q_raster_regions, SQL_RASTER_REGIONS),
-    "overlay_rects": (q_overlay_rects, _sql_overlay_rects()),
-    "salted_skew_join": (q_salted_skew_join, SQL_SALTED_JOIN),
-    "dedup_lsh_verified": (q_lsh_verified, _sql_lsh_verified()),
-    "dedup_components": (q_dedup_components, _sql_dedup_components()),
-    "embedding_dups": (q_embed_dups, SQL_EMBED_DUPS),
-    "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
-    "ann_lsh_topk": (q_ann_lsh, _sql_ann_lsh()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE),
@@ -3342,4 +3302,48 @@ QUERIES = {
     "quality_scores": (q_quality, SQL_QUALITY),
     "lang_hits": (q_lang_hits, _sql_lang_hits()),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "geo_within_dist": (q_geo_within_dist, _sql_geo_within_dist()),
+    "raster_region_geoms": (q_raster_region_geoms, None),
+    "region_geom_areas": (q_region_geom_areas, SQL_REGION_GEOM_AREAS),
+    "region_geoms_simplified": (q_region_geoms_simplified, None),
+    "winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition_stats": (q_repetition, SQL_REPETITION),
+    "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "source_stats": (q_source_stats, SQL_SOURCE_STATS),
+    "simhash_pairs": (q_simhash_pairs, _sql_simhash()),
+    "geo_pip_shuffle": (q_geo_pip_shuffle, _sql_geo_pip()),
+    "asof_join": (q_asof_join, SQL_ASOF),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
+    "value_percentiles": (q_value_percentiles, SQL_PERCENTILES),
+    "geo_burn_values": (q_geo_burn_values, _sql_geo_burn_values()),
+    "geo_knn3": (q_geo_knn3, _sql_geo_knn3()),
+    "raster_regions": (q_raster_regions, SQL_RASTER_REGIONS),
+    "overlay_rects": (q_overlay_rects, _sql_overlay_rects()),
+    "salted_skew_join": (q_salted_skew_join, SQL_SALTED_JOIN),
+    "dedup_lsh_verified": (q_lsh_verified, _sql_lsh_verified()),
+    "dedup_components": (q_dedup_components, _sql_dedup_components()),
+    "embedding_dups": (q_embed_dups, SQL_EMBED_DUPS),
+    "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
+    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "dedup_keep_flags": (q_dedup_keep, _sql_dedup_keep()),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "corpus_select": (q_corpus_select, _sql_corpus_select()),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
+    "budget_select": (q_budget_select, SQL_BUDGET_SELECT),
+    "curriculum_buckets": (q_curriculum, SQL_CURRICULUM),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "retention": (q_retention, SQL_RETENTION),
+    "zscore_normalize": (q_zscore_normalize, SQL_ZSCORE),
+    "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "pipeline_inference": (q_pipeline_inference, SQL_PIPELINE_INFERENCE),
+    "pipeline_etl": (q_pipeline_etl, SQL_PIPELINE_ETL),
 }
