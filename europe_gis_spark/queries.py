@@ -1200,26 +1200,175 @@ def q_region_geom_areas(spark, sf_dir):
 
 def q_region_geoms_simplified(spark, sf_dir):
     """F9 geometry output chained through Douglas–Peucker at ¾-cell
-    tolerance — the standard publish-time simplification (smooths
-    pixel staircases; the ring tracer already emits collinear-free
-    rings, so tol=0 would be a no-op here). Rows-only: region
-    ids/geometry are engine-specific; DP exactness is pytest-gated in
-    test_geo_kernel."""
+    tolerance — the standard publish-time simplification (smooths pixel
+    staircases; the ring tracer already emits collinear-free rings, so
+    tol=0 would be a no-op here). VALUE-checked since r5 via the
+    materialized-intermediate pattern: engine-specific region ids are
+    dropped in favor of content-determined columns (vertex counts
+    in/out, simplified area, simplified outer-ring bbox — all decoded
+    IN-ENGINE from the simplified WKB, so the geometry bytes are under
+    the check), and the oracle (``_sql_region_geoms_simplified``)
+    recomputes the whole raster→regions→trace→DP pipeline driver-side
+    with the same pure kernels over an INDEPENDENT region labeling
+    (BFS) and rect decomposition (row runs) — the traced boundary is an
+    edge-cancellation fixed point, so any decomposition must yield the
+    identical rings."""
+    import pandas as pd
+
+    from .geo import geom as ggeom, wkb as gwkb
     from .operators import layers as L
 
     geoms = L.region_geometries(_density_tiles(spark, sf_dir), tile_w=16)
-    return (
-        L.simplify_geoms(geoms, geom_col="wkb", tol=0.75)
-        .select(
-            "layer",
-            "region_id",
-            "value",
-            "n_px",
-            "n_vertices_in",
-            "n_vertices_out",
+    simplified = L.simplify_geoms(geoms, geom_col="wkb", tol=0.75)
+
+    def fn(batches):
+        for b in batches:
+            area, x0, y0, x1, y1 = [], [], [], [], []
+            for buf in b["wkb"]:
+                parts = gwkb.polygon_parts(gwkb.decode(bytes(buf)))
+                area.append(round(ggeom.polygon_area(parts), 6))
+                bx0, by0, bx1, by1 = ggeom.ring_bbox(parts[0][0])
+                x0.append(round(float(bx0), 6))
+                y0.append(round(float(by0), 6))
+                x1.append(round(float(bx1), 6))
+                y1.append(round(float(by1), 6))
+            yield pd.DataFrame(
+                {
+                    "layer": b["layer"],
+                    "value": b["value"],
+                    "n_px": b["n_px"],
+                    "n_vertices_in": b["n_vertices_in"],
+                    "n_vertices_out": b["n_vertices_out"],
+                    "area_s": area,
+                    "x0": x0,
+                    "y0": y0,
+                    "x1": x1,
+                    "y1": y1,
+                }
+            )
+
+    return simplified.mapInPandas(
+        fn,
+        schema=(
+            "layer string, value double, n_px long, n_vertices_in int, "
+            "n_vertices_out int, area_s double, x0 double, y0 double, "
+            "x1 double, y1 double"
+        ),
+    ).orderBy("x0", "y0", "x1", "y1", "value", "n_px")
+
+
+def _sql_region_geoms_simplified():
+    """Driver-side same-kernel twin of q_region_geoms_simplified (the
+    simhash_pairs oracle pattern): replicate the raster derivation from
+    the events parquet in pandas/numpy, label 4-connected regions with
+    an independent BFS, decompose each region into ROW-RUN rects (the
+    engine uses greedy maximal rectangles — edge cancellation makes the
+    traced boundary decomposition-invariant), then run the IDENTICAL
+    ring tracer + Douglas–Peucker + area/bbox kernels and embed the
+    expected rows as VALUES."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_CORRECT", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "events.parquet")
+    if not os.path.exists(path):
+        return None
+    from collections import deque
+
+    import numpy as np
+    import pandas as pd
+
+    from .geo import geom as ggeom, wkb as gwkb
+    from .operators import layers as L
+
+    eid = pd.read_parquet(path, columns=["event_id"])["event_id"].to_numpy()
+    cx = ((eid * 48271) % 60000) // 2000
+    cy = ((eid * 16807) % 40000) // 2000
+    key = cy * 100000 + cx
+    uk, cnt = np.unique(key, return_counts=True)
+    mu = cnt.mean()
+    ux, uy = (uk % 100000).astype(int), (uk // 100000).astype(int)
+    gx0 = int(ux.min()) // 16 * 16
+    gx1 = (int(ux.max()) // 16 + 1) * 16
+    gy0 = int(uy.min()) // 16 * 16
+    gy1 = (int(uy.max()) // 16 + 1) * 16
+    h, w = gy1 - gy0, gx1 - gx0
+    canvas = np.full((h, w), -1000.0)
+    canvas[uy - gy0, ux - gx0] = np.where(cnt > mu, 1.0, 0.0)
+    lab = np.full((h, w), -1, dtype=int)
+    nlab = 0
+    for yy in range(h):
+        for xx in range(w):
+            if lab[yy, xx] >= 0:
+                continue
+            v = canvas[yy, xx]
+            q = deque([(yy, xx)])
+            lab[yy, xx] = nlab
+            while q:
+                a, b = q.popleft()
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    na, nb = a + dy, b + dx
+                    if (
+                        0 <= na < h
+                        and 0 <= nb < w
+                        and lab[na, nb] < 0
+                        and canvas[na, nb] == v
+                    ):
+                        lab[na, nb] = nlab
+                        q.append((na, nb))
+            nlab += 1
+    rows = []
+    for lid in range(nlab):
+        m = lab == lid
+        v = float(canvas[m][0])
+        rects = []
+        for yy in range(h):
+            xs = np.nonzero(m[yy])[0]
+            if len(xs) == 0:
+                continue
+            splits = np.nonzero(np.diff(xs) > 1)[0]
+            starts = np.concatenate([[0], splits + 1])
+            ends = np.concatenate([splits, [len(xs) - 1]])
+            for s_, e_ in zip(starts, ends):
+                # _rects_to_polygon rects are INCLUSIVE (ymin,xmin,ymax,xmax)
+                rects.append(
+                    (
+                        yy + gy0,
+                        int(xs[s_]) + gx0,
+                        yy + gy0,
+                        int(xs[e_]) + gx0,
+                    )
+                )
+        wkb_bytes, n_px = L._rects_to_polygon(rects)
+        parts = gwkb.polygon_parts(gwkb.decode(wkb_bytes))
+        simp = ggeom.simplify_polygon(parts, 0.75, 0.0)
+        n_in = sum(len(r) for rings in parts for r in rings)
+        n_out = sum(len(r) for rings in simp for r in rings)
+        area = round(ggeom.polygon_area(simp), 6)
+        bx0, by0, bx1, by1 = ggeom.ring_bbox(simp[0][0])
+        rows.append(
+            (
+                v,
+                n_px,
+                n_in,
+                n_out,
+                area,
+                round(float(bx0), 6),
+                round(float(by0), 6),
+                round(float(bx1), 6),
+                round(float(by1), 6),
+            )
         )
-        .orderBy("region_id")
+    vals = ",".join(
+        f"({v!r},{n_px},{ni},{no},{a!r},{x0!r},{y0!r},{x1!r},{y1!r})"
+        for v, n_px, ni, no, a, x0, y0, x1, y1 in rows
     )
+    return f"""
+WITH expected(value, n_px, n_vertices_in, n_vertices_out, area_s, x0, y0, x1, y1)
+  AS (VALUES {vals})
+SELECT 'density' AS layer, value, n_px, n_vertices_in, n_vertices_out,
+       area_s, x0, y0, x1, y1
+FROM expected ORDER BY x0, y0, x1, y1, value, n_px
+"""
 
 
 def q_overlay_rects(spark, sf_dir):
@@ -3305,7 +3454,10 @@ QUERIES = {
     "geo_within_dist": (q_geo_within_dist, _sql_geo_within_dist()),
     "raster_region_geoms": (q_raster_region_geoms, None),
     "region_geom_areas": (q_region_geom_areas, SQL_REGION_GEOM_AREAS),
-    "region_geoms_simplified": (q_region_geoms_simplified, None),
+    "region_geoms_simplified": (
+        q_region_geoms_simplified,
+        _sql_region_geoms_simplified(),
+    ),
     "winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

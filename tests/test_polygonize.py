@@ -264,3 +264,32 @@ def test_region_geometries_match_polygonize_regions(spark):
         for r in layers.polygonize_regions(tiles, tile_w=TILE_W).collect()
     }
     assert geoms == regs
+
+
+def test_rects_to_polygon_decomposition_invariant():
+    """The traced boundary is an edge-cancellation fixed point of the
+    REGION, not of its rectangle decomposition: greedy maximal rects
+    and naive row-run rects must yield BIT-IDENTICAL WKB — the property
+    the region_geoms_simplified driver oracle's independent row-run
+    decomposition relies on."""
+    rng = np.random.default_rng(42)
+    for _ in range(40):
+        mask = rng.random((12, 12)) < rng.uniform(0.3, 0.7)
+        lab = layers._label_tile(np.where(mask, 1.0, 0.0).astype(np.float32), 12)
+        for lid in np.unique(lab[mask]):
+            m = (lab == lid) & mask
+            greedy = _greedy_rects(m)
+            runs = []
+            for yy in range(m.shape[0]):
+                xs = np.nonzero(m[yy])[0]
+                if len(xs) == 0:
+                    continue
+                splits = np.nonzero(np.diff(xs) > 1)[0]
+                starts = np.concatenate([[0], splits + 1])
+                ends = np.concatenate([splits, [len(xs) - 1]])
+                for s_, e_ in zip(starts, ends):
+                    runs.append((yy, int(xs[s_]), yy, int(xs[e_])))
+            wkb_g, n_g = layers._rects_to_polygon(greedy)
+            wkb_r, n_r = layers._rects_to_polygon(runs)
+            assert n_g == n_r == int(m.sum())
+            assert wkb_g == wkb_r
