@@ -3294,6 +3294,68 @@ FROM canon QUALIFY rk <= 5 ORDER BY domain, rk, doc_id
 """
 
 
+def q_robots_allowed(spark, sf_dir):
+    """Robots-exclusion decisions (RFC 9309 longest-prefix-match,
+    Allow wins length ties, no-match ⇒ allowed) over the URL fixture
+    against a deterministic parsed-robots rules table — the crawl
+    politeness gate ahead of every other curation op. Decisions are
+    computed on DISTINCT urls and broadcast-joined against the rules
+    corpus; page payload never enters the match."""
+    import pandas as pd
+
+    from .operators import webops
+
+    rules = spark.createDataFrame(pd.DataFrame(ROBOTS_RULES, columns=["host", "prefix", "allow"]))
+    return webops.robots_decisions(_docs_with_urls(spark, sf_dir), rules).orderBy(
+        "url"
+    )
+
+
+# (host, path-prefix, allow) — lowercased hosts (robots hostnames are
+# case-insensitive; url_host lowercases), prefix rules only
+ROBOTS_RULES = [
+    ("src3.com", "/a/", False),  # blanket disallow ...
+    ("src3.com", "/a/3", True),  # ... with a longer allow-back
+    ("m.src5.org", "/a/5", False),  # subdomain-specific (m. is a distinct host)
+    ("www.src0.co.uk", "/a/", False),
+    ("src7.co.uk", "/a/1", False),  # disallows /a/1 and /a/1x...
+    ("src7.co.uk", "/a/12", True),  # ... except /a/12*
+    ("www.src12.com", "/a/4", False),  # host arrives as WWW.SRC12.com
+]
+
+
+def _sql_robots() -> str:
+    vals = ",".join(
+        f"('{h}','{p}',{str(a).upper()})" for h, p, a in ROBOTS_RULES
+    )
+    return f"""
+WITH urls AS ({URLS_SQL}),
+u0 AS (SELECT DISTINCT url FROM urls),
+u AS (
+  SELECT url,
+         LOWER(REGEXP_EXTRACT(REGEXP_REPLACE(url, '^https?://', ''),
+                              '^(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host,
+         REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(url, '^https?://', ''),
+                                       '^[^/?#]+', ''), '#.*$', '') AS path
+  FROM u0),
+rules(host, prefix, allow) AS (VALUES {vals}),
+cand AS (
+  SELECT u.url, r.prefix, r.allow
+  FROM u LEFT JOIN rules r
+    ON r.host = u.host AND u.path LIKE r.prefix || '%'
+),
+pick AS (
+  SELECT url, prefix, allow,
+         ROW_NUMBER() OVER (PARTITION BY url
+                            ORDER BY LENGTH(prefix) DESC NULLS LAST,
+                                     allow DESC, prefix DESC) AS rk
+  FROM cand
+)
+SELECT url, COALESCE(allow, TRUE) AS allowed, prefix AS matched_prefix
+FROM pick WHERE rk = 1 ORDER BY url
+"""
+
+
 # --------------------------------------------------------------------------
 # link graph: PageRank authority scoring
 
@@ -3324,6 +3386,43 @@ def _pagerank_edges(spark, sf_dir):
         (did % 60).alias("src"), ((did * 7 + 3) % 60).alias("dst")
     ).union(
         d.select((did % 60).alias("src"), ((did * 13 + 5) % 60).alias("dst"))
+    )
+
+
+def q_link_pagerank(spark, sf_dir):
+    """The FULL link-graph chain — html payload → anchor extraction →
+    URL resolution → node parse → PageRank — as one checked DAG. Each
+    fixture page carries one absolute anchor, one root-relative anchor
+    (resolved against the page's scheme+host) and one mailto: (must be
+    dropped); the anchor targets are chosen so the extracted edge list
+    equals q_pagerank's two affine families, making the UNCHANGED
+    unrolled-recurrence oracle exact: a wrong href regex, a broken
+    relative-URL resolution or a junk link leaking through changes the
+    graph and hash-mismatches. Extraction is JVM regexp_extract_all
+    (payload never crosses Arrow — flagship jvm_extract design)."""
+    from .operators import graph, webops
+
+    docs = _docs_with_urls(spark, sf_dir)
+    did = F.col("doc_id")
+    pages = docs.select(
+        "url",
+        F.concat(
+            F.lit('<html><body><a href="https://ext.example.org/a/'),
+            ((did * 7 + 3) % 60).cast("string"),
+            F.lit('">x</a><a href="/a/'),
+            ((did * 13 + 5) % 60).cast("string"),
+            F.lit('">y</a><a href="mailto:a@b.c">z</a></body></html>'),
+        ).alias("html"),
+    )
+    links = webops.extract_links(pages, html_col="html", url_col="url")
+    e = links.select(
+        F.regexp_extract("src_url", r"/a/(\d+)", 1).cast("long").alias("src"),
+        F.regexp_extract("dst_url", r"/a/(\d+)", 1).cast("long").alias("dst"),
+    )
+    return (
+        graph.pagerank(e, iters=5, damping=0.85)
+        .select("node", F.round("pr", 6).alias("pr"))
+        .orderBy("node")
     )
 
 
@@ -3417,6 +3516,8 @@ QUERIES = {
     "ann_ivf_indexed": (q_ann_ivf_indexed, _ANN_IVF_SQL),
     "ann_lsh_topk": (q_ann_lsh, _sql_ann_lsh()),
     "pagerank_topk": (q_pagerank_topk, _sql_pagerank(iters=7, topk=10)),
+    "link_pagerank": (q_link_pagerank, _sql_pagerank()),
+    "robots_allowed": (q_robots_allowed, _sql_robots()),
     "incremental_tag": (q_incremental_tag, _sql_geo_pip()),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),

@@ -212,3 +212,72 @@ def test_cap_window_uses_group_limit_pushdown(spark):
     with contextlib.redirect_stdout(buf):
         capped.explain(mode="simple")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_extract_links_resolution_rules(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["https://a.com/p/1", "http://b.org/x"],
+                "html": [
+                    '<a href="https://c.net/z">1</a>'
+                    '<a href="/rooted/2">2</a>'
+                    '<a href="mailto:x@y.z">3</a>'
+                    '<a href="#frag">4</a>'
+                    '<a href="relative/no">5</a>'
+                    '<a href="javascript:void(0)">6</a>',
+                    '<a href="/only">7</a>',
+                ],
+            }
+        )
+    )
+    got = sorted(
+        (r.src_url, r.dst_url) for r in webops.extract_links(df).collect()
+    )
+    assert got == [
+        ("http://b.org/x", "http://b.org/only"),
+        ("https://a.com/p/1", "https://a.com/rooted/2"),
+        ("https://a.com/p/1", "https://c.net/z"),
+    ]
+
+
+def test_robots_longest_match_and_ties(spark):
+    rules = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("a.com", "/x/", False),
+                ("a.com", "/x/keep", True),
+                ("a.com", "/tie", True),   # allow wins an exact-length tie
+                ("a.com", "/tie", False),
+                ("www.a.com", "/x/", True),  # distinct host from a.com
+            ],
+            columns=["host", "prefix", "allow"],
+        )
+    )
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://a.com/x/blocked",
+                    "https://a.com/x/keep/this",
+                    "https://a.com/tiebreak",
+                    "https://a.com/unmatched",
+                    "https://www.a.com/x/fine",
+                    "https://A.COM/x/casehost",  # hosts are case-insensitive
+                ],
+                "text": ["t"] * 6,
+            }
+        )
+    )
+    got = {
+        r.url: (r.allowed, r.matched_prefix)
+        for r in webops.robots_decisions(pages, rules).collect()
+    }
+    assert got["https://a.com/x/blocked"] == (False, "/x/")
+    assert got["https://a.com/x/keep/this"] == (True, "/x/keep")
+    assert got["https://a.com/tiebreak"] == (True, "/tie")
+    assert got["https://a.com/unmatched"] == (True, None)
+    assert got["https://www.a.com/x/fine"] == (True, "/x/")
+    assert got["https://A.COM/x/casehost"] == (False, "/x/")
+    kept = {r.url for r in webops.robots_filter(pages, rules).collect()}
+    assert kept == {u for u, (a, _) in got.items() if a}
