@@ -376,3 +376,45 @@ def test_within_distance_join_is_equi_hash_not_nested_loop(spark):
     assert ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p) or (
         "SortMergeJoin" in p
     ), p
+
+
+def test_extract_links_is_map_side_only(spark):
+    """Anchor extraction + URL resolution must plan with NO exchange —
+    one codegen'd scan pass per partition (generate/explode is
+    pipeline-local), or the payload would reshuffle at corpus scale."""
+    from europe_gis_spark.operators import webops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".com/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit('<a href="/x/'), F.col("doc_id").cast("string"),
+                 F.lit('">l</a>')).alias("html"),
+    )
+    p = plan_str(webops.extract_links(pages), mode="simple")
+    assert "Exchange" not in p, p
+
+
+def test_robots_decisions_broadcasts_rules_no_window_sort(spark):
+    """The rules corpus must arrive via BroadcastHashJoin (pages never
+    reshuffle onto rule keys) and the winner-pick must be the
+    max(struct) aggregate — no Window operator, whose per-url sort
+    would buffer every candidate rule row."""
+    import pandas as pd
+
+    from europe_gis_spark.operators import webops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".com/p/"), F.col("doc_id").cast("string")).alias("url")
+    )
+    rules = spark.createDataFrame(
+        pd.DataFrame(
+            [("h1.com", "/p/1", False), ("h1.com", "/p/12", True)],
+            columns=["host", "prefix", "allow"],
+        )
+    )
+    p = plan_str(webops.robots_decisions(pages, rules), mode="simple")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "Window" not in p, p
