@@ -330,9 +330,9 @@ Methodology and sandbox-artifact controls:
         + "\n".join(hist_rows)
         + "\n\nPer-round deltas sit inside this VM's documented ±30 % run "
         "noise unless a plan change is called out in the round's commit "
-        "history. The headline (metrics) variant has met ≥ 0.8 every "
-        "round; the plain variant's sub-0.8 rounds each coincide with a "
-        "failed (<3×) bandwidth control — see the amendment above.\n"
+        "history. Read each round's efficiency next to its same-session "
+        "bandwidth control (amendment above); rejected weather-poisoned "
+        "sessions are logged verbatim in BENCH/scaling_sessions.jsonl.\n"
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(path, "w") as f:
