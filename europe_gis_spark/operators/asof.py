@@ -121,3 +121,64 @@ def range_join(
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
         .drop("_bk")
     )
+
+
+def gap_fill_locf(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward — the
+    densification step a training pipeline runs before windowed feature
+    extraction (regular grid in, no missing buckets out).
+
+    Per key: one row per ``unit`` bucket from the key's first to its
+    last event; ``n_events``/``sum_value`` aggregate the bucket's own
+    events; ``filled_value`` is the latest in-bucket value (max_by on
+    (ts, event ordinal) — deterministic under ties) carried forward
+    across empty buckets by a running ``last(ignorenulls)`` window.
+
+    Scale shape: per-key bounds are one agg; the dense grid is a
+    map-side ``sequence``/``explode`` off that (grid size is
+    output-bound by construction — the operator EXISTS to emit it); one
+    (key, bucket) exchange joins grid to bucket aggregates, and the
+    LOCF window rides the same key partitioning with a bucket sort.
+    No per-key collect, no range self-join.
+    """
+    k, ts = F.col(key_col), F.col(ts_col)
+    bucket = F.date_trunc(unit, ts)
+    bounds = events.groupBy(key_col).agg(
+        F.min(bucket).alias("_b0"), F.max(bucket).alias("_b1")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence("_b0", "_b1", F.expr(f"INTERVAL 1 {unit}"))
+        ).alias("bucket"),
+    )
+    per_bucket = events.groupBy(k.alias(key_col), bucket.alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+        F.max_by(
+            value_col, F.struct(ts.alias("t"), F.col("event_id").alias("i"))
+        ).alias("_last_in_bucket"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, [key_col, "bucket"], "left")
+        .select(
+            key_col,
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce(F.round("sum_value", 6), F.lit(0.0)).alias("sum_value"),
+            F.round(
+                F.last("_last_in_bucket", ignorenulls=True).over(w), 6
+            ).alias("filled_value"),
+        )
+    )

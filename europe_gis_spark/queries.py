@@ -3294,6 +3294,51 @@ FROM canon QUALIFY rk <= 5 ORDER BY domain, rk, doc_id
 """
 
 
+def q_gap_fill(spark, sf_dir):
+    """Daily gap fill + LOCF per user over the events table: dense
+    bucket grid (sequence/explode off per-key bounds), in-bucket aggs,
+    deterministic last-in-bucket (max_by on (ts, event_id)), forward
+    fill via running last(ignorenulls). Oracle: generate_series +
+    row_number-picked last + LAST_VALUE IGNORE NULLS."""
+    from .operators import asof
+
+    ev = _read(spark, sf_dir, "events")
+    return asof.gap_fill_locf(ev, "user_id", "ts", "value", unit="day").orderBy(
+        "user_id", "bucket"
+    )
+
+
+SQL_GAP_FILL = """
+WITH b AS (
+  SELECT user_id, DATE_TRUNC('day', MIN(ts)) AS b0,
+         DATE_TRUNC('day', MAX(ts)) AS b1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket
+  FROM b
+),
+pb AS (
+  SELECT user_id, bucket, COUNT(*) AS n_events,
+         ROUND(SUM(value), 6) AS sum_value, MAX(last_in) AS last_in
+  FROM (
+    SELECT user_id, DATE_TRUNC('day', ts) AS bucket, value,
+           CASE WHEN ROW_NUMBER() OVER (
+             PARTITION BY user_id, DATE_TRUNC('day', ts)
+             ORDER BY ts DESC, event_id DESC) = 1 THEN value END AS last_in
+    FROM events
+  ) GROUP BY 1, 2
+)
+SELECT g.user_id, g.bucket, COALESCE(pb.n_events, 0) AS n_events,
+       COALESCE(pb.sum_value, 0.0) AS sum_value,
+       ROUND(LAST_VALUE(pb.last_in IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value
+FROM grid g LEFT JOIN pb USING (user_id, bucket)
+ORDER BY user_id, bucket
+"""
+
+
 def q_robots_allowed(spark, sf_dir):
     """Robots-exclusion decisions (RFC 9309 longest-prefix-match,
     Allow wins length ties, no-match ⇒ allowed) over the URL fixture
@@ -3518,6 +3563,7 @@ QUERIES = {
     "pagerank_topk": (q_pagerank_topk, _sql_pagerank(iters=7, topk=10)),
     "link_pagerank": (q_link_pagerank, _sql_pagerank()),
     "robots_allowed": (q_robots_allowed, _sql_robots()),
+    "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "incremental_tag": (q_incremental_tag, _sql_geo_pip()),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),

@@ -103,3 +103,35 @@ def test_asof_forward_direction(spark):
 
     with _pt.raises(ValueError, match="backward|forward"):
         asof.asof_join(left, right, ["k"], "t", ["v"], direction="fwd")
+
+
+def test_gap_fill_locf_hand_computed(spark):
+    """Dense grid, empty buckets carried forward, deterministic
+    in-bucket last under same-timestamp ties (event_id breaks)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from europe_gis_spark.operators import asof
+
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)  # noqa: E731
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "user_id": [7, 7, 7, 7, 9],
+                "ts": [t(1, 5), t(1, 9), t(3, 2), t(3, 2), t(2)],
+                "value": [10.0, 20.0, 30.0, 40.0, 5.0],
+            }
+        )
+    )
+    got = {
+        (r.user_id, r.bucket.day): (r.n_events, r.sum_value, r.filled_value)
+        for r in asof.gap_fill_locf(ev, "user_id", "ts", "value").collect()
+    }
+    assert got[(7, 1)] == (2, 30.0, 20.0)  # last of day 1 is ts 09:00
+    assert got[(7, 2)] == (0, 0.0, 20.0)  # gap day: carried forward
+    # day 3: two events at the SAME ts — max event_id (4) wins
+    assert got[(7, 3)] == (2, 70.0, 40.0)
+    assert got[(9, 2)] == (1, 5.0, 5.0)
+    assert set(got) == {(7, 1), (7, 2), (7, 3), (9, 2)}
