@@ -68,6 +68,13 @@ ROTATING = [
     "incremental_tag",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "link_pagerank",
+    "robots_allowed",
+    "gap_fill",
+    "triangle_count",
+    "merge_spans",
+    "scd2_history",
+    "collocations",
 ]
 
 

@@ -182,3 +182,95 @@ def gap_fill_locf(
             ).alias("filled_value"),
         )
     )
+
+
+def merge_intervals(
+    spans: DataFrame,
+    key_col: str,
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Coalesce overlapping-or-touching half-open intervals per key
+    (gaps-and-islands) — the span-algebra step behind PII-redaction
+    merging, near-dup range coalescing and chunk-overlap resolution.
+
+    A new island starts where ``lo`` exceeds the running max ``hi`` of
+    all earlier intervals (touching, ``lo == prev_hi``, merges — the
+    half-open ranges are adjacent). Output one row per island:
+    (key, span_lo, span_hi, n_merged).
+
+    Scale shape: ONE shuffle+sort on (key, lo, hi); both window phases
+    (running-max-of-previous, then running island-id sum) ride that
+    single sort — no self-join, no per-key collect, cost linear in
+    span count.
+    """
+    w = Window.partitionBy(key_col).orderBy(lo_col, hi_col)
+    prev_max = F.max(hi_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        key_col,
+        lo_col,
+        hi_col,
+        F.when(
+            prev_max.isNull() | (F.col(lo_col) > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)).alias("_new"),
+    )
+    with_island = flagged.select(
+        key_col,
+        lo_col,
+        hi_col,
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_isl"),
+    )
+    return with_island.groupBy(key_col, "_isl").agg(
+        F.min(lo_col).alias("span_lo"),
+        F.max(hi_col).alias("span_hi"),
+        F.count("*").alias("n_merged"),
+    ).drop("_isl")
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event log:
+    consecutive equal ``attr_col`` values per key collapse into one
+    validity interval [valid_from, valid_to); the latest interval is
+    open (``valid_to`` NULL, ``is_current`` true). The standard
+    snapshot-lineage build for training-metadata dimensions.
+
+    ``order_col`` breaks same-timestamp ties deterministically (e.g.
+    an event id). Comparison is null-safe: NULL attr is a value, a
+    NULL->x transition opens a new interval.
+
+    Scale shape: one shuffle+sort on (key, ts, order); change
+    detection (lag) and interval close (lead over the filtered change
+    rows) are two window phases on the SAME key partitioning — the
+    second sorts a strictly smaller row set. No self-join.
+    """
+    extra = [order_col] if order_col else []
+    w = Window.partitionBy(key_col).orderBy(ts_col, *extra)
+    changed = events.select(
+        key_col,
+        attr_col,
+        F.col(ts_col).alias("valid_from"),
+        *extra,
+        (~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w))
+         | F.lag(attr_col).over(w).isNull()
+         & (F.row_number().over(w) == 1)).alias("_chg"),
+    ).filter(F.col("_chg")).drop("_chg")
+    # the tie-break column rides into the close window too: two changes
+    # at the SAME timestamp must close each other in a deterministic
+    # (engine-portable) order
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", *extra)
+    return changed.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

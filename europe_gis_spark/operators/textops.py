@@ -656,3 +656,68 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         phones.cast("long").alias("n_phones"),
         F.md5(scrub2).alias("scrubbed_fp"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information over
+    the lowercased whitespace-token stream — the phrase-mining pass a
+    corpus-analysis stage runs before vocabulary decisions.
+
+    PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) with bigram and
+    unigram MLE probabilities; ``min_count`` suppresses the unstable
+    low-frequency tail. Ordering is on ROUND(pmi, 6) with a (w1, w2)
+    tie-break so the oracle ranks identically.
+
+    Scale shape: tokenization and bigram forming are map-side array
+    HOFs (zip_with over two slices — no self-join); one shuffle each
+    for unigram and bigram counts; the count joins are plain equi
+    hash joins on the word keys (vocab is unbounded — never forced
+    broadcast); corpus totals are two 1-row aggregates crossJoined
+    back (broadcast by construction). Top-k is TakeOrderedAndProject.
+    """
+    toks_raw = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = docs.select(
+        F.filter(toks_raw, lambda x: x != F.lit("")).alias("toks")
+    )
+    uni = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    n = F.size(F.col("toks"))
+    pair_len = F.greatest(n - F.lit(1), F.lit(0))
+    big = (
+        t.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", F.lit(1), pair_len),
+                    F.slice("toks", F.lit(2), pair_len),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    n1 = uni.agg(F.sum("c1").alias("n1"))
+    n2 = big.agg(F.sum("c2").alias("n2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    pmi = (
+        F.col("c2").cast("double") * F.col("n1") * F.col("n1")
+    ) / (F.col("n2").cast("double") * F.col("c1a") * F.col("c1b"))
+    return (
+        big.filter(F.col("c2") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(n1)
+        .crossJoin(n2)
+        .select("w1", "w2", "c2", F.round(F.log(pmi), 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )

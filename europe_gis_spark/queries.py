@@ -3544,6 +3544,182 @@ def _sql_pagerank(
     )
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts on the undirected simple graph of the
+    synthetic link edges (shared with the PageRank family) — degree-
+    ordered wedge enumeration + canonical-edge closure probe; the
+    oracle enumerates id-ordered triangles a<b<c relationally, which
+    is the same triangle set."""
+    from .operators import graph
+
+    return graph.triangle_count(_pagerank_edges(spark, sf_dir)).orderBy("node")
+
+
+SQL_TRIANGLE_COUNT = """
+WITH raw AS (
+  SELECT doc_id % 60 AS src, (doc_id * 7 + 3) % 60 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 60 AS src, (doc_id * 13 + 5) % 60 AS dst FROM documents
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+credit AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+nodes AS (SELECT u AS node FROM und UNION SELECT v AS node FROM und)
+SELECT n.node, COALESCE(c.cnt, 0) AS n_triangles
+FROM nodes n
+LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM credit GROUP BY node) c USING (node)
+ORDER BY node
+"""
+
+
+def q_merge_spans(spark, sf_dir):
+    """Overlapping-interval coalescing (gaps-and-islands) per user over
+    spans derived deterministically from events — the span-algebra step
+    behind PII-redaction merging and chunk-overlap resolution. One
+    shuffle+sort; running-max + island-id windows ride it."""
+    from .operators import asof
+
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    spans = ev.select(
+        "user_id",
+        ((eid * 37) % 5000).alias("lo"),
+        ((eid * 37) % 5000 + 8 + eid % 45).alias("hi"),
+    )
+    return asof.merge_intervals(spans, "user_id", "lo", "hi").orderBy(
+        "user_id", "span_lo"
+    )
+
+
+SQL_MERGE_SPANS = """
+WITH spans AS (
+  SELECT user_id, (event_id * 37) % 5000 AS lo,
+         (event_id * 37) % 5000 + 8 + event_id % 45 AS hi
+  FROM events
+),
+f AS (
+  SELECT user_id, lo, hi,
+         CASE WHEN MAX(hi) OVER w_prev IS NULL
+                   OR lo > MAX(hi) OVER w_prev THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY lo, hi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+i AS (
+  SELECT user_id, lo, hi,
+         SUM(new_isl) OVER (PARTITION BY user_id ORDER BY lo, hi
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM f
+)
+SELECT user_id, MIN(lo) AS span_lo, MAX(hi) AS span_hi,
+       COUNT(*) AS n_merged
+FROM i GROUP BY user_id, isl
+ORDER BY user_id, span_lo
+"""
+
+
+def q_scd2(spark, sf_dir):
+    """Type-2 SCD history: consecutive equal value-bands per user
+    collapse into [valid_from, valid_to) intervals, open-ended latest
+    (the snapshot-lineage build for training-metadata dimensions).
+    event_id tie-breaks same-timestamp changes in BOTH windows so the
+    interval chain is engine-portable."""
+    from .operators import asof
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "attr", F.floor(F.col("value") / 50).cast("long")
+    )
+    hist = asof.scd2_history(ev, "user_id", "ts", "attr", order_col="event_id")
+    # string-formatted bounds: a NULLABLE timestamp column's ns-vs-us
+    # resolution differs across Arrow readers; strings hash identically
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return hist.select(
+        "user_id",
+        "attr",
+        F.date_format("valid_from", fmt).alias("valid_from_s"),
+        F.date_format("valid_to", fmt).alias("valid_to_s"),
+        "is_current",
+    ).orderBy("user_id", "valid_from_s")
+
+
+SQL_SCD2 = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value / 50) AS BIGINT) AS attr
+  FROM events
+),
+c AS (
+  SELECT user_id, attr, ts AS valid_from, event_id,
+         (ROW_NUMBER() OVER w = 1
+          OR attr IS DISTINCT FROM LAG(attr) OVER w) AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, attr,
+       STRFTIME(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from_s,
+       STRFTIME(LEAD(valid_from) OVER w2, '%Y-%m-%d %H:%M:%S.%f') AS valid_to_s,
+       LEAD(valid_from) OVER w2 IS NULL AS is_current
+FROM c WHERE chg
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+ORDER BY user_id, valid_from_s
+"""
+
+
+def q_collocations(spark, sf_dir):
+    """Top-50 PMI bigram collocations (min bigram count 5) over the
+    lowercased whitespace-token stream of documents — map-side bigram
+    forming (zip_with over slices), two count shuffles, equi joins to
+    unigram counts, 1-row totals crossJoined back. Ordering on
+    ROUND(pmi,6) + (w1,w2) so the oracle ranks identically."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.collocations(d, min_count=5, k=50)
+
+
+SQL_COLLOCATIONS = """
+WITH t AS (
+  SELECT LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT UNNEST(toks) AS w FROM t) GROUP BY w
+),
+big0 AS (
+  SELECT UNNEST([{'w1': toks[i], 'w2': toks[i + 1]}
+                 FOR i IN RANGE(1, GREATEST(LEN(toks), 1))]) AS bg
+  FROM t
+),
+big AS (
+  SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c2 FROM big0 GROUP BY 1, 2
+),
+tot AS (
+  SELECT (SELECT SUM(c1) FROM uni) AS n1, (SELECT SUM(c2) FROM big) AS n2
+)
+SELECT b.w1, b.w2, b.c2,
+       ROUND(LN((CAST(b.c2 AS DOUBLE) * tot.n1 * tot.n1)
+                / (CAST(tot.n2 AS DOUBLE) * ua.c1 * ub.c1)), 6) AS pmi
+FROM big b
+JOIN uni ua ON ua.w = b.w1
+JOIN uni ub ON ub.w = b.w2
+CROSS JOIN tot
+WHERE b.c2 >= 5
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3564,6 +3740,10 @@ QUERIES = {
     "link_pagerank": (q_link_pagerank, _sql_pagerank()),
     "robots_allowed": (q_robots_allowed, _sql_robots()),
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "merge_spans": (q_merge_spans, SQL_MERGE_SPANS),
+    "scd2_history": (q_scd2, SQL_SCD2),
+    "collocations": (q_collocations, SQL_COLLOCATIONS),
     "incremental_tag": (q_incremental_tag, _sql_geo_pip()),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),

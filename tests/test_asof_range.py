@@ -135,3 +135,74 @@ def test_gap_fill_locf_hand_computed(spark):
     assert got[(7, 3)] == (2, 70.0, 40.0)
     assert got[(9, 2)] == (1, 5.0, 5.0)
     assert set(got) == {(7, 1), (7, 2), (7, 3), (9, 2)}
+
+
+def test_merge_intervals_hand_computed(spark):
+    """Overlap merges, touching merges (half-open), gap splits; keys
+    independent."""
+    import pandas as pd
+
+    from europe_gis_spark.operators import asof
+
+    spans = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 1, 2, 2],
+                "lo": [0, 5, 10, 40, 0, 100],
+                "hi": [7, 12, 20, 45, 3, 110],
+            }
+        )
+    )
+    got = sorted(
+        (r.k, r.span_lo, r.span_hi, r.n_merged)
+        for r in asof.merge_intervals(spans, "k", "lo", "hi").collect()
+    )
+    # [0,7)+[5,12)+[10,20) chain-merge; [40,45) separate
+    assert got == [
+        (1, 0, 20, 3),
+        (1, 40, 45, 1),
+        (2, 0, 3, 1),
+        (2, 100, 110, 1),
+    ]
+    # touching: [0,5) + [5,9) merge (half-open adjacency)
+    touch = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "lo": [0, 5], "hi": [5, 9]})
+    )
+    got2 = [
+        (r.span_lo, r.span_hi, r.n_merged)
+        for r in asof.merge_intervals(touch, "k", "lo", "hi").collect()
+    ]
+    assert got2 == [(0, 9, 2)]
+
+
+def test_scd2_history_hand_computed(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from europe_gis_spark.operators import asof
+
+    t = lambda d: dt.datetime(2024, 3, d)  # noqa: E731
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6],
+                "k": [1, 1, 1, 1, 1, 2],
+                "ts": [t(1), t(2), t(3), t(4), t(5), t(9)],
+                "attr": ["a", "a", "b", "b", "a", "z"],
+            }
+        )
+    )
+    rows = sorted(
+        (r.k, r.attr, r.valid_from.day,
+         r.valid_to.day if r.valid_to else None, r.is_current)
+        for r in asof.scd2_history(
+            ev, "k", "ts", "attr", order_col="event_id"
+        ).collect()
+    )
+    assert rows == [
+        (1, "a", 1, 3, False),
+        (1, "a", 5, None, True),
+        (1, "b", 3, 5, False),
+        (2, "z", 9, None, True),
+    ]

@@ -130,3 +130,39 @@ def test_pagerank_topk_is_take_ordered(spark):
     want = ref_pagerank(edges, iters=5, d=0.85)
     ranked = sorted(want.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
     assert [r.node for r in rows] == [v for v, _ in ranked]
+
+
+def ref_triangles(edges):
+    import itertools
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({v for e in und for v in e})
+    n_tri = {v: 0 for v in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for v in (a, b, c):
+                n_tri[v] += 1
+    return n_tri
+
+
+def test_triangle_count_hand_fixture(spark):
+    # K3 {0,1,2} + pendant 3 + disconnected edge 4-5; duplicate,
+    # reversed and self-loop edges must not change counts
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (1, 0), (2, 3), (4, 5), (4, 4)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r.node: r.n_triangles for r in graph.triangle_count(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 0, 4: 0, 5: 0}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 20, 150), rng.integers(0, 20, 150))
+    ]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r.node: r.n_triangles for r in graph.triangle_count(df).collect()}
+    ref = ref_triangles(edges)
+    assert got == ref
+    # sanity: the fixture actually has triangles
+    assert sum(ref.values()) > 0

@@ -1666,3 +1666,28 @@ def test_image_thumbnails_accepts_png_end_to_end(spark):
         assert (r.orig_height, r.orig_width, r.height, r.width) == (16, 16, 8, 8)
         dec = multimodal.decode_bmp(bytes(r.payload))
         np.testing.assert_array_equal(dec, multimodal.resize_image(grad, 8, 8))
+
+
+def test_collocations_hand_computed(spark):
+    """PMI exact on a tiny corpus; min_count suppresses singletons."""
+    import math
+
+    import pandas as pd
+
+    from europe_gis_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["A b a B", "a b c"]})
+    )
+    rows = textops.collocations(docs, min_count=2, k=10).collect()
+    # unigrams a:3 b:3 c:1 (N1=7); bigrams (a,b):3 (b,a):1 (b,c):1
+    # (N2=5); only (a,b) survives min_count=2
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.w1, r.w2, r.c2) == ("a", "b", 3)
+    assert r.pmi == round(math.log(3 * 7 * 7 / (5 * 3 * 3)), 6)
+    # empty / single-token docs produce no bigrams and don't crash
+    edge = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "  ", "solo"]})
+    )
+    assert textops.collocations(edge, min_count=1, k=5).count() == 0
