@@ -75,6 +75,7 @@ ROTATING = [
     "merge_spans",
     "scd2_history",
     "collocations",
+    "jaccard_join",
 ]
 
 

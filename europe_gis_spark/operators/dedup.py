@@ -579,3 +579,88 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    tau: float = 0.7,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join: all document pairs whose
+    distinct-word-set Jaccard is >= ``tau`` — via LOSSLESS prefix
+    filtering (Chaudhuri et al. SSJoin / PPJoin family), the exact
+    complement to the probabilistic minhash-LSH candidate path.
+
+    Guarantee: order every doc's token set by ascending global
+    frequency (rarest first, token tie-break); two sets with
+    J >= tau MUST share a token inside their length
+    ``n - ceil(tau*n) + 1`` prefixes, so equi-joining on prefix
+    tokens generates a candidate superset — verification is then
+    exact, and nothing is lost (the oracle brute-forces ALL pairs to
+    prove it).
+
+    Scale shape: token frequencies are one count shuffle; per-doc
+    frequency-sorted token arrays are a token-keyed join + one
+    doc-keyed collect_list agg (map-side array_sort + prefix slice);
+    candidates come from ONE equi join on the prefix token (rare
+    tokens by construction -> bounded fan-out, the point of prefix
+    filtering); exact verify joins the two token arrays back by doc
+    key and computes |A∩B| / (|A|+|B|-|A∩B|) with set semantics. No
+    all-pairs stage anywhere.
+    """
+    toks_raw = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(toks_raw, lambda x: x != F.lit(""))
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    freq = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    # per-doc tokens sorted by (global freq asc, token) — struct sort
+    sorted_toks = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tf", "tok"))
+            ).alias("st")
+        )
+        .select(
+            "doc_id",
+            F.transform("st", lambda s: s["tok"]).alias("toks"),
+        )
+    )
+    n = F.size("toks")
+    prefix_len = n - F.ceil(F.lit(float(tau)) * n).cast("int") + F.lit(1)
+    prefixes = sorted_toks.select(
+        "doc_id", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("tok")
+    )
+    a = prefixes.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = prefixes.select(F.col("doc_id").alias("doc_b"), "tok")
+    cands = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = sorted_toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+    )
+    tb = sorted_toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+    )
+    ni = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = ni.cast("double") / (
+        F.size("toks_a") + F.size("toks_b") - ni
+    ).cast("double")
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(float(tau)))
+    )

@@ -3720,6 +3720,41 @@ LIMIT 50
 """
 
 
+def q_jaccard_join(spark, sf_dir):
+    """EXACT tau=0.7 distinct-word-set Jaccard self-join via lossless
+    prefix filtering (SSJoin/PPJoin family) — rarest-first global token
+    order, length-(n-ceil(tau*n)+1) prefixes, ONE equi join on prefix
+    tokens, exact verify. The oracle brute-forces ALL pairs, so any
+    candidate the prefix filter wrongly drops hash-mismatches."""
+    from .operators import dedup
+
+    d = _read(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_join(d, tau=0.7).orderBy("doc_a", "doc_b")
+
+
+SQL_JACCARD_JOIN = """
+WITH tok AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_FILTER(
+           STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+           x -> x <> '')) AS toks
+  FROM documents
+),
+t AS (SELECT * FROM tok WHERE LEN(toks) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+             / CAST(LEN(a.toks) + LEN(b.toks)
+                    - LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE),
+             6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+            / CAST(LEN(a.toks) + LEN(b.toks)
+                   - LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE),
+            6) >= 0.7
+ORDER BY doc_a, doc_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3744,6 +3779,7 @@ QUERIES = {
     "merge_spans": (q_merge_spans, SQL_MERGE_SPANS),
     "scd2_history": (q_scd2, SQL_SCD2),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
+    "jaccard_join": (q_jaccard_join, SQL_JACCARD_JOIN),
     "incremental_tag": (q_incremental_tag, _sql_geo_pip()),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),

@@ -1691,3 +1691,45 @@ def test_collocations_hand_computed(spark):
         pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "  ", "solo"]})
     )
     assert textops.collocations(edge, min_count=1, k=5).count() == 0
+
+
+def test_jaccard_prefix_join_lossless_vs_bruteforce(spark):
+    """The prefix filter must drop NOTHING: random word-soup docs,
+    result set == brute-force all-pairs at tau, boundary pairs
+    included."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from europe_gis_spark.operators import dedup
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 25), replace=True))
+        for _ in range(60)
+    ]
+    # engineered boundary family: jaccard exactly 0.75 and 0.6
+    texts += ["a b c d", "a b c e", "a b x y z"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    tau = 0.6
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_prefix_join(docs, tau=tau).collect()
+    }
+    sets = [set(t.lower().split()) - {""} for t in texts]
+    ref = {}
+    for i, j in itertools.combinations(range(len(sets)), 2):
+        if not sets[i] or not sets[j]:
+            continue
+        inter = len(sets[i] & sets[j])
+        jac = round(inter / (len(sets[i]) + len(sets[j]) - inter), 6)
+        if jac >= tau:
+            ref[(i, j)] = jac
+    assert got == ref
+    # the engineered 3/5 = 0.6 boundary pair survived
+    n = len(texts)
+    assert got[(n - 3, n - 2)] == 0.6
