@@ -418,3 +418,59 @@ def test_robots_decisions_broadcasts_rules_no_window_sort(spark):
     p = plan_str(webops.robots_decisions(pages, rules), mode="simple")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
     assert "Window" not in p, p
+
+
+def test_merge_spans_single_data_shuffle(spark):
+    """merge_intervals' load-bearing shape: ONE hash exchange on the
+    key; both window phases AND the island aggregate ride that single
+    partitioning (hashpartitioning(key) satisfies the (key, island)
+    clustering — no second data shuffle); the only other exchange is
+    the output-contract orderBy's range partitioning."""
+    import re
+
+    from europe_gis_spark.queries import q_merge_spans
+
+    df = q_merge_spans(spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    body = p.split("== Initial Plan ==")[0]
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", body)
+    assert len(hashes) == 1, body
+    assert "user_id" in hashes[0]
+    assert body.count("Window ") == 2, body
+    # the grouped agg appears as partial+final with NO exchange between
+    agg_part = body.split("Window ")[0]
+    assert "Exchange" not in agg_part.split("HashAggregate", 1)[-1].split(
+        "HashAggregate"
+    )[0]
+
+
+def test_scd2_single_data_shuffle_two_windows(spark):
+    """scd2_history: one hash exchange on the key; the change-detect
+    and interval-close windows both ride it (the second sorts only the
+    filtered change rows, no re-exchange)."""
+    import re
+
+    from europe_gis_spark.queries import q_scd2
+
+    df = q_scd2(spark, "/root/testdata/sf0.001")
+    df.collect()
+    body = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", body)
+    assert len(hashes) == 1, body
+    assert "user_id" in hashes[0]
+    assert body.count("Window ") == 2, body
+
+
+def test_collocations_topk_is_take_ordered(spark):
+    """collocations: the global top-k must be TakeOrderedAndProject
+    (per-partition heap), never a full sort; bigram forming is array
+    HOFs — no Python evaluator."""
+    from europe_gis_spark.queries import q_collocations
+
+    df = q_collocations(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, mode="simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
