@@ -76,6 +76,9 @@ ROTATING = [
     "scd2_history",
     "collocations",
     "jaccard_join",
+    "fuzzy_pairs",
+    "source_rollup",
+    "group_medians",
 ]
 
 

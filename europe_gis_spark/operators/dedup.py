@@ -664,3 +664,52 @@ def jaccard_prefix_join(
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(float(tau)))
     )
+
+
+def edit_distance_join(strings: DataFrame, col: str = "s") -> DataFrame:
+    """All distinct-string pairs at Levenshtein distance <= 1, via
+    DELETION-NEIGHBORHOOD blocking (the SymSpell trick): each string's
+    block keys are itself plus every single-character deletion; any
+    pair within one insert/delete/substitute shares at least one key
+    (substitution -> both delete the differing position; ins/del ->
+    the shorter string IS a deletion of the longer). Exact
+    ``levenshtein`` verification then filters the candidate superset —
+    nothing lost, nothing spurious.
+
+    Scale shape: key generation is a map-side array HOF (transform
+    over a 1..len sequence — no Python); candidates come from ONE
+    equi join on the variant key (blocks are tiny for natural-language
+    tokens); verify is JVM ``levenshtein`` on candidate pairs only.
+    Never all-pairs. Empty strings are dropped (a 1-char string and ''
+    are distance 1 but '' blocks with everything 1-char; callers
+    wanting '' handle it trivially).
+    """
+    s = (
+        strings.select(F.col(col).alias("s"))
+        .filter(F.col("s") != "")
+        .distinct()
+    )
+    ln = F.length("s")
+    variants = F.array_distinct(
+        F.array_union(
+            F.array(F.col("s")),
+            F.transform(
+                F.sequence(F.lit(1), ln),
+                lambda i: F.concat(
+                    F.col("s").substr(F.lit(1), i - 1),
+                    F.col("s").substr(i + 1, ln - i),
+                ),
+            ),
+        )
+    )
+    keyed = s.select("s", F.explode(variants).alias("v"))
+    a = keyed.select(F.col("s").alias("s_a"), "v")
+    b = keyed.select(F.col("s").alias("s_b"), "v")
+    return (
+        a.join(b, "v")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .select("s_a", "s_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -3755,6 +3755,95 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Levenshtein<=1 string pairs over the corpus vocabulary union
+    source labels — deletion-neighborhood (SymSpell) blocking, one
+    equi join on the variant key, exact JVM levenshtein verify. The
+    oracle brute-forces all pairs: a lossy neighborhood bug
+    hash-mismatches."""
+    from .operators import dedup
+
+    d = _read(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("s")
+    )
+    srcs = d.select(F.col("source").alias("s"))
+    return dedup.edit_distance_join(words.union(srcs)).orderBy("s_a", "s_b")
+
+
+SQL_FUZZY_PAIRS = """
+WITH strs AS (
+  SELECT DISTINCT s FROM (
+    SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS s
+    FROM documents
+    UNION ALL
+    SELECT source AS s FROM documents
+  ) WHERE s <> ''
+)
+SELECT a.s AS s_a, b.s AS s_b,
+       CAST(LEVENSHTEIN(a.s, b.s) AS INTEGER) AS dist
+FROM strs a JOIN strs b ON a.s < b.s
+WHERE LEVENSHTEIN(a.s, b.s) <= 1
+ORDER BY s_a, s_b
+"""
+
+
+def q_source_rollup(spark, sf_dir):
+    """OLAP rollup (source, lang) with subtotal and grand-total rows —
+    Spark ROLLUP vs DuckDB GROUP BY ROLLUP; per-dimension GROUPING
+    flags keep the level encoding engine-portable."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.grouping("source").cast("int").alias("g_source"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "source", "lang", "g_source", "g_lang", "n_docs", "sum_chars"
+        )
+        .orderBy("g_source", "g_lang", "source", "lang")
+    )
+
+
+SQL_SOURCE_ROLLUP = """
+SELECT source, lang,
+       CAST(GROUPING(source) AS INTEGER) AS g_source,
+       CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+       COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+ORDER BY g_source, g_lang, source, lang
+"""
+
+
+def q_group_medians(spark, sf_dir):
+    """Exact per-source p50/p90 of document length — Spark's exact
+    `percentile` (continuous interpolation at p*(n-1)) vs DuckDB
+    QUANTILE_CONT, the same SQL-standard definition."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_GROUP_MEDIANS = """
+SELECT source,
+       ROUND(QUANTILE_CONT(n_chars, 0.5), 6) AS p50_chars,
+       ROUND(QUANTILE_CONT(n_chars, 0.9), 6) AS p90_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3780,6 +3869,9 @@ QUERIES = {
     "scd2_history": (q_scd2, SQL_SCD2),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "jaccard_join": (q_jaccard_join, SQL_JACCARD_JOIN),
+    "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
+    "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
+    "group_medians": (q_group_medians, SQL_GROUP_MEDIANS),
     "incremental_tag": (q_incremental_tag, _sql_geo_pip()),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),

@@ -1733,3 +1733,45 @@ def test_jaccard_prefix_join_lossless_vs_bruteforce(spark):
     # the engineered 3/5 = 0.6 boundary pair survived
     n = len(texts)
     assert got[(n - 3, n - 2)] == 0.6
+
+
+def test_edit_distance_join_lossless_vs_bruteforce(spark):
+    """Deletion-neighborhood blocking must find EXACTLY the lev<=1
+    pairs: random short strings incl. engineered ins/del/sub trios."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from europe_gis_spark.operators import dedup
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    rng = np.random.default_rng(3)
+    strs = {
+        "".join(rng.choice(list("abcd"), size=rng.integers(1, 6)))
+        for _ in range(80)
+    }
+    strs |= {"kitten", "kittn", "kitted", "skitten", "x"}
+    strs = sorted(strs)
+    df = spark.createDataFrame(pd.DataFrame({"s": strs}))
+    got = {
+        (r.s_a, r.s_b): r.dist
+        for r in dedup.edit_distance_join(df).collect()
+    }
+    ref = {
+        (a, b): lev(a, b)
+        for a, b in itertools.combinations(strs, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == ref
+    assert ("kitten", "kittn") in got and ("kitten", "skitten") in got
