@@ -79,6 +79,7 @@ ROTATING = [
     "fuzzy_pairs",
     "source_rollup",
     "group_medians",
+    "hits_scores",
 ]
 
 

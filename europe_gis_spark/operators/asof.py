@@ -129,6 +129,7 @@ def gap_fill_locf(
     ts_col: str,
     value_col: str,
     unit: str = "day",
+    order_col: str = "event_id",
 ) -> DataFrame:
     """Time-series gap fill with last-observation-carried-forward — the
     densification step a training pipeline runs before windowed feature
@@ -162,7 +163,7 @@ def gap_fill_locf(
         F.count("*").alias("n_events"),
         F.sum(value_col).alias("sum_value"),
         F.max_by(
-            value_col, F.struct(ts.alias("t"), F.col("event_id").alias("i"))
+            value_col, F.struct(ts.alias("t"), F.col(order_col).alias("i"))
         ).alias("_last_in_bucket"),
     )
     w = (

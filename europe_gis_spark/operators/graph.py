@@ -231,3 +231,77 @@ def pagerank_topk(
         .orderBy(F.desc("pr"), F.asc("node"))
         .limit(k)
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Kleinberg HITS hubs-and-authorities with a FIXED iteration
+    count and L1 normalization after each half-step (deterministic —
+    the oracle unrolls the identical recurrence). Complements
+    PageRank: authorities are pointed AT by good hubs, hubs point TO
+    good authorities — the directory-page vs content-page split a
+    crawl-curation stage uses.
+
+    Per half-step: one edge⋈score hash join + one node-keyed agg; the
+    L1 total is a 1-row aggregate crossJoined back (broadcast by
+    construction). Nodes without out-edges get hub 0, without
+    in-edges authority 0. Lineage is truncated per round exactly like
+    ``pagerank``.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes.count() == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+    auth = nodes.select("node", F.lit(1.0).alias("a"))
+    hub = None
+    for _ in range(iters):
+        h_raw = (
+            e.join(auth, e.dst == auth.node)
+            .groupBy("src")
+            .agg(F.sum("a").alias("v"))
+        )
+        h_tot = h_raw.agg(F.sum("v").alias("s"))
+        hub = (
+            nodes.join(h_raw, nodes.node == h_raw.src, "left")
+            .crossJoin(h_tot)
+            .select(
+                "node",
+                (F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        a_raw = (
+            e.join(hub, e.src == hub.node)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("v"))
+        )
+        a_tot = a_raw.agg(F.sum("v").alias("s"))
+        auth = (
+            nodes.join(a_raw, nodes.node == a_raw.dst, "left")
+            .crossJoin(a_tot)
+            .select(
+                "node",
+                (F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        hub.join(auth, "node")
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("auth"))
+    )

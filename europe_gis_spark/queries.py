@@ -3506,25 +3506,25 @@ def _sql_pagerank(
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
         "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
-        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes)",
     ]
     for i in range(1, iters + 1):
         p = f"r{i - 1}"
         ctes.append(
-            f"""c{i} AS (
+            f"""c{i} AS MATERIALIZED (
   SELECT e.dst AS node, SUM(r.pr / deg.outdeg) AS contrib
   FROM edges e JOIN {p} r ON e.src = r.node JOIN deg ON deg.src = e.src
   GROUP BY e.dst
 )"""
         )
         ctes.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
   SELECT COALESCE(SUM(r.pr), 0) AS dang
   FROM {p} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL
 )"""
         )
         ctes.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
   SELECT n.node,
          {base_num} / (SELECT n FROM nn)
          + {dmp} * (COALESCE(c.contrib, 0) + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS pr
@@ -3844,6 +3844,77 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_hits(spark, sf_dir):
+    """Kleinberg HITS (5 fixed iterations, L1-normalized half-steps)
+    over the shared synthetic link graph — hubs AND authorities per
+    node; the oracle unrolls the identical recurrence as chained
+    CTEs."""
+    from .operators import graph
+
+    return (
+        graph.hits(_pagerank_edges(spark, sf_dir), iters=5)
+        .select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("auth"),
+        )
+        .orderBy("node")
+    )
+
+
+def _sql_hits(iters: int = 5) -> str:
+    """Unrolled HITS recurrence: per half-step a raw-score join+agg,
+    a 1-row L1 total, and a normalize-over-nodes CTE — the same
+    double ops the engine runs."""
+    ctes = [
+        """raw AS (
+  SELECT doc_id % 60 AS src, (doc_id * 7 + 3) % 60 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 60 AS src, (doc_id * 13 + 5) % 60 AS dst FROM documents
+)""",
+        "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "a0 AS (SELECT node, CAST(1 AS DOUBLE) AS a FROM nodes)",
+    ]
+    # every CTE level is referenced 2x downstream; MATERIALIZED stops
+    # DuckDB's inlining from re-evaluating the chain ~4^iters times
+    for i in range(1, iters + 1):
+        p = f"a{i - 1}"
+        ctes.append(
+            f"""hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(x.a) AS v
+  FROM edges e JOIN {p} x ON e.dst = x.node GROUP BY e.src
+)"""
+        )
+        ctes.append(f"hs{i} AS MATERIALIZED (SELECT SUM(v) AS s FROM hr{i})")
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(r.v, 0) / (SELECT s FROM hs{i}) AS h
+  FROM nodes n LEFT JOIN hr{i} r USING (node)
+)"""
+        )
+        ctes.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(x.h) AS v
+  FROM edges e JOIN h{i} x ON e.src = x.node GROUP BY e.dst
+)"""
+        )
+        ctes.append(f"as{i} AS MATERIALIZED (SELECT SUM(v) AS s FROM ar{i})")
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(r.v, 0) / (SELECT s FROM as{i}) AS a
+  FROM nodes n LEFT JOIN ar{i} r USING (node)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.node, ROUND(h.h, 6) AS hub, ROUND(a.a, 6) AS auth
+FROM h{iters} h JOIN a{iters} a USING (node) ORDER BY h.node"""
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3870,6 +3941,7 @@ QUERIES = {
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "jaccard_join": (q_jaccard_join, SQL_JACCARD_JOIN),
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
+    "hits_scores": (q_hits, _sql_hits()),
     "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
     "group_medians": (q_group_medians, SQL_GROUP_MEDIANS),
     "incremental_tag": (q_incremental_tag, _sql_geo_pip()),

@@ -166,3 +166,40 @@ def test_triangle_count_matches_bruteforce(spark):
     assert got == ref
     # sanity: the fixture actually has triangles
     assert sum(ref.values()) > 0
+
+
+def ref_hits(edges, iters=5):
+    es = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({v for e in es for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    a = np.ones(n)
+    h = np.zeros(n)
+    for _ in range(iters):
+        h = np.zeros(n)
+        for s, d in es:
+            h[idx[s]] += a[idx[d]]
+        h /= h.sum()
+        a = np.zeros(n)
+        for s, d in es:
+            a[idx[d]] += h[idx[s]]
+        a /= a.sum()
+    return {v: (h[idx[v]], a[idx[v]]) for v in nodes}
+
+
+def test_hits_matches_numpy_reference(spark):
+    rng = np.random.default_rng(13)
+    edges = [
+        (int(x), int(y))
+        for x, y in zip(rng.integers(0, 20, 90), rng.integers(0, 20, 90))
+    ]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r.node: (r.hub, r.auth) for r in graph.hits(df, iters=5).collect()}
+    ref = ref_hits(edges, iters=5)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v][0] - ref[v][0]) < 1e-12
+        assert abs(got[v][1] - ref[v][1]) < 1e-12
+    # L1-normalized each half-step
+    assert abs(sum(x for x, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(y for _, y in got.values()) - 1.0) < 1e-9
