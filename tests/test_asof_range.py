@@ -206,3 +206,85 @@ def test_scd2_history_hand_computed(spark):
         (1, "b", 3, 5, False),
         (2, "z", 9, None, True),
     ]
+
+
+def test_merge_intervals_random_vs_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+
+    from europe_gis_spark.operators import asof
+
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n),
+            "lo": rng.integers(0, 300, n),
+        }
+    )
+    df["hi"] = df["lo"] + rng.integers(1, 40, n)
+    got = sorted(
+        (r.k, r.span_lo, r.span_hi, r.n_merged)
+        for r in asof.merge_intervals(
+            spark.createDataFrame(df), "k", "lo", "hi"
+        ).collect()
+    )
+    ref = []
+    for k, grp in df.groupby("k"):
+        spans = sorted(zip(grp.lo, grp.hi))
+        cur_lo, cur_hi, cnt = None, None, 0
+        for lo, hi in spans:
+            if cur_lo is None or lo > cur_hi:
+                if cur_lo is not None:
+                    ref.append((k, cur_lo, cur_hi, cnt))
+                cur_lo, cur_hi, cnt = lo, hi, 1
+            else:
+                cur_hi = max(cur_hi, hi)
+                cnt += 1
+        ref.append((k, cur_lo, cur_hi, cnt))
+    assert got == sorted(ref)
+
+
+def test_scd2_history_random_vs_bruteforce(spark):
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from europe_gis_spark.operators import asof
+
+    rng = np.random.default_rng(23)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "k": rng.integers(0, 6, n),
+            "ts": [
+                dt.datetime(2024, 1, 1) + dt.timedelta(hours=int(h))
+                # duplicate timestamps on purpose: tie-break must hold
+                for h in rng.integers(0, 120, n)
+            ],
+            "attr": rng.integers(0, 3, n),
+        }
+    )
+    got = {
+        (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in asof.scd2_history(
+            spark.createDataFrame(df), "k", "ts", "attr", order_col="event_id"
+        ).collect()
+    }
+    ref = []
+    for k, grp in df.sort_values(["ts", "event_id"]).groupby("k"):
+        rows = list(grp.itertuples())
+        changes = [
+            r for i, r in enumerate(rows)
+            if i == 0 or r.attr != rows[i - 1].attr
+        ]
+        for i, r in enumerate(changes):
+            nxt = changes[i + 1].ts if i + 1 < len(changes) else None
+            ref.append(
+                (k, r.attr, r.ts.to_pydatetime(),
+                 nxt.to_pydatetime() if nxt is not None else None,
+                 nxt is None)
+            )
+    assert got == set(ref)
