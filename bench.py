@@ -80,6 +80,7 @@ ROTATING = [
     "source_rollup",
     "group_medians",
     "hits_scores",
+    "media_decode",
 ]
 
 

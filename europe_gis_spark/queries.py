@@ -3814,7 +3814,7 @@ SQL_SOURCE_ROLLUP = """
 SELECT source, lang,
        CAST(GROUPING(source) AS INTEGER) AS g_source,
        CAST(GROUPING(lang) AS INTEGER) AS g_lang,
-       COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY ROLLUP (source, lang)
 ORDER BY g_source, g_lang, source, lang
@@ -3915,6 +3915,70 @@ FROM h{iters} h JOIN a{iters} a USING (node) ORDER BY h.node"""
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL image decode inside the checked DAG: solid-gray W×H images
+    are synthesized per doc_id (BMP for even ids, PNG — the stdlib-zlib
+    codec — for odd), encoded to actual bytes in one mapInPandas, then
+    decoded back by the committed `image_features` operator (Arrow-
+    batched, W4 shape). The ORACLE is ANALYTIC — it states the channel
+    means and phash length directly from the synthesis formula without
+    touching any codec — so a stride bug, a bad PNG unfilter, or a
+    channel swap hash-mismatches in CORRECTNESS, not just pytest."""
+    from .operators import multimodal
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from europe_gis_spark.operators import multimodal as mm
+
+        for b in batches:
+            ids = b["doc_id"].tolist()
+            payloads = []
+            for did in ids:
+                w, h, g = 4 + did % 5, 3 + did % 4, did % 251
+                img = np.full((h, w, 3), g, dtype=np.uint8)
+                payloads.append(
+                    mm.encode_bmp(img) if did % 2 == 0 else mm.encode_png(img)
+                )
+            yield pd.DataFrame(
+                {"doc_id": [str(x) for x in ids], "payload": payloads}
+            )
+
+    media = d.mapInPandas(synth, schema="doc_id string, payload binary")
+    feats = multimodal.image_features(
+        media, key_col="doc_id", payload_col="payload", fake=False
+    )
+    return feats.select(
+        "key",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "phash",
+    ).orderBy("key")
+
+
+SQL_MEDIA_DECODE = """
+WITH p AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         doc_id % 251 AS g
+  FROM documents WHERE doc_id < 120
+)
+SELECT CAST(doc_id AS VARCHAR) AS key,
+       ROUND(CAST(g AS DOUBLE), 6) AS mean_r,
+       ROUND(CAST(g AS DOUBLE), 6) AS mean_g,
+       ROUND(CAST(g AS DOUBLE), 6) AS mean_b,
+       REPEAT('0', CAST(CEIL(h / 4.0) * CEIL(w / 4.0) AS INT)) AS phash
+FROM p ORDER BY key
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3942,6 +4006,7 @@ QUERIES = {
     "jaccard_join": (q_jaccard_join, SQL_JACCARD_JOIN),
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
     "hits_scores": (q_hits, _sql_hits()),
+    "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
     "group_medians": (q_group_medians, SQL_GROUP_MEDIANS),
     "incremental_tag": (q_incremental_tag, _sql_geo_pip()),
