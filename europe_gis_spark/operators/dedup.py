@@ -581,6 +581,21 @@ def simhash_near_pairs(
     )
 
 
+def ceil_frac(n, tau: float):
+    """⌈tau·n⌉ in EXACT integer arithmetic (tau rationalized to
+    num/den). Float ceil is WRONG here: 0.55*100 is 55.000…007 in
+    doubles, so F.ceil(lit(0.55)*n) yields 56 — which would shorten
+    the prefix by one token and silently break the lossless-prefix
+    guarantee. x − x%den is an exact multiple of den, so the final
+    division is exact for any realistic n."""
+    from fractions import Fraction
+
+    fr = Fraction(tau).limit_denominator(1_000_000)
+    num, den = fr.numerator, fr.denominator
+    x = F.lit(num) * n + F.lit(den - 1)
+    return ((x - x % F.lit(den)) / F.lit(den)).cast("int")
+
+
 def jaccard_prefix_join(
     docs: DataFrame,
     tau: float = 0.7,
@@ -636,7 +651,7 @@ def jaccard_prefix_join(
         )
     )
     n = F.size("toks")
-    prefix_len = n - F.ceil(F.lit(float(tau)) * n).cast("int") + F.lit(1)
+    prefix_len = n - ceil_frac(n, tau) + F.lit(1)
     prefixes = sorted_toks.select(
         "doc_id", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("tok")
     )

@@ -1775,3 +1775,32 @@ def test_edit_distance_join_lossless_vs_bruteforce(spark):
     }
     assert got == ref
     assert ("kitten", "kittn") in got and ("kitten", "skitten") in got
+
+
+def test_ceil_frac_exact_vs_float_ceil(spark):
+    """0.7*10 is 7.000...001 in doubles; float ceil gives 8, shortening
+    the lossless prefix. ceil_frac must equal exact math.ceil for every
+    n and common tau."""
+    import math
+    from fractions import Fraction
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from europe_gis_spark.operators import dedup
+
+    ns = spark.createDataFrame(pd.DataFrame({"n": range(1, 301)}))
+    for tau in (0.5, 0.55, 0.6, 0.7, 0.75, 0.8, 0.9):
+        fr = Fraction(tau).limit_denominator(1_000_000)
+        got = {
+            r.n: r.c
+            for r in ns.select(
+                "n", dedup.ceil_frac(F.col("n"), tau).alias("c")
+            ).collect()
+        }
+        for n in range(1, 301):
+            assert got[n] == math.ceil(fr * n), (tau, n, got[n])
+    # the motivating case: 0.55*100 is 55.000...007 in doubles — float
+    # ceil says 56, shortening the prefix by one (lossy); exact is 55
+    assert math.ceil(0.55 * 100) == 56
+    assert math.ceil(Fraction(11, 20) * 100) == 55
