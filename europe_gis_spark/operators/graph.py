@@ -238,6 +238,7 @@ def hits(
     iters: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    disk_checkpoint_nodes: int = DISK_CHECKPOINT_NODES,
 ) -> DataFrame:
     """Kleinberg HITS hubs-and-authorities with a FIXED iteration
     count and L1 normalization after each half-step (deterministic —
@@ -264,9 +265,28 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if nodes.count() == 0:
+    n_nodes = nodes.count()
+    if n_nodes == 0:
         return nodes.select(
             "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+    if iters < 1:
+        raise ValueError("hits requires iters >= 1")
+    # same snapshot policy as pagerank: 10^10-score RDDs go to the
+    # reliable checkpoint dir, not executor memory
+    spark = edges.sparkSession
+    use_disk = n_nodes > disk_checkpoint_nodes
+    if use_disk and spark.sparkContext.getCheckpointDir() is None:
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "egs_pagerank_ckpt")
+        )
+
+    def _snapshot(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if use_disk else df.localCheckpoint(
+            eager=True
         )
     auth = nodes.select("node", F.lit(1.0).alias("a"))
     hub = None
@@ -284,8 +304,8 @@ def hits(
                 "node",
                 (F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("h"),
             )
-            .localCheckpoint(eager=True)
         )
+        hub = _snapshot(hub)
         a_raw = (
             e.join(hub, e.src == hub.node)
             .groupBy("dst")
@@ -299,8 +319,8 @@ def hits(
                 "node",
                 (F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("a"),
             )
-            .localCheckpoint(eager=True)
         )
+        auth = _snapshot(auth)
     return (
         hub.join(auth, "node")
         .select("node", F.col("h").alias("hub"), F.col("a").alias("auth"))
