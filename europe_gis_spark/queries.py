@@ -3725,10 +3725,16 @@ def q_jaccard_join(spark, sf_dir):
     prefix filtering (SSJoin/PPJoin family) — rarest-first global token
     order, length-(n-ceil(tau*n)+1) prefixes, ONE equi join on prefix
     tokens, exact verify. The oracle brute-forces ALL pairs, so any
-    candidate the prefix filter wrongly drops hash-mismatches."""
+    candidate the prefix filter wrongly drops hash-mismatches.
+
+    Fixed doc_id<500 subset: the synthetic corpus is near-dup-heavy by
+    design (~10% of ALL pairs clear tau=0.7), so the RESULT SET grows
+    quadratically with SF — 5.1M pairs / 143 s at sf0.1. The subset
+    keeps the sf0.01 check bit-identical (all 500 docs) and the bench
+    cost SF-invariant; the operator itself stays unbounded."""
     from .operators import dedup
 
-    d = _read(spark, sf_dir, "documents")
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return dedup.jaccard_prefix_join(d, tau=0.7).orderBy("doc_a", "doc_b")
 
 
@@ -3738,7 +3744,7 @@ WITH tok AS (
          LIST_DISTINCT(LIST_FILTER(
            STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
            x -> x <> '')) AS toks
-  FROM documents
+  FROM documents WHERE doc_id < 500
 ),
 t AS (SELECT * FROM tok WHERE LEN(toks) > 0)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
