@@ -81,6 +81,7 @@ ROTATING = [
     "group_medians",
     "hits_scores",
     "media_decode",
+    "stratified_sample",
 ]
 
 

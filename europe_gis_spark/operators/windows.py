@@ -215,6 +215,37 @@ def stratified_sample(
     return patches.sampleBy(label_col, fractions, seed)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict,
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "strat:v1",
+) -> DataFrame:
+    """O5, the ENGINE-PORTABLE form: per-stratum deterministic sampling
+    by salted md5-prefix threshold (same cutoff trick as
+    ``textops.hash_split``) — keep a row iff its digest prefix sorts
+    below the stratum's 8-hex-char cutoff. Unlike ``sampleBy`` (seeded
+    engine-specific RNG) the kept SET is reproducible across engines,
+    versions and partitionings, so downstream runs are replayable and
+    the DuckDB oracle is exact. Strata missing from ``rates`` are
+    dropped (rate 0). Pure map-side column expressions — no shuffle."""
+    digest = F.md5(
+        F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))
+    )
+    prefix = F.substring(digest, 1, 8)
+    cond = F.lit(False)
+    for stratum, rate in sorted(rates.items()):
+        cut_i = int(rate * 16**8)
+        keep = (
+            F.lit(True)
+            if cut_i >= 16**8
+            else prefix < F.lit(format(cut_i, "08x"))
+        )
+        cond = cond | ((F.col(strata_col) == F.lit(stratum)) & keep)
+    return df.filter(cond)
+
+
 def train_test_split(df: DataFrame, test_frac: float = 0.2, seed: int = 42):
     """O4: 80/20 split (dataset_creation.py:32-35)."""
     train, test = df.randomSplit([1.0 - test_frac, test_frac], seed)

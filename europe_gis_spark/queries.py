@@ -3985,6 +3985,42 @@ FROM p ORDER BY key
 """
 
 
+STRAT_RATES = {"en": 0.5, "de": 0.3, "fr": 0.2, "es": 0.1, "zh": 0.05}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """O5 driver-checked: per-language deterministic sampling by
+    salted md5-prefix cutoff (engine-portable kept SET — replayable,
+    unlike seeded RNG sampleBy). Map-side filter, no shuffle; the
+    oracle applies the identical digest cutoffs."""
+    from .operators import windows
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        windows.stratified_hash_sample(
+            d, STRAT_RATES, strata_col="lang", key_col="doc_id"
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_stratified() -> str:
+    conds = []
+    for lang, rate in sorted(STRAT_RATES.items()):
+        cut = format(int(rate * 16**8), "08x")
+        conds.append(
+            f"(lang = '{lang}' AND "
+            f"SUBSTRING(MD5('strat:v1|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{cut}')"
+        )
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + " OR ".join(conds)
+        + " ORDER BY doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4013,6 +4049,7 @@ QUERIES = {
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
     "hits_scores": (q_hits, _sql_hits()),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
+    "stratified_sample": (q_stratified_sample, _sql_stratified()),
     "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
     "group_medians": (q_group_medians, SQL_GROUP_MEDIANS),
     "incremental_tag": (q_incremental_tag, _sql_geo_pip()),

@@ -55,3 +55,28 @@ def test_per_class_counts(spark, labeled):
     """G9: group-size accounting used for dataset sizing."""
     got = {r.label_bucket: r["count"] for r in labeled.groupBy("label_bucket").count().collect()}
     assert got == {0: 1250, 1: 1250, 2: 1250, 3: 1250}
+
+
+def test_stratified_hash_sample_deterministic_and_rated(spark):
+    """Kept set identical across runs/partitionings; per-stratum rates
+    hold within binomial noise; unknown strata drop."""
+    import pandas as pd
+
+    from europe_gis_spark.operators import windows
+
+    n = 4000
+    df = pd.DataFrame(
+        {"doc_id": range(n), "lang": [("en", "de", "xx")[i % 3] for i in range(n)]}
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    a = windows.stratified_hash_sample(
+        spark.createDataFrame(df), rates, "lang"
+    ).toPandas()
+    b = windows.stratified_hash_sample(
+        spark.createDataFrame(df).repartition(13), rates, "lang"
+    ).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    assert set(a.lang) <= {"en", "de"}  # 'xx' dropped
+    by = a.groupby("lang").size()
+    assert abs(by["en"] / (n / 3) - 0.5) < 0.06
+    assert abs(by["de"] / (n / 3) - 0.1) < 0.04
