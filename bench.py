@@ -82,6 +82,8 @@ ROTATING = [
     "hits_scores",
     "media_decode",
     "stratified_sample",
+    "ntile_hist",
+    "event_correlations",
 ]
 
 

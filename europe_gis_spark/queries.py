@@ -4021,6 +4021,75 @@ def _sql_stratified() -> str:
     )
 
 
+def q_ntile_hist(spark, sf_dir):
+    """Equi-depth histogram: NTILE(10) over value per event_type with
+    per-bucket bounds and counts — identical NTILE semantics (equal
+    buckets ± 1, earlier buckets get the remainder) in both engines;
+    (value, event_id) ordering makes bucket assignment total."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type", "value", F.ntile(10).over(w).alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+SQL_NTILE_HIST = """
+SELECT event_type, bucket, COUNT(*) AS n,
+       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+FROM (
+  SELECT event_type, value, event_id,
+         NTILE(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS bucket
+  FROM events
+) GROUP BY event_type, bucket ORDER BY event_type, bucket
+"""
+
+
+def q_event_correlations(spark, sf_dir):
+    """Statistical aggregate family per event_type: Pearson corr and
+    sample covariance of (value, hour-of-day), plus sample stddev of
+    value — rounded to 6 so the engines' streaming co-moment
+    accumulations agree."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.hour("ts").cast("double").alias("hr"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "hr"), 6).alias("corr_vh"),
+            F.round(F.covar_samp("value", "hr"), 6).alias("covar_vh"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENT_CORR = """
+SELECT event_type,
+       ROUND(CORR(value, hr), 6) AS corr_vh,
+       ROUND(COVAR_SAMP(value, hr), 6) AS covar_vh,
+       ROUND(STDDEV_SAMP(value), 6) AS sd_value,
+       COUNT(*) AS n
+FROM (SELECT event_type, value,
+             CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS hr FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4050,6 +4119,8 @@ QUERIES = {
     "hits_scores": (q_hits, _sql_hits()),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "stratified_sample": (q_stratified_sample, _sql_stratified()),
+    "ntile_hist": (q_ntile_hist, SQL_NTILE_HIST),
+    "event_correlations": (q_event_correlations, SQL_EVENT_CORR),
     "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
     "group_medians": (q_group_medians, SQL_GROUP_MEDIANS),
     "incremental_tag": (q_incremental_tag, _sql_geo_pip()),
