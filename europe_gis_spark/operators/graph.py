@@ -305,7 +305,9 @@ def hits(
                 (F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("h"),
             )
         )
-        hub = _snapshot(hub)
+        # only auth carries across rounds — hub's lineage is bounded
+        # (one half-step off the checkpointed auth), so snapshotting
+        # auth alone halves the blocking jobs per iteration
         a_raw = (
             e.join(hub, e.src == hub.node)
             .groupBy("dst")
