@@ -84,6 +84,7 @@ ROTATING = [
     "stratified_sample",
     "ntile_hist",
     "event_correlations",
+    "shortest_hops",
 ]
 
 

@@ -327,3 +327,52 @@ def hits(
         hub.join(auth, "node")
         .select("node", F.col("h").alias("hub"), F.col("a").alias("auth"))
     )
+
+
+def shortest_hops(
+    edges: DataFrame,
+    source: int,
+    max_iters: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Directed BFS hop distance from ``source`` — frontier expansion,
+    the crawl-depth / link-distance primitive. Returns (node, hop) for
+    REACHABLE nodes only.
+
+    Per round: ONE frontier⋈edges hash join + an anti-join against the
+    settled set, both keyed on node; the settled set re-checkpoints per
+    round (same lineage policy as ``pagerank``/``connected_components``).
+    O(diameter) blocking rounds — the standard distributed-BFS shape;
+    label-correcting variants trade that for more shuffled volume.
+    Exhausting ``max_iters`` with a non-empty frontier raises loudly
+    (same non-convergence contract as connected_components).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(source, 0)], schema="node long, hop int"
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for i in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.rdd.isEmpty():
+            return dist
+        dist = dist.union(
+            nxt.select("node", F.lit(i).cast("int").alias("hop"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    raise RuntimeError(
+        f"shortest_hops frontier still non-empty after {max_iters} rounds"
+    )

@@ -4090,6 +4090,37 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_shortest_hops(spark, sf_dir):
+    """Directed BFS hop distances from node 0 over the shared synthetic
+    link graph — per-round frontier join + settled anti-join. The
+    oracle is INDEPENDENT: a DuckDB recursive CTE (UNION-dedup on
+    (node, hop), hop-bounded) with MIN(hop) per node."""
+    from .operators import graph
+
+    return graph.shortest_hops(
+        _pagerank_edges(spark, sf_dir), source=0
+    ).orderBy("node")
+
+
+SQL_SHORTEST_HOPS = """
+WITH RECURSIVE raw AS (
+  SELECT doc_id % 60 AS src, (doc_id * 7 + 3) % 60 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 60 AS src, (doc_id * 13 + 5) % 60 AS dst FROM documents
+),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+bfs(node, hop) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+  UNION
+  SELECT e.dst, bfs.hop + 1
+  FROM bfs JOIN edges e ON e.src = bfs.node
+  WHERE bfs.hop < 60
+)
+SELECT node, CAST(MIN(hop) AS INTEGER) AS hop
+FROM bfs GROUP BY node ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4121,6 +4152,7 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, _sql_stratified()),
     "ntile_hist": (q_ntile_hist, SQL_NTILE_HIST),
     "event_correlations": (q_event_correlations, SQL_EVENT_CORR),
+    "shortest_hops": (q_shortest_hops, SQL_SHORTEST_HOPS),
     "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
     "group_medians": (q_group_medians, SQL_GROUP_MEDIANS),
     "incremental_tag": (q_incremental_tag, _sql_geo_pip()),

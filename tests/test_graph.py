@@ -203,3 +203,37 @@ def test_hits_matches_numpy_reference(spark):
     # L1-normalized each half-step
     assert abs(sum(x for x, _ in got.values()) - 1.0) < 1e-9
     assert abs(sum(y for _, y in got.values()) - 1.0) < 1e-9
+
+
+def test_shortest_hops_vs_bfs_reference(spark):
+    import collections
+
+    rng = np.random.default_rng(29)
+    edges = [
+        (int(x), int(y))
+        for x, y in zip(rng.integers(0, 30, 120), rng.integers(0, 30, 120))
+    ]
+    # guarantee the source exists and something is unreachable
+    edges += [(0, 1), (1, 2)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r.node: r.hop for r in graph.shortest_hops(df, source=0).collect()}
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+    ref, q = {0: 0}, collections.deque([0])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                q.append(v)
+    assert got == ref
+
+
+def test_shortest_hops_nonconvergence_guard(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(pd.DataFrame({"src": [0, 1], "dst": [1, 2]}))
+    with _pt.raises(RuntimeError, match="non-empty"):
+        graph.shortest_hops(df, source=0, max_iters=1)
