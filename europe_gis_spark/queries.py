@@ -4156,10 +4156,15 @@ QUERIES = {
     "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
     "group_medians": (q_group_medians, SQL_GROUP_MEDIANS),
     "incremental_tag": (q_incremental_tag, _sql_geo_pip()),
-    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
-    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
-    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
-    "pagerank": (q_pagerank, _sql_pagerank()),
+    # r5 window juggling: the 12 extra r5 queries pushed veterans out of
+    # the 50-entry driver window; these four have NO r4 row (newest is
+    # r<=3) so they take the slots of four r4-green entries (url_dedup,
+    # domain_stats, domain_cap, pagerank — pagerank's oracle string is
+    # identical to in-window link_pagerank's), moved to the tail below
+    "dedup_ngram_jaccard": (q_dedup_jaccard, _sql_jaccard()),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_scores": (q_quality, SQL_QUALITY),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
@@ -4184,11 +4189,11 @@ QUERIES = {
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
-    "dedup_ngram_jaccard": (q_dedup_jaccard, _sql_jaccard()),
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "quality_scores": (q_quality, SQL_QUALITY),
     "lang_hits": (q_lang_hits, _sql_lang_hits()),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
+    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "pagerank": (q_pagerank, _sql_pagerank()),
     "geo_within_dist": (q_geo_within_dist, _sql_geo_within_dist()),
     "raster_region_geoms": (q_raster_region_geoms, None),
     "region_geom_areas": (q_region_geom_areas, SQL_REGION_GEOM_AREAS),
