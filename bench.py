@@ -85,6 +85,7 @@ ROTATING = [
     "ntile_hist",
     "event_correlations",
     "shortest_hops",
+    "ppr_seeds",
 ]
 
 

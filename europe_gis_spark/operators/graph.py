@@ -376,3 +376,75 @@ def shortest_hops(
     raise RuntimeError(
         f"shortest_hops frontier still non-empty after {max_iters} rounds"
     )
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: list,
+    iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: teleport goes to the
+    SEED set instead of uniformly — rank mass measures proximity to
+    the seeds, the crawl-curation primitive for 'pages like these'.
+    Fixed iterations, deterministic; dangling mass also restarts at
+    the seeds (standard PPR). Same per-round join+agg+checkpoint shape
+    as ``pagerank``; kept separate so the uniform path's pinned float
+    expression order is untouched.
+    """
+    if not seeds:
+        raise ValueError("pagerank_personalized requires a non-empty seed set")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes.count() == 0:
+        return nodes.select("node", F.lit(0.0).alias("pr"))
+    rst = F.when(
+        F.col("node").isin([int(s) for s in seeds]),
+        F.lit(1.0 / len(seeds)),
+    ).otherwise(F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select("node", rst.alias("pr"))
+    for _ in range(iters):
+        with_deg = ranks.join(deg, ranks.node == deg.src, "left")
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("outdeg").isNotNull()).select(
+                    "node", (F.col("pr") / F.col("outdeg")).alias("share")
+                ),
+                e.src == F.col("node"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * rst
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") * rst
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -4121,6 +4121,72 @@ FROM bfs GROUP BY node ORDER BY node
 """
 
 
+PPR_SEEDS = [0, 7, 21]
+
+
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank from seeds {0,7,21} over the shared
+    synthetic link graph (teleport AND dangling mass restart at the
+    seeds) — rank as seed proximity. Oracle: the identical recurrence
+    unrolled as MATERIALIZED CTEs with repr()-injected float literals."""
+    from .operators import graph
+
+    return (
+        graph.pagerank_personalized(
+            _pagerank_edges(spark, sf_dir), seeds=PPR_SEEDS, iters=5
+        )
+        .select("node", F.round("pr", 6).alias("pr"))
+        .orderBy("node")
+    )
+
+
+def _sql_ppr(iters: int = 5, damping: float = 0.85) -> str:
+    seeds = ", ".join(str(s) for s in PPR_SEEDS)
+    w = repr(1.0 / len(PPR_SEEDS))
+    base = repr(1.0 - damping)
+    dmp = repr(damping)
+    rst = f"(CASE WHEN node IN ({seeds}) THEN {w} ELSE 0.0 END)"
+    ctes = [
+        """raw AS (
+  SELECT doc_id % 60 AS src, (doc_id * 7 + 3) % 60 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 60 AS src, (doc_id * 13 + 5) % 60 AS dst FROM documents
+)""",
+        "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT node, {rst} AS pr FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.pr / deg.outdeg) AS contrib
+  FROM edges e JOIN {p} r ON e.src = r.node JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.pr), 0) AS dang
+  FROM {p} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         {base} * {rst.replace('node', 'n.node')}
+         + {dmp} * (COALESCE(c.contrib, 0) + (SELECT dang FROM d{i}) * {rst.replace('node', 'n.node')}) AS pr
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{iters} ORDER BY node"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4153,6 +4219,7 @@ QUERIES = {
     "ntile_hist": (q_ntile_hist, SQL_NTILE_HIST),
     "event_correlations": (q_event_correlations, SQL_EVENT_CORR),
     "shortest_hops": (q_shortest_hops, SQL_SHORTEST_HOPS),
+    "ppr_seeds": (q_ppr, _sql_ppr()),
     "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
     "group_medians": (q_group_medians, SQL_GROUP_MEDIANS),
     "incremental_tag": (q_incremental_tag, _sql_geo_pip()),

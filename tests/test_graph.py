@@ -237,3 +237,46 @@ def test_shortest_hops_nonconvergence_guard(spark):
     df = spark.createDataFrame(pd.DataFrame({"src": [0, 1], "dst": [1, 2]}))
     with _pt.raises(RuntimeError, match="non-empty"):
         graph.shortest_hops(df, source=0, max_iters=1)
+
+
+def ref_ppr(edges, seeds, iters=5, d=0.85):
+    es = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({v for e in es for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for a, _ in es:
+        outdeg[idx[a]] += 1
+    rst = np.zeros(n)
+    for s in seeds:
+        rst[idx[s]] = 1.0 / len(seeds)
+    pr = rst.copy()
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for a, b in es:
+            if outdeg[idx[a]]:
+                contrib[idx[b]] += pr[idx[a]] / outdeg[idx[a]]
+        dang = pr[outdeg == 0].sum()
+        pr = (1 - d) * rst + d * (contrib + dang * rst)
+    return {v: pr[idx[v]] for v in nodes}
+
+
+def test_ppr_matches_numpy_and_localizes(spark):
+    rng = np.random.default_rng(31)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 25, 120), rng.integers(0, 25, 120))
+    ]
+    seeds = [0, 5]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {
+        r.node: r.pr
+        for r in graph.pagerank_personalized(df, seeds=seeds).collect()
+    }
+    ref = ref_ppr(edges, seeds)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-12
+    # teleport localization: seeds hold more mass than uniform PR gives them
+    uni = {r.node: r.pr for r in graph.pagerank(df, iters=5).collect()}
+    assert sum(got[s] for s in seeds) > sum(uni[s] for s in seeds)
