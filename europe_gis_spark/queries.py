@@ -4202,7 +4202,10 @@ _ANN_IVF_SQL = _sql_ann_ivf()
 QUERIES = {
     "ann_ivf_topk": (q_ivf_topk, _ANN_IVF_SQL),
     "ann_ivf_indexed": (q_ann_ivf_indexed, _ANN_IVF_SQL),
-    "ann_lsh_topk": (q_ann_lsh, _sql_ann_lsh()),
+    # dedup_minhash_lsh (core 100TB dedup path, newest row r<=3) takes
+    # ann_lsh_topk's window slot: directive 1 mandates green rows only
+    # for the IVF pair, and ann_lsh_topk keeps its r4 row + recall pytest
+    "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
     "pagerank_topk": (q_pagerank_topk, _sql_pagerank(iters=7, topk=10)),
     "link_pagerank": (q_link_pagerank, _sql_pagerank()),
     "robots_allowed": (q_robots_allowed, _sql_robots()),
@@ -4255,7 +4258,7 @@ QUERIES = {
     "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
+    "ann_lsh_topk": (q_ann_lsh, _sql_ann_lsh()),
     "lang_hits": (q_lang_hits, _sql_lang_hits()),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
