@@ -86,6 +86,7 @@ ROTATING = [
     "event_correlations",
     "shortest_hops",
     "ppr_seeds",
+    "warc_ingest",
 ]
 
 

@@ -3988,6 +3988,73 @@ FROM p ORDER BY key
 STRAT_RATES = {"en": 0.5, "de": 0.3, "fr": 0.2, "es": 0.1, "zh": 0.05}
 
 
+def q_warc_ingest(spark, sf_dir):
+    """Distributed WARC encode→parse roundtrip inside the checked DAG
+    (Common Crawl's container format, ISO 28500): documents are wrapped
+    in an HTTP/1.1 envelope + WARC/1.0 record, gzipped per-record into
+    per-bucket segment blobs (member-per-record, Common Crawl's layout)
+    by one applyInPandas encode, then split back by the committed
+    Content-Length-framed parser (``extract/warc.py``) in one
+    mapInPandas pass. The ORACLE is ANALYTIC — url/status/payload
+    length+md5 stated directly from the synthesis template without any
+    codec — so a framing bug, a lost gzip member, or an HTTP-envelope
+    off-by-one hash-mismatches in CORRECTNESS, not just pytest. Scale
+    shape: segments are the unit of parallelism (one blob row each);
+    nothing ever collects to the driver."""
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") < 400))
+        .select("doc_id", "text", (F.col("doc_id") % 8).alias("segment"))
+    )
+
+    def encode(key, pdf):
+        import pandas as pd
+
+        from europe_gis_spark.extract import warc
+
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            warc.build_record(
+                f"https://example.org/doc/{did}",
+                "2024-01-01T00:00:00Z",
+                f"<html><body>{txt}</body></html>".encode(),
+            )
+            for did, txt in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {"segment": [str(key[0])], "warc": [warc.write_segment(recs)]}
+        )
+
+    from .extract import warc as warc_mod
+
+    segs = d.groupBy("segment").applyInPandas(
+        encode, schema="segment string, warc binary"
+    )
+    recs = segs.mapInPandas(warc_mod.records_batches, schema=warc_mod.RECORD_SCHEMA)
+    return (
+        recs.filter(F.col("warc_type") == "response")
+        .select(
+            "url",
+            F.col("http_status").alias("status"),
+            F.octet_length("payload").cast("long").alias("payload_len"),
+            F.md5("payload").alias("payload_md5"),
+        )
+        .orderBy("url")
+    )
+
+
+SQL_WARC_INGEST = """
+SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       200 AS status,
+       OCTET_LENGTH(ENCODE('<html><body>' || text || '</body></html>'))
+         AS payload_len,
+       MD5('<html><body>' || text || '</body></html>') AS payload_md5
+FROM documents
+WHERE text IS NOT NULL AND doc_id < 400
+ORDER BY url
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """O5 driver-checked: per-language deterministic sampling by
     salted md5-prefix cutoff (engine-portable kept SET — replayable,
@@ -4200,11 +4267,15 @@ _ANN_IVF_SQL = _sql_ann_ivf()
 # whose newest CORRECTNESS row is oldest (or whose code/oracle just
 # changed) must lead. Re-sort each round from CORRECTNESS_r{N}.json.
 QUERIES = {
+    "warc_ingest": (q_warc_ingest, SQL_WARC_INGEST),
     "ann_ivf_topk": (q_ivf_topk, _ANN_IVF_SQL),
     "ann_ivf_indexed": (q_ann_ivf_indexed, _ANN_IVF_SQL),
-    # dedup_minhash_lsh (core 100TB dedup path, newest row r<=3) takes
-    # ann_lsh_topk's window slot: directive 1 mandates green rows only
-    # for the IVF pair, and ann_lsh_topk keeps its r4 row + recall pytest
+    # ann_lsh_topk is IN the window (it has NEVER been hash-checked —
+    # its newest driver row is r2 rows-only — and it gained a
+    # materialized-plane-sign oracle this round); together with
+    # warc_ingest that costs two 3x-green veteran slots
+    # (union_slices, left_join_fill → tail)
+    "ann_lsh_topk": (q_ann_lsh, _sql_ann_lsh()),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_minhash()),
     "pagerank_topk": (q_pagerank_topk, _sql_pagerank(iters=7, topk=10)),
     "link_pagerank": (q_link_pagerank, _sql_pagerank()),
@@ -4241,14 +4312,12 @@ QUERIES = {
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
-    "union_slices": (q_union_slices, SQL_UNION_SLICES),
     "value_histogram": (q_histogram, SQL_HISTOGRAM),
     "minmax_normalize": (q_minmax_normalize, SQL_MINMAX),
     "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "deterministic_sample": (q_deterministic_sample, SQL_SAMPLE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "left_join_fill": (q_left_join_fill, SQL_LEFT_JOIN_FILL),
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
     "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
     "approx_cardinality": (q_approx_cardinality, SQL_APPROX_CARDINALITY),
@@ -4258,7 +4327,10 @@ QUERIES = {
     "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "ann_lsh_topk": (q_ann_lsh, _sql_ann_lsh()),
+    # --- 50-entry driver-window cut: below here, newest row r<=4 but
+    # 3x-green (union_slices/left_join_fill/lang_hits) or r4-green ---
+    "union_slices": (q_union_slices, SQL_UNION_SLICES),
+    "left_join_fill": (q_left_join_fill, SQL_LEFT_JOIN_FILL),
     "lang_hits": (q_lang_hits, _sql_lang_hits()),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
