@@ -87,6 +87,7 @@ ROTATING = [
     "shortest_hops",
     "ppr_seeds",
     "warc_ingest",
+    "span_dedup",
 ]
 
 

@@ -188,6 +188,70 @@ def chunk_documents(
     )
 
 
+def span_dedup(docs: DataFrame, span_tokens: int = 15) -> DataFrame:
+    """C4-style exact span dedup that REWRITES the corpus: every doc is
+    split into fixed ``span_tokens``-token spans, each distinct span
+    text survives only at its first corpus occurrence (min (doc_id,
+    idx)), and documents are reassembled from their kept spans — the
+    "remove duplicated three-sentence spans" cleanup of C4 (Raffel et
+    al.) / FineWeb, at span granularity since the synthetic corpus has
+    no sentence boundaries. Unlike ``dedup.*`` (pair/flag emitters)
+    and ``chunk_documents`` (chunk emitter), the OUTPUT here is the
+    cleaned corpus itself.
+
+    Plan: span explode is map-side (sequence+transform+posexplode, no
+    Python); the winner pick is ONE groupBy(span) with
+    ``min(struct(doc_id, idx))`` — partial aggregation collapses hot
+    boilerplate spans map-side, which is why this is NOT a
+    row_number-over-Window (a 10⁹-copy boilerplate span would funnel
+    into one sort partition); the winner table joins back on span
+    (AQE skew-join splits any residual hot key) and reassembly is one
+    groupBy(doc_id) with an array_sort over (idx, span) structs.
+
+    Output: (doc_id, clean_text, kept_spans, total_spans) — docs whose
+    every span was seen earlier come back with clean_text = ''.
+    """
+    toks = docs.filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    ).select("doc_id", F.split("text", " ").alias("t"))
+    n_spans = F.ceil(F.size("t") / F.lit(float(span_tokens))).cast("int")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice("t", i * span_tokens + 1, span_tokens)
+        ),
+    )
+    e = toks.select("doc_id", F.posexplode(spans_arr).alias("idx", "span"))
+    winners = e.groupBy("span").agg(
+        F.min(F.struct("doc_id", "idx")).alias("w")
+    )
+    kept = (
+        e.join(winners, "span")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("idx") == F.col("w.idx"))
+        )
+        .select("doc_id", "idx", "span")
+    )
+    totals = e.groupBy("doc_id").agg(F.count("*").alias("total_spans"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("kept_spans"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("clean_text"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("kept_spans", F.lit(0)).alias("kept_spans"),
+        "total_spans",
+    )
+
+
 def winnow_candidate_pairs(
     docs: DataFrame,
     min_shared: int = 2,

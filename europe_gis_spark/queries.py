@@ -4055,6 +4055,57 @@ ORDER BY url
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """C4-style exact span dedup rewriting the corpus (textops.
+    span_dedup): each 15-token span survives only at its first corpus
+    occurrence (min (doc_id, idx)); output is the cleaned document
+    table itself. Winner pick is a skew-safe groupBy-min(struct) —
+    NEVER a row_number Window (hot boilerplate spans would funnel into
+    one sort partition at crawl scale)."""
+    from .operators import textops
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        textops.span_dedup(d, span_tokens=15)
+        .select(
+            "doc_id",
+            "clean_text",
+            F.col("kept_spans").cast("long").alias("kept_spans"),
+            F.col("total_spans").cast("long").alias("total_spans"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_SPAN_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS idx,
+         ARRAY_TO_STRING(t[(CAST(i AS INT)*15+1):(CAST(i AS INT)*15+15)], ' ')
+           AS span
+  FROM toks, UNNEST(RANGE(CAST(CEIL(LEN(t)/15.0) AS BIGINT))) AS u(i)
+),
+w AS (SELECT span, MIN(doc_id) AS wdoc FROM spans GROUP BY span),
+wi AS (SELECT s.span, w.wdoc, MIN(s.idx) AS widx
+       FROM spans s JOIN w ON s.span = w.span AND s.doc_id = w.wdoc
+       GROUP BY s.span, w.wdoc),
+kept AS (SELECT s.doc_id, s.idx, s.span
+         FROM spans s JOIN wi ON s.span = wi.span
+         WHERE s.doc_id = wi.wdoc AND s.idx = wi.widx),
+tot AS (SELECT doc_id, COUNT(*) AS total_spans FROM spans GROUP BY doc_id),
+reb AS (SELECT doc_id, COUNT(*) AS kept_spans,
+               STRING_AGG(span, ' ' ORDER BY idx) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.kept_spans, 0) AS kept_spans, t.total_spans
+FROM tot t LEFT JOIN reb r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """O5 driver-checked: per-language deterministic sampling by
     salted md5-prefix cutoff (engine-portable kept SET — replayable,
@@ -4268,6 +4319,7 @@ _ANN_IVF_SQL = _sql_ann_ivf()
 # changed) must lead. Re-sort each round from CORRECTNESS_r{N}.json.
 QUERIES = {
     "warc_ingest": (q_warc_ingest, SQL_WARC_INGEST),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "ann_ivf_topk": (q_ivf_topk, _ANN_IVF_SQL),
     "ann_ivf_indexed": (q_ann_ivf_indexed, _ANN_IVF_SQL),
     # ann_lsh_topk is IN the window (it has NEVER been hash-checked —
@@ -4312,7 +4364,6 @@ QUERIES = {
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
-    "value_histogram": (q_histogram, SQL_HISTOGRAM),
     "minmax_normalize": (q_minmax_normalize, SQL_MINMAX),
     "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "sliding_window": (q_sliding_window, SQL_SLIDING),
@@ -4328,7 +4379,9 @@ QUERIES = {
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     # --- 50-entry driver-window cut: below here, newest row r<=4 but
-    # 3x-green (union_slices/left_join_fill/lang_hits) or r4-green ---
+    # 3x-green (union_slices/left_join_fill/value_histogram/lang_hits)
+    # or r4-green ---
+    "value_histogram": (q_histogram, SQL_HISTOGRAM),
     "union_slices": (q_union_slices, SQL_UNION_SLICES),
     "left_join_fill": (q_left_join_fill, SQL_LEFT_JOIN_FILL),
     "lang_hits": (q_lang_hits, _sql_lang_hits()),

@@ -1804,3 +1804,46 @@ def test_ceil_frac_exact_vs_float_ceil(spark):
     # ceil says 56, shortening the prefix by one (lossy); exact is 55
     assert math.ceil(0.55 * 100) == 56
     assert math.ceil(Fraction(11, 20) * 100) == 55
+
+
+def test_span_dedup_hand_computed(spark):
+    """Constructed corpus: cross-doc dup span, in-doc dup span, fully
+    duplicated doc (→ clean_text ''), short tail span kept."""
+    from europe_gis_spark.operators.textops import span_dedup
+
+    a = " ".join(f"a{i}" for i in range(4))  # one 4-token span
+    b = " ".join(f"b{i}" for i in range(4))
+    c = " ".join(f"c{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} {b} extra"),  # spans: a, b, 'extra' (short tail)
+            (2, f"{b} {a}"),  # both already seen in doc 1 -> ''
+            (3, f"{c} {c}"),  # in-doc dup: second c dropped
+            (4, ""),  # filtered out entirely
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.kept_spans, r.total_spans)
+        for r in span_dedup(docs, span_tokens=4).collect()
+    }
+    assert got == {
+        1: (f"{a} {b} extra", 3, 3),
+        2: ("", 0, 2),
+        3: (c, 1, 2),
+    }
+
+
+def test_span_dedup_no_window_in_plan(spark):
+    """Winner pick must be the skew-safe agg, never a Window sort."""
+    from europe_gis_spark.operators.textops import span_dedup
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    plan = (
+        span_dedup(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
