@@ -88,6 +88,7 @@ ROTATING = [
     "ppr_seeds",
     "warc_ingest",
     "span_dedup",
+    "weighted_sample",
 ]
 
 

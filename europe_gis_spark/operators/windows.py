@@ -246,6 +246,38 @@ def stratified_hash_sample(
     return df.filter(cond)
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample:v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row gets key u^(1/w) for a deterministic uniform u ∈ (0,1]
+    derived from a salted md5 of the row key; the k largest keys are
+    exactly a weight-proportional without-replacement sample. The
+    hash-derived u makes the drawn SET engine-portable and replayable
+    (same property as ``stratified_hash_sample``) — reruns, retries and
+    repartitions cannot change the sample, unlike seeded per-partition
+    RNG. Rows with weight ≤ 0 or NULL are excluded (A-ES precondition).
+
+    Plan: score is pure map-side column math (52-bit digest prefix →
+    uniform → pow); the global top-k is TakeOrderedAndProject — no full
+    sort, no Window, O(k) driver memory at any corpus size.
+
+    Output: input columns + ``es_key`` (the selection key, for margin
+    audits)."""
+    digest = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    v = F.conv(F.substring(digest, 1, 13), 16, 10).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(float(16**13))
+    w = F.col(weight_col).cast("double")
+    scored = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "es_key", F.pow(u, F.lit(1.0) / w)
+    )
+    return scored.orderBy(F.col("es_key").desc(), F.col(key_col)).limit(k)
+
+
 def train_test_split(df: DataFrame, test_frac: float = 0.2, seed: int = 42):
     """O4: 80/20 split (dataset_creation.py:32-35)."""
     train, test = df.randomSplit([1.0 - test_frac, test_frac], seed)

@@ -4106,6 +4106,40 @@ ORDER BY t.doc_id
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis,
+    windows.weighted_sample_topk): 40 docs drawn ∝ n_chars via the
+    deterministic hash-derived exponential key — engine-portable
+    (md5-derived uniform, no RNG), global top-k is
+    TakeOrderedAndProject. Oracle recomputes the identical key in
+    DuckDB; the float-margin pytest pins that the k-th/k+1-th key gap
+    is orders of magnitude above libm disagreement at check scale."""
+    from .operators import windows
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        windows.weighted_sample_topk(d, 40, "n_chars")
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         POWER(
+           (CAST(('0x' || SUBSTRING(
+              MD5('wsample:v1|' || CAST(doc_id AS VARCHAR)), 1, 13))
+             AS BIGINT) + 1) / 4503599627370496.0,
+           1.0 / n_chars) AS es_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars FROM s ORDER BY es_key DESC, doc_id LIMIT 40
+) ORDER BY doc_id
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """O5 driver-checked: per-language deterministic sampling by
     salted md5-prefix cutoff (engine-portable kept SET — replayable,
@@ -4320,6 +4354,7 @@ _ANN_IVF_SQL = _sql_ann_ivf()
 QUERIES = {
     "warc_ingest": (q_warc_ingest, SQL_WARC_INGEST),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "ann_ivf_topk": (q_ivf_topk, _ANN_IVF_SQL),
     "ann_ivf_indexed": (q_ann_ivf_indexed, _ANN_IVF_SQL),
     # ann_lsh_topk is IN the window (it has NEVER been hash-checked —
@@ -4363,7 +4398,6 @@ QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
-    "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
     "minmax_normalize": (q_minmax_normalize, SQL_MINMAX),
     "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "sliding_window": (q_sliding_window, SQL_SLIDING),
@@ -4379,8 +4413,9 @@ QUERIES = {
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     # --- 50-entry driver-window cut: below here, newest row r<=4 but
-    # 3x-green (union_slices/left_join_fill/value_histogram/lang_hits)
-    # or r4-green ---
+    # 3x-green (semi_anti_join/union_slices/left_join_fill/
+    # value_histogram/lang_hits) or r4-green ---
+    "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
     "value_histogram": (q_histogram, SQL_HISTOGRAM),
     "union_slices": (q_union_slices, SQL_UNION_SLICES),
     "left_join_fill": (q_left_join_fill, SQL_LEFT_JOIN_FILL),

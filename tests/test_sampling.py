@@ -80,3 +80,57 @@ def test_stratified_hash_sample_deterministic_and_rated(spark):
     by = a.groupby("lang").size()
     assert abs(by["en"] / (n / 3) - 0.5) < 0.06
     assert abs(by["de"] / (n / 3) - 0.1) < 0.04
+
+
+def test_weighted_sample_topk_matches_numpy_and_has_margin(spark):
+    """A-ES top-k vs an independent numpy recompute at sf0.01, plus the
+    float-margin guarantee the cross-engine oracle relies on: the gap
+    between the k-th and (k+1)-th selection key must dwarf any libm
+    pow() disagreement (~1 ulp, rel ~1e-16)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    k = 40
+    got = (
+        windows.weighted_sample_topk(docs, k, "n_chars")
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .tolist()
+    )
+
+    pdf = docs.select("doc_id", "n_chars").toPandas()
+    pdf = pdf[pdf.n_chars > 0]
+    u = np.array(
+        [
+            (int(hashlib.md5(f"wsample:v1|{d}".encode()).hexdigest()[:13], 16) + 1)
+            / 16**13
+            for d in pdf.doc_id
+        ]
+    )
+    key = u ** (1.0 / pdf.n_chars.to_numpy().astype(float))
+    order = np.lexsort((pdf.doc_id.to_numpy(), -key))
+    want = pdf.doc_id.to_numpy()[order[:k]].tolist()
+    assert sorted(got) == sorted(want)
+
+    ks = np.sort(key)[::-1]
+    margin = (ks[k - 1] - ks[k]) / ks[k - 1]
+    assert margin > 1e-9, f"selection margin {margin} too thin for libm parity"
+
+
+def test_weighted_sample_topk_is_weight_biased(spark):
+    """Heavy rows must be drawn far above their uniform share: give 10
+    of 2000 rows 1000x the weight of the rest and require most of a
+    k=20 sample to be heavy (uniform would include ~0.1 heavy rows)."""
+    rows = [(i, 100_000 if i < 10 else 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = windows.weighted_sample_topk(df, 20, "w").toPandas()
+    n_heavy = int((got.doc_id < 10).sum())
+    assert n_heavy >= 8, f"only {n_heavy}/10 heavy rows sampled"
+    # weight<=0 / NULL rows are excluded, never crash
+    df2 = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, None), (4, 7)], "doc_id long, w int"
+    )
+    assert windows.weighted_sample_topk(df2, 10, "w").count() == 1
