@@ -89,6 +89,8 @@ ROTATING = [
     "warc_ingest",
     "span_dedup",
     "weighted_sample",
+    "bm25_topk",
+    "hybrid_rrf",
 ]
 
 

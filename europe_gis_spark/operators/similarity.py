@@ -379,3 +379,57 @@ def pairwise_cosine_dups(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    c: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two candidate lists (Cormack et al.):
+    rrf(d) = Σ_lists 1/(c + rank_d) — the standard score-free way to
+    merge a lexical (BM25) and a vector (cosine) ranking into one
+    hybrid result; c=60 is the published default.
+
+    Inputs are (id, rank) lists ALREADY truncated to their per-ranker
+    top-L (each produced by a TakeOrderedAndProject — at corpus scale
+    the fusion only ever touches ≤ 2L rows, never the corpus). Missing
+    membership in one list contributes 0, per the published formula
+    (full outer join + coalesce). Fused scores are ROUNDED with an id
+    tie-break so rank boundaries are engine-exact.
+    """
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    contrib_a = F.when(
+        F.col("rank_a").isNotNull(), F.lit(1.0) / (F.lit(c) + F.col("rank_a"))
+    ).otherwise(F.lit(0.0))
+    contrib_b = F.when(
+        F.col("rank_b").isNotNull(), F.lit(1.0) / (F.lit(c) + F.col("rank_b"))
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            "rank_a",
+            "rank_b",
+            F.round(contrib_a + contrib_b, 8).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def with_rank(topk: DataFrame, score_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Attach 1-based ranks to an already-truncated top-L list.
+
+    The window is a SINGLE partition by construction — acceptable only
+    because the input is a constant-bounded top-L (post-limit), never a
+    corpus-scale table; the corpus-scale ranking work already happened
+    inside the upstream TakeOrderedAndProject.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -785,3 +785,68 @@ def collocations(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(k)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against a fixed query
+    term set and return the global top-k — the lexical half of a
+    hybrid (lexical + vector) search stack, next to
+    ``similarity.brute_force_topk``.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the non-negative
+    Robertson–Spärck Jones form).
+
+    Plan (100 TB shape): the explode is filtered to the query terms
+    BEFORE the (doc, term) count, so only matching postings ever enter
+    the one tf shuffle — the corpus-scale non-matching vocabulary never
+    leaves the map side. Document length is map-side ``F.size`` (no
+    second tokenize/shuffle); N + avgdl ride one broadcast 1-row
+    aggregate; df comes off the tf table (tiny: ≤ |query| rows after
+    its agg) and broadcasts back. Final ranking is
+    orderBy().limit() = TakeOrderedAndProject (per-partition top-k +
+    driver merge, no global sort). Scores ROUNDED before ranking with a
+    doc_id tie-break so rank boundaries are engine-exact.
+    """
+    qt = [F.lit(t) for t in query_terms]
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfx = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens_col())).alias("avgdl"),
+    )
+    dl = docs.select("doc_id", F.size(tokens_col()).alias("dl"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfx), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(dl, "doc_id")
+        .select("doc_id", term_score.alias("ts"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("ts"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_k)

@@ -4339,6 +4339,115 @@ def _sql_ppr(iters: int = 5, damping: float = 0.85) -> str:
     )
 
 
+BM25_QUERY_TERMS = ("vector", "stream", "hash")
+_RRF_DEPTH = 50  # per-ranker candidate depth L fed into the fusion
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval: global top-15 documents for a
+    fixed 3-term query (k1=1.2, b=0.75) — the lexical half of the
+    search stack; scores rounded before ranking, doc_id tie-break."""
+    return textops.bm25_topk(
+        _read(spark, sf_dir, "documents"), BM25_QUERY_TERMS, top_k=15
+    ).orderBy(F.desc("bm25"), "doc_id")
+
+
+def _sql_bm25_scored() -> str:
+    terms = ", ".join(repr(t) for t in BM25_QUERY_TERMS)
+    return f"""
+tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         AVG(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))) AS avgdl
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS dl
+  FROM documents
+),
+bm25 AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           LN(1.0 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats s
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+)"""
+
+
+def _sql_bm25_topk() -> str:
+    return f"""
+WITH {_sql_bm25_scored()}
+SELECT doc_id, bm25 FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 15
+"""
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: reciprocal-rank fusion (c=60) of the BM25 top-50
+    (documents.text) with the cosine top-50 (embeddings, the fixture
+    query vector), joined on doc_id = vec_id. Each candidate list is a
+    TakeOrderedAndProject top-L; the fusion never touches more than 2L
+    rows regardless of corpus size."""
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    lex = similarity.with_rank(
+        textops.bm25_topk(docs, BM25_QUERY_TERMS, top_k=_RRF_DEPTH),
+        "bm25",
+        "doc_id",
+    )
+    vec = similarity.with_rank(
+        similarity.brute_force_topk(emb, QUERY_VEC, k=_RRF_DEPTH).select(
+            F.col("vec_id").alias("doc_id"), "cosine"
+        ),
+        "cosine",
+        "doc_id",
+    )
+    return similarity.rrf_fuse(lex, vec, "doc_id", c=60, top_k=10).orderBy(
+        F.desc("rrf"), "doc_id"
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    qv = "[" + ", ".join(repr(v) for v in QUERY_VEC) + "]"
+    return f"""
+WITH {_sql_bm25_scored()},
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a
+  FROM (SELECT * FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT {_RRF_DEPTH})
+),
+cos AS (
+  SELECT vec_id AS doc_id,
+         ROUND(LIST_DOT_PRODUCT(embedding::DOUBLE[], {qv})
+               / (SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * SQRT(LIST_DOT_PRODUCT({qv}, {qv}))), 8) AS cosine
+  FROM embeddings
+),
+vec AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rank_b
+  FROM (SELECT * FROM cos ORDER BY cosine DESC, doc_id LIMIT {_RRF_DEPTH})
+)
+SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+       lex.rank_a AS rank_a, vec.rank_b AS rank_b,
+       ROUND(COALESCE(1.0 / (60 + lex.rank_a), 0.0)
+             + COALESCE(1.0 / (60 + vec.rank_b), 0.0), 8) AS rrf
+FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4410,11 +4519,14 @@ QUERIES = {
     "geo_border_overlap": (q_geo_border, _sql_geo_border()),
     "geo_knn": (q_geo_knn, _sql_geo_knn()),
     "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
-    "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
+    "hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
     # --- 50-entry driver-window cut: below here, newest row r<=4 but
     # 3x-green (semi_anti_join/union_slices/left_join_fill/
-    # value_histogram/lang_hits) or r4-green ---
+    # value_histogram/lang_hits/geo_bbox/dedup_exact — the last two
+    # displaced by the never-checked bm25_topk/hybrid_rrf) or r4-green ---
+    "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
     "value_histogram": (q_histogram, SQL_HISTOGRAM),
     "union_slices": (q_union_slices, SQL_UNION_SLICES),

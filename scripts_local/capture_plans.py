@@ -183,6 +183,20 @@ def main() -> None:
         )
     )
 
+    from europe_gis_spark.queries import q_hybrid_rrf
+
+    hy = q_hybrid_rrf(spark, "/root/testdata/sf0.001")
+    sections.append(
+        (
+            "Hybrid BM25+cosine RRF (query-term isin filter BELOW the "
+            "tf exchange — non-matching vocabulary never leaves the map "
+            "side; both candidate lists are TakeOrderedAndProject "
+            "limit=50 heaps, the full-outer fusion join touches ≤ 2L "
+            "rows, final top-10 is TakeOrderedAndProject)",
+            plan(hy),
+        )
+    )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Captured physical plans — the evidence behind the scale claims\n\n")

