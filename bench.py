@@ -91,6 +91,8 @@ ROTATING = [
     "weighted_sample",
     "bm25_topk",
     "hybrid_rrf",
+    "cms_heavy_hitters",
+    "bloom_semi_join",
 ]
 
 

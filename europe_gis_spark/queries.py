@@ -4448,6 +4448,100 @@ ORDER BY rrf DESC, doc_id LIMIT 10
 """
 
 
+CMS_TOPK = 20
+BLOOM_PRICE_CUT = 400_000.0
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters over the token stream: build the
+    4×1024 md5-hashed sketch (bounded depth·width counters — mergeable
+    across corpus shards), point-query every distinct term, and emit
+    the top-20 by estimate next to the exact count (est ≥ exact always;
+    the gap is the sketch's collision overestimate)."""
+    from .operators import sketch
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(textops.tokens_col()).alias("term"))
+    counters = sketch.cms_build(tok, "term")
+    exact = tok.groupBy("term").agg(F.count("*").alias("exact"))
+    est = sketch.cms_estimate(counters, exact.select("term"), "term")
+    return (
+        est.join(exact, "term")
+        .withColumn("overest", F.col("est") - F.col("exact"))
+        .orderBy(F.desc("est"), "term")
+        .limit(CMS_TOPK)
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH tok AS (
+  SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS term FROM documents
+),
+hashes AS (
+  SELECT t.term, d.i,
+         CAST(('0x' || SUBSTRING(
+           MD5(CAST(d.i AS VARCHAR) || ':' || t.term), 1, 8)) AS BIGINT)
+         % 1024 AS bucket
+  FROM tok t CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) d
+),
+counters AS (
+  SELECT i, bucket, COUNT(*) AS c FROM hashes GROUP BY 1, 2
+),
+exact AS (SELECT term, COUNT(*) AS exact FROM tok GROUP BY term),
+probe AS (
+  SELECT e.term, d.i,
+         CAST(('0x' || SUBSTRING(
+           MD5(CAST(d.i AS VARCHAR) || ':' || e.term), 1, 8)) AS BIGINT)
+         % 1024 AS bucket
+  FROM exact e CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) d
+),
+est AS (
+  SELECT p.term, MIN(COALESCE(c.c, 0)) AS est
+  FROM probe p LEFT JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
+  GROUP BY p.term
+)
+SELECT e.term, e.est, x.exact, e.est - x.exact AS overest
+FROM est e JOIN exact x USING (term)
+ORDER BY e.est DESC, e.term LIMIT {CMS_TOPK}
+"""
+
+
+def q_bloom_semi(spark, sf_dir):
+    """Bloom-pruned semi join: lineitem rows are pre-filtered map-side
+    by a 32768-bit/5-hash Bloom filter over the high-value order keys
+    (InSet literal — no broadcast join, no extra shuffle) before the
+    exact semi join removes the false positives; output ≡ the plain
+    semi join (no false negatives by construction), aggregated per
+    return flag."""
+    from .operators import sketch
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > BLOOM_PRICE_CUT
+    )
+    semi = sketch.bloom_semi_join(
+        li, orders.select("o_orderkey"), "l_orderkey", "o_orderkey"
+    )
+    return (
+        semi.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_BLOOM_SEMI = f"""
+SELECT l_returnflag, COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > {BLOOM_PRICE_CUT}
+)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4517,14 +4611,18 @@ QUERIES = {
     "approx_cardinality": (q_approx_cardinality, SQL_APPROX_CARDINALITY),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
     "geo_border_overlap": (q_geo_border, _sql_geo_border()),
-    "geo_knn": (q_geo_knn, _sql_geo_knn()),
-    "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
     "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
     "hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "bloom_semi_join": (q_bloom_semi, SQL_BLOOM_SEMI),
     # --- 50-entry driver-window cut: below here, newest row r<=4 but
     # 3x-green (semi_anti_join/union_slices/left_join_fill/
-    # value_histogram/lang_hits/geo_bbox/dedup_exact — the last two
-    # displaced by the never-checked bm25_topk/hybrid_rrf) or r4-green ---
+    # value_histogram/lang_hits/geo_bbox/dedup_exact/geo_knn/geo_rebin —
+    # the last four displaced by the never-checked bm25_topk/hybrid_rrf/
+    # cms_heavy_hitters/bloom_semi_join; geo_knn's kernel stays covered
+    # in-window by r4-green geo_knn3) or r4-green ---
+    "geo_knn": (q_geo_knn, _sql_geo_knn()),
+    "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),

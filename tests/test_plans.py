@@ -508,3 +508,31 @@ def test_hybrid_rrf_fusion_is_constant_bounded(spark):
     assert p.count("TakeOrderedAndProject") >= 3, p
     assert "TakeOrderedAndProject(limit=50" in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_cms_probe_join_broadcasts_bounded_counters(spark):
+    """cms_heavy_hitters: the counter table is ≤ depth·width rows by
+    construction — the probe join must be a broadcast hash join (never
+    a shuffle of the vocabulary against it), all JVM-side."""
+    from europe_gis_spark.queries import q_cms_heavy_hitters
+
+    df = q_cms_heavy_hitters(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_bloom_filter_prunes_fact_side_before_semi_join(spark):
+    """bloom_semi_join: the k md5 bit probes must sit as a Filter on
+    the fact scan side BELOW the exact semi join — the runtime-filter
+    shape (fact shuffle shrinks by the bloom's selectivity)."""
+    from europe_gis_spark.queries import q_bloom_semi
+
+    df = q_bloom_semi(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, mode="simple")
+    assert "LeftSemi" in p, p
+    # the md5 probe filter is applied before the join: every md5 site
+    # in the plan precedes the first LeftSemi occurrence textually in
+    # the fact branch; cheap proxy — the filter exists and is JVM-side
+    assert "md5" in p.lower(), p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
