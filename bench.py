@@ -93,6 +93,7 @@ ROTATING = [
     "hybrid_rrf",
     "cms_heavy_hitters",
     "bloom_semi_join",
+    "c4_line_filter",
 ]
 
 

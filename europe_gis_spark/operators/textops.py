@@ -850,3 +850,64 @@ def bm25_topk(
         .agg(F.round(F.sum("ts"), 6).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_k)
+
+
+# --- C4-style line-level boilerplate filtering -------------------------
+# Rules after Raffel et al. 2020 (C4, §2.2): keep lines that end in
+# terminal punctuation and have >= C4_MIN_WORDS words; drop lines
+# mentioning javascript/cookie boilerplate; pages keep only if enough
+# lines survive. Operates on a (doc_id, k, line) row table (k = line
+# sort key) so callers control line provenance.
+
+C4_MIN_WORDS = 3
+C4_MIN_KEPT_LINES = 3
+C4_BOILER_MARKERS = ("javascript", "cookie")
+
+
+def c4_keep_line(line=None):
+    """The C4 per-line predicate as a Column (JVM, codegen)."""
+    if line is None:
+        line = F.col("line")
+    n_words = F.size(F.split(line, r" "))
+    cond = (n_words >= C4_MIN_WORDS) & line.rlike(r"[.!?\"]$")
+    for marker in C4_BOILER_MARKERS:
+        cond = cond & ~F.lower(line).contains(marker)
+    return cond
+
+
+def c4_line_filter(lines: DataFrame) -> DataFrame:
+    """Rebuild each page from its C4-surviving lines.
+
+    Input: (doc_id, k, line) — one row per line, ``k`` the line order
+    key. Output: (doc_id, clean_text, kept_lines, total_lines,
+    page_kept) — C4 drops whole pages with too few surviving lines.
+
+    Plan: the per-line predicate is map-side; ONE doc_id groupBy
+    carries both the counts and the ordered reassembly (conditional
+    aggregates over the same exchange — no second shuffle, no join
+    between a kept-agg and a total-agg).
+    """
+    keep = c4_keep_line()
+    return (
+        lines.withColumn("__keep", keep)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct("k", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+            F.sum(F.col("__keep").cast("int")).alias("kept_lines"),
+            F.count("*").alias("total_lines"),
+        )
+        .withColumn("page_kept", F.col("kept_lines") >= C4_MIN_KEPT_LINES)
+    )

@@ -4448,6 +4448,97 @@ ORDER BY rrf DESC, doc_id LIMIT 10
 """
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line-level boilerplate removal (Raffel et al. 2020
+    §2.2): pages are synthesized deterministically from the fixture
+    docs as keyed line rows (6-token chunks; every third line missing
+    terminal punctuation; a javascript/cookie boilerplate line spliced
+    into even docs; a too-short 'ok.' line appended to every fifth
+    doc), then rebuilt from the surviving lines — identical structural
+    construction in the DuckDB mirror, so a wrong rule or a wrong
+    reassembly order hash-mismatches."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = textops.tokens_col()
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.ceil(F.size(toks) / F.lit(6.0)).alias("nlines"),
+    )
+    nat = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("nlines") - 1),
+                lambda i: F.struct(
+                    (i * 10).alias("k"),
+                    F.concat(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i * 6 + 1, 6)),
+                        F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(
+                            F.lit("")
+                        ),
+                    ).alias("line"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.k").alias("k"), F.col("s.line").alias("line"))
+    bp = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.lit(5).cast("long").alias("k"),
+        F.lit("please enable javascript and cookies to continue").alias("line"),
+    )
+    ok = base.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        (F.col("nlines") * 10 + 1).alias("k"),
+        F.lit("ok.").alias("line"),
+    )
+    lines = nat.unionByName(bp).unionByName(ok)
+    return textops.c4_line_filter(lines).orderBy("doc_id")
+
+
+SQL_C4_LINE_FILTER = """
+WITH base AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks,
+         CAST(CEIL(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) / 6.0) AS BIGINT)
+           AS nlines
+  FROM documents
+),
+nat AS (
+  SELECT doc_id, i * 10 AS k,
+         ARRAY_TO_STRING(toks[(i*6+1):(i*6+6)], ' ')
+         || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END AS line
+  FROM base, UNNEST(GENERATE_SERIES(0, nlines - 1)) AS t(i)
+),
+bp AS (
+  SELECT doc_id, 5 AS k,
+         'please enable javascript and cookies to continue' AS line
+  FROM documents WHERE doc_id % 2 = 0
+),
+okl AS (
+  SELECT doc_id, nlines * 10 + 1 AS k, 'ok.' AS line
+  FROM base WHERE doc_id % 5 = 0
+),
+lines AS (
+  SELECT * FROM nat UNION ALL SELECT * FROM bp UNION ALL SELECT * FROM okl
+),
+flt AS (
+  SELECT doc_id, k, line,
+         (LEN(STR_SPLIT(line, ' ')) >= 3
+          AND REGEXP_MATCHES(line, '[.!?"]$')
+          AND NOT CONTAINS(LOWER(line), 'javascript')
+          AND NOT CONTAINS(LOWER(line), 'cookie')) AS keep
+  FROM lines
+)
+SELECT doc_id,
+       COALESCE(
+         ARRAY_TO_STRING(LIST(line ORDER BY k) FILTER (WHERE keep), CHR(10)),
+         '') AS clean_text,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+       COUNT(*) AS total_lines,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) >= 3 AS page_kept
+FROM flt GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 CMS_TOPK = 20
 BLOOM_PRICE_CUT = 400_000.0
 
@@ -4610,11 +4701,11 @@ QUERIES = {
     "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
     "approx_cardinality": (q_approx_cardinality, SQL_APPROX_CARDINALITY),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
-    "geo_border_overlap": (q_geo_border, _sql_geo_border()),
     "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
     "hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "bloom_semi_join": (q_bloom_semi, SQL_BLOOM_SEMI),
+    "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     # --- 50-entry driver-window cut: below here, newest row r<=4 but
     # 3x-green (semi_anti_join/union_slices/left_join_fill/
     # value_histogram/lang_hits/geo_bbox/dedup_exact/geo_knn/geo_rebin —
@@ -4622,6 +4713,7 @@ QUERIES = {
     # cms_heavy_hitters/bloom_semi_join; geo_knn's kernel stays covered
     # in-window by r4-green geo_knn3) or r4-green ---
     "geo_knn": (q_geo_knn, _sql_geo_knn()),
+    "geo_border_overlap": (q_geo_border, _sql_geo_border()),
     "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

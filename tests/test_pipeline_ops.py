@@ -1905,3 +1905,27 @@ def test_rrf_fuse_one_sided_membership_and_order(spark):
     assert rows[13].rrf == round(1 / 62, 8) and rows[13].rank_a is None
     ordered = sorted(rows.values(), key=lambda r: (-r.rrf, r.doc_id))
     assert [r.doc_id for r in ordered][0] == 11
+
+
+def test_c4_line_filter_rules_and_reassembly_order(spark):
+    from europe_gis_spark.operators import textops
+
+    lines = spark.createDataFrame(
+        [
+            (1, 20, "this line survives the filter."),
+            (1, 0, "so does this early one!"),
+            (1, 10, "no terminal punctuation here"),
+            (1, 15, "please enable javascript and cookies to continue."),
+            (1, 30, "ok."),  # < 3 words
+            (2, 0, "too few lines survive on this page."),
+        ],
+        "doc_id long, k long, line string",
+    )
+    got = {r.doc_id: r for r in textops.c4_line_filter(lines).collect()}
+    # kept lines reassemble in k order; boilerplate/short/unpunctuated drop
+    assert got[1].clean_text == (
+        "so does this early one!\nthis line survives the filter."
+    )
+    assert got[1].kept_lines == 2 and got[1].total_lines == 5
+    assert got[1].page_kept is False  # 2 < C4_MIN_KEPT_LINES
+    assert got[2].kept_lines == 1 and got[2].page_kept is False
