@@ -94,6 +94,7 @@ ROTATING = [
     "cms_heavy_hitters",
     "bloom_semi_join",
     "c4_line_filter",
+    "ann_pq_topk",
 ]
 
 

@@ -433,3 +433,158 @@ def with_rank(topk: DataFrame, score_col: str, id_col: str = "doc_id") -> DataFr
 
     w = Window.orderBy(F.desc(score_col), F.asc(id_col))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+# --- Product quantization (PQ) ANN -------------------------------------
+# Jégou et al. 2011: split the (normalized) vector into PQ_M subspaces,
+# k-means each subspace to PQ_K codewords, store only the M uint8 codes
+# (8 B/vec vs 256 B float32 at dim=64 — the at-rest compression that
+# makes 10^12-vector search feasible). Queries score via ADC: one
+# (M × K) lookup table built driver-side per query, approximate inner
+# product = Σ_m table[m][code_m] — pure map-side JVM lookups on the
+# code column, no decode, no Python in the scan path.
+
+PQ_M = 8
+PQ_K = 16
+
+
+def l2_kmeans(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Fixed-iteration L2 k-means on an ALREADY-ORDERED sample — the
+    same bit-deterministic discipline as spherical_kmeans, shared by
+    the Spark training path and the oracle-side pandas twin."""
+    x = np.asarray(x, dtype=np.float64)
+    ids = h64(np.arange(len(x), dtype=np.uint64), seed, 61)
+    c = x[np.argsort(ids)[:k]].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+    return c
+
+
+def _pq_sample_matrix(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float64)
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train the (m, k, dim/m) PQ codebooks on the driver from the same
+    md5-ordered deterministic sample as IVF training (engine-portable
+    total order → the pandas twin is bit-identical and the driver query
+    gets an exact oracle). Vectors are L2-normalized before splitting,
+    so ADC approximates cosine."""
+    pdf = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(
+            F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8")),
+            F.asc("vec_id"),
+        )
+        .limit(sample)
+        .toPandas()
+    )
+    x = _pq_sample_matrix(np.array(pdf["embedding"].tolist()))
+    ds = x.shape[1] // m
+    return np.stack(
+        [l2_kmeans(x[:, j * ds : (j + 1) * ds], k, iters, seed + j) for j in range(m)]
+    )
+
+
+def train_pq_codebooks_pandas(
+    pdf,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Driver-side twin of ``train_pq_codebooks`` (no Spark) for the
+    DuckDB oracle builders; bit-equality pytest-pinned."""
+    sel = (
+        pdf[["vec_id", "embedding"]]
+        .assign(_k=pdf["vec_id"].map(_md5_hex))
+        .sort_values(["_k", "vec_id"], kind="mergesort")
+        .head(sample)
+    )
+    x = _pq_sample_matrix(np.array(sel["embedding"].tolist()))
+    ds = x.shape[1] // m
+    return np.stack(
+        [l2_kmeans(x[:, j * ds : (j + 1) * ds], k, iters, seed + j) for j in range(m)]
+    )
+
+
+def pq_encode_np(emb: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Numpy encode kernel (normalize → per-subspace argmin L2): shared
+    by the Spark mapInPandas pass and the oracle recomputation."""
+    x = _pq_sample_matrix(np.asarray(emb))
+    m, k, ds = codebooks.shape
+    codes = np.empty((len(x), m), dtype=np.int32)
+    for j in range(m):
+        sub = x[:, j * ds : (j + 1) * ds]
+        d2 = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=-1)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_encode(embeddings: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """(vec_id, codes array<int>) — one vectorized Arrow pass, no
+    shuffle. At rest this column is the whole index: m bytes/vector."""
+    c = codebooks
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            codes = pq_encode_np(np.array(b["embedding"].tolist()), c)
+            yield pd.DataFrame({"vec_id": b["vec_id"], "codes": list(codes)})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        fn, schema="vec_id long, codes array<int>"
+    )
+
+
+def pq_adc_tables(codebooks: np.ndarray, query_vec: list[float]) -> np.ndarray:
+    """The per-query ADC lookup table (m, k): table[j][c] = <q_sub_j,
+    codeword_jc> over the L2-normalized query."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    m, k, ds = codebooks.shape
+    return np.stack(
+        [codebooks[j] @ q[j * ds : (j + 1) * ds] for j in range(m)]
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: score every code row via m table
+    lookups (tiny array<double> literals — JVM element_at, codegen) and
+    TakeOrderedAndProject the winners. The embedding column is read
+    ONCE to encode; in the production at-rest shape the code column is
+    precomputed and the scan touches m bytes/vector. Scores are ROUNDED
+    with a vec_id tie-break; the 8-term sum is evaluated left-to-right
+    in both engines, so the oracle is bit-exact."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(embeddings)
+    tables = pq_adc_tables(codebooks, query_vec)
+    codes = pq_encode(embeddings, codebooks)
+    score = None
+    for j in range(tables.shape[0]):
+        tab = F.array(*[F.lit(float(v)) for v in tables[j]])
+        term = F.element_at(tab, F.element_at("codes", j + 1) + 1)
+        score = term if score is None else score + term
+    return (
+        codes.select("vec_id", F.round(score, 8).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(k)
+    )

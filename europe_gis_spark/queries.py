@@ -2829,6 +2829,50 @@ def _sql_ann_ivf():
     return _sql_topk_within(cand)
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-10 (Jégou et al. 2011): 8×16
+    codebooks over the normalized vectors (8 B/vec at rest), scored by
+    per-query lookup tables as map-side JVM element_at — VALUE-checked:
+    the oracle recomputes codebooks+codes with the bit-identical pandas
+    twins and DuckDB evaluates the same 8-term table sum."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(e, QUERY_VEC, k=10)
+
+
+def _sql_ann_pq():
+    """Oracle for ann_pq_topk (the simhash/IVF materialized-intermediate
+    pattern): recompute the seeded codebooks with the pandas training
+    twin, encode every vector with the shared numpy kernel, embed the
+    codes as VALUES and the per-query ADC tables as DOUBLE[] literals,
+    and let DuckDB evaluate the identical left-to-right 8-term lookup
+    sum (bit-exact — same IEEE doubles added in the same order)."""
+    d = _check_scale_embeddings()
+    if d is None:
+        return None
+    import numpy as np
+
+    cb = similarity.train_pq_codebooks_pandas(d)
+    codes = similarity.pq_encode_np(
+        np.array(d["embedding"].tolist(), dtype=np.float64), cb
+    )
+    tables = similarity.pq_adc_tables(cb, QUERY_VEC)
+    vals = ",".join(
+        "(%d,%s)" % (int(vid), ",".join(str(int(c)) for c in row))
+        for vid, row in zip(d["vec_id"].to_numpy(), codes)
+    )
+    tabs = [
+        "[" + ", ".join(repr(float(v)) for v in tables[j]) + "]::DOUBLE[]"
+        for j in range(tables.shape[0])
+    ]
+    expr = " + ".join(f"({tabs[j]})[c{j} + 1]" for j in range(len(tabs)))
+    cols = ", ".join(f"c{j}" for j in range(len(tabs)))
+    return f"""
+WITH codes(vec_id, {cols}) AS (VALUES {vals})
+SELECT vec_id, ROUND({expr}, 8) AS adc
+FROM codes ORDER BY adc DESC, vec_id LIMIT 10
+"""
+
+
 def _sql_ann_lsh():
     """Oracle for ann_lsh_topk: recompute the sign-projection buckets
     (5 planes, seed 7 — ann_topk defaults) with the same numpy kernel,
@@ -4699,19 +4743,20 @@ QUERIES = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
     "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
-    "approx_cardinality": (q_approx_cardinality, SQL_APPROX_CARDINALITY),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
     "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
     "hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "bloom_semi_join": (q_bloom_semi, SQL_BLOOM_SEMI),
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
+    "ann_pq_topk": (q_ann_pq_topk, _sql_ann_pq()),
     # --- 50-entry driver-window cut: below here, newest row r<=4 but
     # 3x-green (semi_anti_join/union_slices/left_join_fill/
     # value_histogram/lang_hits/geo_bbox/dedup_exact/geo_knn/geo_rebin —
     # the last four displaced by the never-checked bm25_topk/hybrid_rrf/
     # cms_heavy_hitters/bloom_semi_join; geo_knn's kernel stays covered
     # in-window by r4-green geo_knn3) or r4-green ---
+    "approx_cardinality": (q_approx_cardinality, SQL_APPROX_CARDINALITY),
     "geo_knn": (q_geo_knn, _sql_geo_knn()),
     "geo_border_overlap": (q_geo_border, _sql_geo_border()),
     "geo_rebin": (q_geo_rebin, SQL_GEO_REBIN),

@@ -1929,3 +1929,62 @@ def test_c4_line_filter_rules_and_reassembly_order(spark):
     assert got[1].kept_lines == 2 and got[1].total_lines == 5
     assert got[1].page_kept is False  # 2 < C4_MIN_KEPT_LINES
     assert got[2].kept_lines == 1 and got[2].page_kept is False
+
+
+def test_pq_training_twins_bit_equal_and_encode_parity(spark):
+    import numpy as np
+
+    from europe_gis_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb_spark = similarity.train_pq_codebooks(e)
+    cb_pandas = similarity.train_pq_codebooks_pandas(
+        e.select("vec_id", "embedding").toPandas()
+    )
+    assert np.array_equal(cb_spark, cb_pandas)
+    # encode: Spark Arrow pass ≡ numpy kernel, code for code
+    got = {
+        r.vec_id: tuple(r.codes)
+        for r in similarity.pq_encode(e, cb_spark).collect()
+    }
+    pdf = e.select("vec_id", "embedding").toPandas()
+    want_codes = similarity.pq_encode_np(
+        np.array(pdf["embedding"].tolist()), cb_spark
+    )
+    want = {
+        int(v): tuple(int(c) for c in row)
+        for v, row in zip(pdf["vec_id"], want_codes)
+    }
+    assert got == want
+    # 8 codes per vector, all within [0, PQ_K)
+    assert all(
+        len(cs) == similarity.PQ_M
+        and all(0 <= c < similarity.PQ_K for c in cs)
+        for cs in got.values()
+    )
+
+
+def test_pq_adc_beats_random_ranking(spark):
+    """PQ at 64 bits is LOSSY — on the uniform-random worst-case corpus
+    (neighbors barely above random) even the exact top-1 can drop out
+    of the ADC top-10, so the gate is signal, not identity: ADC's
+    top-10 mean TRUE cosine must far exceed the corpus mean (random
+    ranking ≈ 0; measured ≈ +0.19) and the ADC list must overlap the
+    exact top-20. Real clustered embeddings fare far better — same
+    caveat as the documented IVF recall curve."""
+    from europe_gis_spark.operators import similarity
+    from europe_gis_spark.queries import QUERY_VEC
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    adc_ids = [
+        r.vec_id for r in similarity.pq_adc_topk(e, QUERY_VEC, k=10).collect()
+    ]
+    exact = {
+        r.vec_id: r.cosine
+        for r in similarity.cosine_to_query(e, QUERY_VEC).collect()
+    }
+    exact_top20 = sorted(exact, key=lambda v: (-exact[v], v))[:20]
+    assert len(set(adc_ids) & set(exact_top20)) >= 2, (adc_ids, exact_top20)
+    mean_adc_true = sum(exact[v] for v in adc_ids) / len(adc_ids)
+    corpus_mean = sum(exact.values()) / len(exact)
+    assert mean_adc_true > corpus_mean + 0.1, (mean_adc_true, corpus_mean)
