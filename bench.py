@@ -95,6 +95,7 @@ ROTATING = [
     "bloom_semi_join",
     "c4_line_filter",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

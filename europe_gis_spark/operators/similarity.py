@@ -588,3 +588,32 @@ def pq_adc_topk(
         .orderBy(F.desc("adc"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 64,
+    n_probe: int = 16,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """FAISS-IVFPQ shape: the coarse quantizer prunes to ``n_probe``
+    inverted lists, PQ-ADC scores only the survivors — at rest this is
+    a list-partitioned code table (m bytes/vector), so a query scans
+    n_probe/n_lists of an already-256×-compressed index. Both training
+    steps reuse the deterministic-sample kernels, so the oracle
+    re-derives probe set AND codes exactly."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_lists=n_lists, seed=seed)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(embeddings, seed=seed)
+    probe = probe_lists(centroids, query_vec, n_probe)
+    cand = embeddings.join(
+        ivf_assign(embeddings, centroids).filter(F.col("list_id").isin(probe)),
+        "vec_id",
+        "left_semi",
+    )
+    return pq_adc_topk(cand, query_vec, k=k, codebooks=codebooks)

@@ -2873,6 +2873,51 @@ FROM codes ORDER BY adc DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """FAISS-IVFPQ composition: coarse-quantizer probe of 16/64 lists,
+    PQ-ADC scoring only within the survivors (at rest: a
+    list-partitioned 8 B/vec code table — a query scans n_probe/n_lists
+    of an already-256×-compressed index)."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(e, QUERY_VEC, k=10)
+
+
+def _sql_ann_ivfpq():
+    """Oracle for ann_ivfpq_topk: re-derive BOTH engine-specific
+    intermediates with the bit-identical pandas twins (IVF centroids →
+    probe set → candidate ids; PQ codebooks → candidate codes), embed
+    codes as VALUES, and let DuckDB evaluate the same left-to-right ADC
+    lookup sum over the candidates only."""
+    d = _check_scale_embeddings()
+    if d is None:
+        return None
+    import numpy as np
+
+    mat = np.array(d["embedding"].tolist(), dtype=np.float64)
+    cent = similarity.train_ivf_centroids_pandas(d, n_lists=64, seed=7)
+    lists = similarity.assign_lists_np(mat, cent)
+    probe = similarity.probe_lists(cent, QUERY_VEC, 16)
+    mask = np.isin(lists, probe)
+    cb = similarity.train_pq_codebooks_pandas(d)
+    codes = similarity.pq_encode_np(mat[mask], cb)
+    tables = similarity.pq_adc_tables(cb, QUERY_VEC)
+    vals = ",".join(
+        "(%d,%s)" % (int(vid), ",".join(str(int(c)) for c in row))
+        for vid, row in zip(d["vec_id"].to_numpy()[mask], codes)
+    )
+    tabs = [
+        "[" + ", ".join(repr(float(v)) for v in tables[j]) + "]::DOUBLE[]"
+        for j in range(tables.shape[0])
+    ]
+    expr = " + ".join(f"({tabs[j]})[c{j} + 1]" for j in range(len(tabs)))
+    cols = ", ".join(f"c{j}" for j in range(len(tabs)))
+    return f"""
+WITH codes(vec_id, {cols}) AS (VALUES {vals})
+SELECT vec_id, ROUND({expr}, 8) AS adc
+FROM codes ORDER BY adc DESC, vec_id LIMIT 10
+"""
+
+
 def _sql_ann_lsh():
     """Oracle for ann_lsh_topk: recompute the sign-projection buckets
     (5 planes, seed 7 — ann_topk defaults) with the same numpy kernel,
@@ -4740,7 +4785,6 @@ QUERIES = {
     "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "deterministic_sample": (q_deterministic_sample, SQL_SAMPLE),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
     "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
@@ -4750,12 +4794,14 @@ QUERIES = {
     "bloom_semi_join": (q_bloom_semi, SQL_BLOOM_SEMI),
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "ann_pq_topk": (q_ann_pq_topk, _sql_ann_pq()),
+    "ann_ivfpq_topk": (q_ann_ivfpq, _sql_ann_ivfpq()),
     # --- 50-entry driver-window cut: below here, newest row r<=4 but
     # 3x-green (semi_anti_join/union_slices/left_join_fill/
     # value_histogram/lang_hits/geo_bbox/dedup_exact/geo_knn/geo_rebin —
     # the last four displaced by the never-checked bm25_topk/hybrid_rrf/
     # cms_heavy_hitters/bloom_semi_join; geo_knn's kernel stays covered
     # in-window by r4-green geo_knn3) or r4-green ---
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "approx_cardinality": (q_approx_cardinality, SQL_APPROX_CARDINALITY),
     "geo_knn": (q_geo_knn, _sql_geo_knn()),
     "geo_border_overlap": (q_geo_border, _sql_geo_border()),
