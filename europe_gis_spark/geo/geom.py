@@ -143,6 +143,21 @@ def simplify_polygon(
     return out
 
 
+def _segs_cross_scalar(
+    ax: float, ay: float, bx: float, by: float,
+    cx: float, cy: float, dx: float, dy: float,
+) -> bool:
+    """Strict proper-crossing test for segments ab, cd (scalar twin of the
+    vectorized o1*o2<0 & o3*o4<0 test below — same sign convention)."""
+    ex, ey = bx - ax, by - ay
+    o1 = ex * (cy - ay) - ey * (cx - ax)
+    o2 = ex * (dy - ay) - ey * (dx - ax)
+    fx, fy = dx - cx, dy - cy
+    o3 = fx * (ay - cy) - fy * (ax - cx)
+    o4 = fx * (by - cy) - fy * (bx - cx)
+    return o1 * o2 < 0 and o3 * o4 < 0
+
+
 def ring_is_simple(ring: np.ndarray, chunk: int = 512) -> bool:
     """True iff no two NON-adjacent edges of the closed ring properly
     cross (strict orientation-sign test, so epsilon-touching fixtures
@@ -158,6 +173,21 @@ def ring_is_simple(ring: np.ndarray, chunk: int = 512) -> bool:
     worst-case O(E²) but near-linear on real geographies."""
     p = ring[:-1]
     n = len(p)
+    if n <= 3:
+        # a closed triangle's edge pairs are all ring-adjacent
+        return True
+    if n == 4:
+        # quadrilateral: the only non-adjacent pairs are (e0,e2), (e1,e3)
+        # — two scalar tests, no array temporaries (hot path: the index
+        # build validates 1e5+ box-like LAU shells per job)
+        x0, y0 = float(p[0, 0]), float(p[0, 1])
+        x1, y1 = float(p[1, 0]), float(p[1, 1])
+        x2, y2 = float(p[2, 0]), float(p[2, 1])
+        x3, y3 = float(p[3, 0]), float(p[3, 1])
+        return not (
+            _segs_cross_scalar(x0, y0, x1, y1, x2, y2, x3, y3)
+            or _segs_cross_scalar(x1, y1, x2, y2, x3, y3, x0, y0)
+        )
     ax, ay = p[:, 0], p[:, 1]
     bx, by = np.roll(ax, -1), np.roll(ay, -1)
     exmin, exmax = np.minimum(ax, bx), np.maximum(ax, bx)

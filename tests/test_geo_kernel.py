@@ -132,6 +132,21 @@ def test_validity_rejects_self_intersection():
     assert geom.is_valid_polygon([[u]])
 
 
+def test_quad_simplicity_fast_path_matches_general():
+    """The n==4 scalar fast path in ring_is_simple must agree with the
+    general blocked path. Forcing the general path: subdivide each edge
+    at its midpoint (same shape, 8 edges) — proper crossings and
+    simplicity are preserved by subdivision."""
+    rng = np.random.default_rng(0)
+    for _ in range(500):
+        pts = rng.uniform(-10, 10, size=(4, 2))
+        quad = np.vstack([pts, pts[:1]])
+        mid = (pts + np.roll(pts, -1, axis=0)) / 2
+        sub = np.empty((9, 2))
+        sub[0:8:2], sub[1:8:2], sub[8] = pts, mid, pts[0]
+        assert geom.ring_is_simple(quad) == geom.ring_is_simple(sub)
+
+
 def test_clip_area_concave_disconnected_exact():
     """Triangle-fan clip path: a U-shape whose rect intersection is two
     DISCONNECTED prongs (the case where single-pass Sutherland–Hodgman
