@@ -96,6 +96,8 @@ ROTATING = [
     "c4_line_filter",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "bpe_merges",
+    "bpe_vocab",
 ]
 
 

@@ -911,3 +911,140 @@ def c4_line_filter(lines: DataFrame) -> DataFrame:
         )
         .withColumn("page_kept", F.col("kept_lines") >= C4_MIN_KEPT_LINES)
     )
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary training (Sennrich, Haddow & Birch 2016, "Neural
+# Machine Translation of Rare Words with Subword Units")
+
+#: symbols are brace-wrapped units ("{l}{o}{w}{</w>}") so a literal
+#: left-to-right replace of "{l}{r}" -> "{lr}" can never span a symbol
+#: boundary and adjacent matches never share characters — both engines'
+#: ``replace`` are greedy non-overlapping scans, which IS the reference
+#: BPE merge-application order ("aaa" + (a,a) -> ["aa","a"])
+BPE_EOW = "</w>"
+
+
+def bpe_words(docs: DataFrame) -> DataFrame:
+    """The word-type table BPE trains on: lowercase [a-z]+ tokens with
+    corpus frequencies, each rendered as its initial brace-wrapped
+    character-symbol sequence plus the end-of-word marker.
+
+    This is the ONLY corpus-scale pass (one tokenize + one word-count
+    shuffle); every merge iteration afterwards touches just this
+    bounded vocabulary table — the published scalable-BPE shape.
+    """
+    toks = tokens_col()
+    return (
+        docs.select(F.explode(toks).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.regexp_replace(F.col("w"), "(.)", "{$1}"),
+                F.lit("{" + BPE_EOW + "}"),
+            ).alias("seq"),
+        )
+    )
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts — map-side
+    zip_with over two array slices (no self-join), one (lft,rgt)
+    shuffle whose cardinality is bounded by distinct adjacent pairs."""
+    parts = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), r"\}\{")
+    n = F.size(parts)
+    pair_len = F.greatest(n - F.lit(1), F.lit(0))
+    return (
+        words.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(parts, F.lit(1), pair_len),
+                    F.slice(parts, F.lit(2), pair_len),
+                    lambda a, b: F.struct(a.alias("lft"), b.alias("rgt")),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.lft").alias("lft"), F.col("p.rgt").alias("rgt"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _bpe_apply_merge(words: DataFrame, lft: str, rgt: str) -> DataFrame:
+    """Apply one merge as a map-side literal replace (see BPE_EOW note
+    on why brace-wrapping makes greedy replace exactly reference BPE)."""
+    return words.withColumn(
+        "seq",
+        F.replace(
+            F.col("seq"),
+            F.lit("{%s}{%s}" % (lft, rgt)),
+            F.lit("{%s%s}" % (lft, rgt)),
+        ),
+    )
+
+
+def _bpe_iterate(
+    docs: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge loop; returns (merge rows, final word-type table)."""
+    words = bpe_words(docs).localCheckpoint(eager=True)
+    out: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _bpe_pair_counts(words)
+            .orderBy(F.desc("cnt"), "lft", "rgt")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully merged — stop early
+            break
+        lft, rgt, cnt = best[0]["lft"], best[0]["rgt"], best[0]["cnt"]
+        out.append((step, lft, rgt, int(cnt)))
+        words = _bpe_apply_merge(words, lft, rgt)
+        if step % 4 == 0:
+            words = words.localCheckpoint(eager=True)
+    return out, words
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus and
+    return the merge table (merge_rank, lft, rgt, pair_count).
+
+    Each iteration: count frequency-weighted adjacent symbol pairs,
+    take the argmax (ties broken count DESC then (lft, rgt) ASC — both
+    sides are ASCII, so the string order is engine-portable), and apply
+    the merge as ONE map-side literal replace over the word-type table.
+    Like PageRank, the driver runs O(n_merges) tiny actions (each
+    argmax is a 1-row TakeOrdered); the corpus itself is never
+    re-touched after ``bpe_words``.
+
+    Scale shape: at 100 TB the corpus pass is one tokenize+count
+    shuffle; the iterated table is the bounded word-type vocabulary
+    (~1e7 rows), so each merge costs one small agg + one map — the
+    standard distributed-BPE design. Lineage is truncated with
+    ``localCheckpoint`` every 4 merges so merge k never replays the
+    k chained replaces from scratch.
+    """
+    out, words = _bpe_iterate(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        out, "merge_rank INT, lft STRING, rgt STRING, pair_count BIGINT"
+    ).orderBy("merge_rank")
+
+
+def bpe_vocab_after(docs: DataFrame, n_merges: int = 8, top_k: int = 40) -> DataFrame:
+    """Symbol vocabulary (with frequency-weighted counts) after
+    ``n_merges`` learned merges — the subword unigram distribution a
+    tokenizer-budget decision reads. Top-k by count with a symbol
+    tie-break; ranking via TakeOrderedAndProject (no global sort)."""
+    _, words = _bpe_iterate(docs, n_merges)
+    parts = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), r"\}\{")
+    return (
+        words.select("freq", F.explode(parts).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), "symbol")
+        .limit(top_k)
+    )

@@ -4722,6 +4722,87 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """First 8 BPE merges learned over the documents corpus (Sennrich
+    et al. 2016): word-type table in ONE corpus shuffle, then 8
+    argmax-pair iterations over the bounded vocabulary (1-row
+    TakeOrdered each, like PageRank's per-round actions). The oracle
+    unrolls the identical recurrence as chained MATERIALIZED CTEs —
+    greedy left-to-right literal replace over brace-wrapped symbols is
+    the reference merge-application order in both engines."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.bpe_train(d, n_merges=8)
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """Top-40 subword symbols (frequency-weighted) after the 8 learned
+    BPE merges — the unigram distribution a tokenizer-budget decision
+    reads; count DESC + symbol tie-break, TakeOrderedAndProject."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.bpe_vocab_after(d, n_merges=8, top_k=40)
+
+
+def _sql_bpe(n_merges: int = 8, vocab_topk: int | None = None) -> str:
+    """Unrolled BPE training as chained CTEs (the _sql_pagerank
+    pattern): per merge level — pair counts from the brace-wrapped
+    symbol sequences (list_zip of two slices), 1-row argmax with the
+    (cnt DESC, lft, rgt) ASCII tie-break, then a literal REPLACE whose
+    greedy non-overlapping scan matches Spark's ``F.replace`` exactly
+    (pytest-pinned on randomized sequences). ``vocab_topk`` switches
+    the final select from the merge table to the post-merge symbol
+    vocabulary (the bpe_vocab contract)."""
+    ctes = [
+        """w0 AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                  x -> x <> '')) AS w
+    FROM documents
+  ) WHERE REGEXP_MATCHES(w, '^[a-z]+$') GROUP BY w
+)""",
+        """s0 AS MATERIALIZED (
+  SELECT freq, REGEXP_REPLACE(w, '(.)', '{\\1}', 'g') || '{</w>}' AS seq FROM w0
+)""",
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT z[1] AS lft, z[2] AS rgt, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+           UNNEST(LIST_ZIP(parts[1:LEN(parts) - 1], parts[2:LEN(parts)])) AS z
+    FROM (SELECT freq, STRING_SPLIT(seq[2:-2], '}}{{') AS parts FROM {prev})
+  ) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED "
+            f"(SELECT lft, rgt, cnt FROM p{i} ORDER BY cnt DESC, lft, rgt LIMIT 1)"
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT freq, REPLACE(seq,
+    '{{' || (SELECT lft FROM b{i}) || '}}{{' || (SELECT rgt FROM b{i}) || '}}',
+    '{{' || (SELECT lft FROM b{i}) || (SELECT rgt FROM b{i}) || '}}') AS seq
+  FROM {prev}
+)"""
+        )
+    if vocab_topk is not None:
+        final = f"""
+SELECT symbol, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+  SELECT freq, UNNEST(STRING_SPLIT(seq[2:-2], '}}{{')) AS symbol FROM s{n_merges}
+) GROUP BY symbol ORDER BY cnt DESC, symbol LIMIT {vocab_topk}"""
+    else:
+        final = (
+            "\nSELECT * FROM ("
+            + " UNION ALL ".join(
+                f"SELECT {i} AS merge_rank, lft, rgt, cnt AS pair_count FROM b{i}"
+                for i in range(1, n_merges + 1)
+            )
+            + ") ORDER BY merge_rank"
+        )
+    return "WITH " + ",\n".join(ctes) + final
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4735,6 +4816,10 @@ _ANN_IVF_SQL = _sql_ann_ivf()
 # whose newest CORRECTNESS row is oldest (or whose code/oracle just
 # changed) must lead. Re-sort each round from CORRECTNESS_r{N}.json.
 QUERIES = {
+    # never-checked r5 addition (distributed BPE training); its window
+    # slot comes from winnow_fingerprints, whose winnowing kernel keeps
+    # an r4-green row via winnow_pairs (the geo_knn/geo_knn3 precedent)
+    "bpe_merges": (q_bpe_merges, _sql_bpe(n_merges=8)),
     "warc_ingest": (q_warc_ingest, SQL_WARC_INGEST),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
@@ -4776,7 +4861,6 @@ QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_scores": (q_quality, SQL_QUALITY),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE),
@@ -4824,7 +4908,11 @@ QUERIES = {
         q_region_geoms_simplified,
         _sql_region_geoms_simplified(),
     ),
+    "winnow_fingerprints": (q_winnow_fps, _sql_winnow()),
     "winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
+    # r5 addition awaiting its first window slot (r6 rotation);
+    # exactness meanwhile pytest-pinned against the python twin
+    "bpe_vocab": (q_bpe_vocab, _sql_bpe(n_merges=8, vocab_topk=40)),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),

@@ -1988,3 +1988,83 @@ def test_pq_adc_beats_random_ranking(spark):
     mean_adc_true = sum(exact[v] for v in adc_ids) / len(adc_ids)
     corpus_mean = sum(exact.values()) / len(exact)
     assert mean_adc_true > corpus_mean + 0.1, (mean_adc_true, corpus_mean)
+
+
+def test_bpe_train_matches_reference(spark):
+    """Spark bpe_train ≡ a pure-python Sennrich-style reference (word
+    types, frequency-weighted pair argmax with (cnt DESC, pair ASC)
+    ties, greedy leftmost non-overlapping merge application)."""
+    import collections
+
+    texts = [
+        "the lower the better lowest low low newer new news the",
+        "wider widest wide new lower low the the the of of",
+        "low low lowest newer wider the of and to in is it",
+        "aaa aaa aa baa ab MixedCase stays out 123 too",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    got = [tuple(r) for r in textops.bpe_train(docs, n_merges=10).collect()]
+
+    wc = collections.Counter(
+        w for t in texts for w in t.split() if w.isalpha() and w.islower()
+    )
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+    ref = []
+    for step in range(1, 11):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((step, left, right, cnt))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (left, right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    assert got == ref
+
+
+def test_bpe_replace_greedy_semantics_portable(spark):
+    """The merge step leans on ``replace`` being a greedy leftmost
+    NON-OVERLAPPING scan in Spark, DuckDB and python alike — pin all
+    three on randomized repetitive brace sequences (the 'aaa' + (a,a)
+    class where overlap handling can diverge)."""
+    import duckdb
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    syms = ["a", "b", "ab", "aa"]
+    cases = []
+    for _ in range(40):
+        seq = "".join(
+            "{%s}" % syms[i] for i in rng.integers(0, len(syms), size=8)
+        )
+        lft, rgt = syms[rng.integers(0, len(syms))], syms[rng.integers(0, len(syms))]
+        cases.append((seq, "{%s}{%s}" % (lft, rgt), "{%s%s}" % (lft, rgt)))
+    sdf = spark.createDataFrame(cases, "seq STRING, pat STRING, rep STRING")
+    from pyspark.sql import functions as F
+
+    got = [
+        r[0]
+        for r in sdf.select(
+            F.replace(F.col("seq"), F.col("pat"), F.col("rep"))
+        ).collect()
+    ]
+    con = duckdb.connect()
+    for (seq, pat, rep), g in zip(cases, got):
+        py = seq.replace(pat, rep)
+        dk = con.execute("SELECT REPLACE(?, ?, ?)", [seq, pat, rep]).fetchone()[0]
+        assert g == py == dk, (seq, pat, rep, g, py, dk)
