@@ -98,6 +98,7 @@ ROTATING = [
     "ann_ivfpq_topk",
     "bpe_merges",
     "bpe_vocab",
+    "hll_users",
 ]
 
 

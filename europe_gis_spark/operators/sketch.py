@@ -195,3 +195,83 @@ def bloom_semi_join(
         fact_key,
         "left_semi",
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (Flajolet–Fuchs–Gandouet–Meunier 2007)
+
+HLL_B = 9  #: 2^9 = 512 registers → rsd ≈ 1.04/sqrt(512) ≈ 4.6 %
+HLL_M = 1 << HLL_B
+#: bias-correction constant alpha_m for m ≥ 128
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: scale for the EXACT-INTEGER register sum (see hll_cardinality)
+HLL_W = 32
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL registers (group…, bucket, mx) — the mergeable
+    bounded summary (≤ m rows per group no matter the input size).
+
+    bucket and rank come from DISJOINT md5 bit ranges (hex chars 1-4
+    mod m, chars 5-12 as the 32-bit rank word), so both are rebuildable
+    relationally by the DuckDB oracle. rho = 33 − bitlength(x) via
+    ``bin()`` string length — pure integer/string ops, engine-portable
+    (no float log2 at power-of-two boundaries).
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % HLL_M
+    x = F.conv(F.substring(h, 5, 8), 16, 10).cast("long")
+    rho = F.when(x == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin(x))
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def hll_cardinality(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL distinct estimate, BIT-EXACT across engines.
+
+    The raw estimate is E = α_m·m² / Σ_j 2^(−M_j). Summing 512 doubles
+    is addition-order-dependent, so the sum is kept EXACT: every term
+    2^(−M_j) is the dyadic rational 2^(33−M_j)/2^33 (M_j ≤ 33), so
+    Σ·2^33 is an integer accumulated with shiftleft — the only float
+    ops are one division and one multiply by the α_m·m² literal, in a
+    fixed expression order both engines share. Small-range correction
+    (E ≤ 2.5m with empty registers) switches to linear counting
+    m·ln(m/V) — again a float fn of exact integers. Registers absent
+    from the group (M_j = 0) contribute 2^33 each via the
+    (m − n_present) closed form: the sketch never materializes empty
+    buckets.
+
+    Scale shape: one (group, bucket) shuffle bounded at m rows/group,
+    then a per-group agg — the classic mergeable-sketch contract
+    (register tables from different corpus shards union + max-merge).
+    """
+    regs = hll_registers(df, key_col, group_cols)
+    # F.shiftleft only takes an int literal for numBits — the SQL form
+    # accepts a column expression
+    s_present = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - mx)"))
+    per = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_present"), s_present.alias("s_present")
+    )
+    two_w = float(1 << (HLL_W + 1))
+    s_scaled = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << (HLL_W + 1))
+    )
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+        s_scaled.cast("double") / F.lit(two_w)
+    )
+    v = F.lit(HLL_M) - F.col("n_present")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return per.select(*group_cols, F.round(est, 4).alias("est_distinct"))

@@ -4803,6 +4803,70 @@ SELECT symbol, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
     return "WITH " + ",\n".join(ctes) + final
 
 
+def q_hll_users(spark, sf_dir):
+    """Own-implementation HyperLogLog distinct-user estimate per event
+    type (512 registers, md5-derived bucket/rank bits), next to the
+    exact count — BIT-EXACT across engines because the register sum is
+    accumulated as exact shifted integers (see sketch.hll_cardinality).
+    Complements approx_cardinality (Spark's built-in HLL++, bounds-
+    checked only): this sketch the oracle rebuilds value-for-value."""
+    from .operators import sketch
+
+    ev = _read(spark, sf_dir, "events")
+    est = sketch.hll_cardinality(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
+def _sql_hll_users() -> str:
+    from .operators.sketch import HLL_ALPHA, HLL_B, HLL_M, HLL_W
+
+    m = HLL_M
+    wp1 = HLL_W + 1
+    two_w = float(1 << wp1)
+    a = repr(HLL_ALPHA * m * m)
+    thresh = repr(2.5 * m)
+    raw = (
+        f"{a} / ((s_present + ({m} - n_present) * (1::BIGINT << {wp1}))::DOUBLE"
+        f" / {two_w!r})"
+    )
+    assert HLL_B == 9  # bucket derives from 4 hex chars (16 bits) mod m
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || SUBSTRING(MD5(user_id::VARCHAR), 1, 4) AS BIGINT) % {m} AS bucket,
+         CAST('0x' || SUBSTRING(MD5(user_id::VARCHAR), 5, 8) AS BIGINT) AS x
+  FROM events
+),
+regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN x = 0 THEN {wp1} ELSE {wp1} - LENGTH(BIN(x)) END) AS mx
+  FROM h GROUP BY event_type, bucket
+),
+per AS (
+  SELECT event_type, COUNT(*) AS n_present,
+         SUM(1::BIGINT << ({wp1} - mx)) AS s_present
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN ({raw}) <= {thresh} AND ({m} - n_present) > 0
+              THEN {float(m)!r} * LN({float(m)!r} / ({m} - n_present)::DOUBLE)
+              ELSE {raw}
+         END AS e
+  FROM per
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, ROUND(e.e, 4) AS est_distinct, ex.n_users
+FROM est e JOIN ex USING (event_type) ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4820,6 +4884,10 @@ QUERIES = {
     # slot comes from winnow_fingerprints, whose winnowing kernel keeps
     # an r4-green row via winnow_pairs (the geo_knn/geo_knn3 precedent)
     "bpe_merges": (q_bpe_merges, _sql_bpe(n_merges=8)),
+    # never-checked r5 addition (own-HLL sketch); slot donated by
+    # user_cardinality, whose exact distinct agg rides in-window INSIDE
+    # hll_users (same table, same grouping, same COUNT(DISTINCT) column)
+    "hll_users": (q_hll_users, _sql_hll_users()),
     "warc_ingest": (q_warc_ingest, SQL_WARC_INGEST),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
@@ -4870,7 +4938,6 @@ QUERIES = {
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "deterministic_sample": (q_deterministic_sample, SQL_SAMPLE),
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
-    "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
     "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
     "hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
@@ -4885,6 +4952,7 @@ QUERIES = {
     # the last four displaced by the never-checked bm25_topk/hybrid_rrf/
     # cms_heavy_hitters/bloom_semi_join; geo_knn's kernel stays covered
     # in-window by r4-green geo_knn3) or r4-green ---
+    "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "approx_cardinality": (q_approx_cardinality, SQL_APPROX_CARDINALITY),
     "geo_knn": (q_geo_knn, _sql_geo_knn()),

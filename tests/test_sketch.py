@@ -74,3 +74,46 @@ def test_bloom_semi_join_equals_exact_semi_join_and_prunes(spark):
         for r in sketch.bloom_bit_positions(dims, "dk").collect()
     }
     assert len(bits) <= 5 * 100
+
+
+def test_hll_raw_branch_accuracy(spark):
+    """Large cardinality (20k ≫ 2.5·m) exercises the raw harmonic-mean
+    branch; rsd for m=512 is ~4.6 %, assert within 3σ ≈ 14 %."""
+    from europe_gis_spark.operators import sketch
+
+    df = spark.range(20_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("k")
+    )
+    [row] = sketch.hll_cardinality(df, "k", ["g"]).collect()
+    assert abs(row.est_distinct - 20_000) / 20_000 < 0.14
+
+
+def test_hll_linear_counting_branch_accuracy(spark):
+    """Small cardinality (100 < 2.5·m with empty registers) takes the
+    linear-counting branch, which is tighter than the raw estimate."""
+    from europe_gis_spark.operators import sketch
+
+    df = spark.range(100).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    [row] = sketch.hll_cardinality(df, "k", ["g"]).collect()
+    assert abs(row.est_distinct - 100) / 100 < 0.1
+
+
+def test_hll_registers_merge_equals_union(spark):
+    """The mergeable-sketch contract: max-merging the register tables
+    of two disjoint halves equals the whole input's registers (so
+    per-shard sketches combine without touching raw data)."""
+    from europe_gis_spark.operators import sketch
+
+    whole = spark.range(5_000).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    lo = whole.filter(F.col("k") < 2_500)
+    hi = whole.filter(F.col("k") >= 2_500)
+    merged = (
+        sketch.hll_registers(lo, "k", ["g"])
+        .unionByName(sketch.hll_registers(hi, "k", ["g"]))
+        .groupBy("g", "bucket")
+        .agg(F.max("mx").alias("mx"))
+    )
+    a = {(r.bucket, r.mx) for r in merged.collect()}
+    b = {(r.bucket, r.mx)
+         for r in sketch.hll_registers(whole, "k", ["g"]).collect()}
+    assert a == b
