@@ -99,6 +99,7 @@ ROTATING = [
     "bpe_merges",
     "bpe_vocab",
     "hll_users",
+    "dsir_select",
 ]
 
 

@@ -1048,3 +1048,129 @@ def bpe_vocab_after(docs: DataFrame, n_merges: int = 8, top_k: int = 40) -> Data
         .orderBy(F.desc("cnt"), "symbol")
         .limit(top_k)
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling")
+
+DSIR_BUCKETS = 1024
+DSIR_ALPHA = 0.5
+#: fixed-point scale for per-bucket log-ratios: the per-doc score is a
+#: SUM of floats whose addition order Spark cannot pin, so each λ_b is
+#: quantized to an integer once (one deterministic round) and the doc
+#: score becomes an EXACT integer sum — order-free, engine-portable
+DSIR_SCALE = 1_000_000
+
+
+def _dsir_bigram_buckets(docs: DataFrame):
+    """(doc_id, bucket) per bigram occurrence — map-side zip_with over
+    two token slices, md5-hashed into DSIR_BUCKETS buckets."""
+    toks = tokens_col()
+    n = F.size(toks)
+    pair_len = F.greatest(n - F.lit(1), F.lit(0))
+    bg = F.explode(
+        F.zip_with(
+            F.slice(toks, F.lit(1), pair_len),
+            F.slice(toks, F.lit(2), pair_len),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("bg")), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    return docs.select("doc_id", bg.alias("bg")).select(
+        "doc_id", bucket.alias("bucket")
+    )
+
+
+def dsir_scores(docs: DataFrame, is_target) -> DataFrame:
+    """Per-document DSIR importance score: hashed-bigram bag-of-words
+    log-likelihood ratio log p_target(doc) − log p_source(doc) under
+    Laplace-smoothed bucket unigram models.
+
+    ``is_target`` is a boolean Column selecting the target subset;
+    the source model is the WHOLE corpus.
+
+    Scale shape: bigram hashing is map-side; the two bucket-count
+    aggregations output ≤ DSIR_BUCKETS rows each, so the λ table is a
+    bounded broadcast join back onto the exploded stream; the per-doc
+    reduction is ONE doc_id-keyed integer sum. Nothing corpus-scale is
+    ever collected or broadcast.
+    """
+    feats = _dsir_bigram_buckets(docs)
+    tgt_feats = _dsir_bigram_buckets(docs.filter(is_target))
+    src_cnt = feats.groupBy("bucket").agg(F.count("*").alias("s"))
+    tgt_cnt = tgt_feats.groupBy("bucket").agg(F.count("*").alias("t"))
+    s_tot = src_cnt.agg(F.sum("s").alias("s_tot"))
+    t_tot = tgt_cnt.agg(F.sum("t").alias("t_tot"))
+    ab = float(DSIR_ALPHA * DSIR_BUCKETS)
+    lam = (
+        src_cnt.join(tgt_cnt, "bucket", "left")
+        .fillna({"t": 0})
+        .crossJoin(s_tot)
+        .crossJoin(t_tot)
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.col("t") + F.lit(DSIR_ALPHA))
+                        / (F.col("t_tot") + F.lit(ab))
+                    )
+                    - F.log(
+                        (F.col("s") + F.lit(DSIR_ALPHA))
+                        / (F.col("s_tot") + F.lit(ab))
+                    )
+                )
+                * F.lit(DSIR_SCALE),
+                0,
+            )
+            .cast("long")
+            .alias("lam_i"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lam_i").alias("score_i"))
+        .select(
+            "doc_id",
+            (F.col("score_i").cast("double") / F.lit(float(DSIR_SCALE))).alias(
+                "dsir_score"
+            ),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame, is_target, k: int = 50, seed: str = "dsir"
+) -> DataFrame:
+    """Importance-resample ``k`` documents: Gumbel-top-k on the DSIR
+    log-weights (sampling without replacement ∝ importance weight).
+
+    The Gumbel noise is md5-seeded (u = (hash+0.5)/2^32,
+    g = −ln(−ln u)) so the draw is deterministic and the oracle
+    replays it; the perturbed key is ROUNDed with a doc_id tie-break
+    and ranked by TakeOrderedAndProject (no global sort)."""
+    scores = dsir_scores(docs, is_target)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    g = -F.log(-F.log(u))
+    key = F.round(F.col("dsir_score") + g, 6)
+    return (
+        scores.select("doc_id", "dsir_score", key.alias("gumbel_key"))
+        .orderBy(F.desc("gumbel_key"), "doc_id")
+        .limit(k)
+    )

@@ -4867,6 +4867,58 @@ FROM est e JOIN ex USING (event_type) ORDER BY event_type
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed-bigram
+    log-likelihood-ratio importance weights (target = src0 docs,
+    source = whole corpus) with a deterministic md5-seeded Gumbel
+    top-50 — the published data-selection pass for matching a
+    pretraining mix to a target domain. Per-doc scores are exact
+    integer sums of fixed-point λ's, so the oracle is value-exact."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.dsir_select(d, F.col("source") == "src0", k=50)
+
+
+SQL_DSIR_SELECT = """
+WITH toks AS (
+  SELECT doc_id, source,
+         LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+bg0 AS (
+  SELECT doc_id, source,
+         UNNEST([tk[i] || ' ' || tk[i + 1]
+                 FOR i IN RANGE(1, GREATEST(LEN(tk), 1))]) AS bg
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, source,
+         CAST('0x' || SUBSTRING(MD5(bg), 1, 8) AS BIGINT) % 1024 AS bucket
+  FROM bg0
+),
+scnt AS (SELECT bucket, COUNT(*) AS s FROM feats GROUP BY bucket),
+tcnt AS (SELECT bucket, COUNT(*) AS t FROM feats WHERE source = 'src0' GROUP BY bucket),
+tot AS (SELECT (SELECT SUM(s) FROM scnt) AS s_tot, (SELECT SUM(t) FROM tcnt) AS t_tot),
+lam AS (
+  SELECT sc.bucket,
+         CAST(ROUND((LN((COALESCE(tc.t, 0) + 0.5) / (tot.t_tot + 512.0))
+                     - LN((sc.s + 0.5) / (tot.s_tot + 512.0))) * 1000000, 0)
+              AS BIGINT) AS lam_i
+  FROM scnt sc LEFT JOIN tcnt tc USING (bucket) CROSS JOIN tot
+),
+sco AS (
+  SELECT f.doc_id, CAST(SUM(l.lam_i) AS BIGINT) AS score_i
+  FROM feats f JOIN lam l USING (bucket) GROUP BY f.doc_id
+)
+SELECT doc_id, score_i::DOUBLE / 1000000.0 AS dsir_score,
+       ROUND(score_i::DOUBLE / 1000000.0
+             + (- LN(- LN((CAST('0x' || SUBSTRING(MD5('dsir:' || doc_id::VARCHAR), 1, 8)
+                           AS BIGINT)::DOUBLE + 0.5) / 4294967296.0))), 6) AS gumbel_key
+FROM sco
+ORDER BY gumbel_key DESC, doc_id
+LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4888,6 +4940,10 @@ QUERIES = {
     # user_cardinality, whose exact distinct agg rides in-window INSIDE
     # hll_users (same table, same grouping, same COUNT(DISTINCT) column)
     "hll_users": (q_hll_users, _sql_hll_users()),
+    # never-checked r5 addition (DSIR importance resampling); slot
+    # donated by deterministic_sample — the sampling family keeps two
+    # in-window r5 rows (weighted_sample, stratified_sample)
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "warc_ingest": (q_warc_ingest, SQL_WARC_INGEST),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
@@ -4936,7 +4992,6 @@ QUERIES = {
     "minmax_normalize": (q_minmax_normalize, SQL_MINMAX),
     "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "sliding_window": (q_sliding_window, SQL_SLIDING),
-    "deterministic_sample": (q_deterministic_sample, SQL_SAMPLE),
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED),
     "geo_pip_join": (q_geo_pip, _sql_geo_pip()),
     "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
@@ -4952,6 +5007,7 @@ QUERIES = {
     # the last four displaced by the never-checked bm25_topk/hybrid_rrf/
     # cms_heavy_hitters/bloom_semi_join; geo_knn's kernel stays covered
     # in-window by r4-green geo_knn3) or r4-green ---
+    "deterministic_sample": (q_deterministic_sample, SQL_SAMPLE),
     "user_cardinality": (q_user_cardinality, SQL_CARDINALITY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "approx_cardinality": (q_approx_cardinality, SQL_APPROX_CARDINALITY),

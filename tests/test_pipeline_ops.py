@@ -2068,3 +2068,27 @@ def test_bpe_replace_greedy_semantics_portable(spark):
         py = seq.replace(pat, rep)
         dk = con.execute("SELECT REPLACE(?, ?, ?)", [seq, pat, rep]).fetchone()[0]
         assert g == py == dk, (seq, pat, rep, g, py, dk)
+
+
+def test_dsir_prefers_target_domain(spark):
+    """Docs sharing the target domain's bigram distribution must
+    dominate the selection; score sign separates the domains."""
+    med = ["heart lung dose patient trial", "dose trial patient heart lung"]
+    web = ["click buy cheap deal shop now", "shop deal click now buy cheap"]
+    rows = []
+    for i in range(60):
+        base = med[i % 2] if i < 30 else web[i % 2]
+        rows.append((i, base, "tgt" if i < 10 else "pool"))
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING, source STRING")
+    sel = textops.dsir_select(docs, F.col("source") == "tgt", k=20).collect()
+    picked = {r.doc_id for r in sel}
+    med_ids = set(range(30))
+    assert len(picked & med_ids) >= 16, sorted(picked)
+    scores = {r.doc_id: r.dsir_score for r in
+              textops.dsir_scores(docs, F.col("source") == "tgt").collect()}
+    # Laplace smoothing (alpha*B = 512 pseudo-bigrams) shifts ALL
+    # scores on a corpus this small, so assert strict domain
+    # SEPARATION, not sign: every med doc outscores every web doc
+    assert min(scores[i] for i in range(30)) > max(
+        scores[i] for i in range(30, 60)
+    )
