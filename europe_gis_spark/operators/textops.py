@@ -1080,8 +1080,9 @@ def _dsir_bigram_buckets(docs: DataFrame):
         F.conv(F.substring(F.md5(F.col("bg")), 1, 8), 16, 10).cast("long")
         % DSIR_BUCKETS
     )
-    return docs.select("doc_id", bg.alias("bg")).select(
-        "doc_id", bucket.alias("bucket")
+    extra = [c for c in docs.columns if c == "__tgt"]
+    return docs.select("doc_id", *extra, bg.alias("bg")).select(
+        "doc_id", *extra, bucket.alias("bucket")
     )
 
 
@@ -1093,43 +1094,50 @@ def dsir_scores(docs: DataFrame, is_target) -> DataFrame:
     ``is_target`` is a boolean Column selecting the target subset;
     the source model is the WHOLE corpus.
 
-    Scale shape: bigram hashing is map-side; the two bucket-count
-    aggregations output ≤ DSIR_BUCKETS rows each, so the λ table is a
-    bounded broadcast join back onto the exploded stream; the per-doc
-    reduction is ONE doc_id-keyed integer sum. Nothing corpus-scale is
-    ever collected or broadcast.
+    Scale shape: bigram hashing is map-side; BOTH bucket models ride
+    ONE exploded pass (conditional aggregate on the is_target flag), so
+    the corpus is scanned exactly twice — once for the ≤ DSIR_BUCKETS-row
+    count table (whose 1-row totals come off that same tiny table, not
+    another corpus agg) and once for the per-doc reduction, ONE
+    doc_id-keyed integer sum with the λ table broadcast back onto it.
+    Nothing corpus-scale is ever collected or broadcast.
     """
-    feats = _dsir_bigram_buckets(docs)
-    tgt_feats = _dsir_bigram_buckets(docs.filter(is_target))
-    src_cnt = feats.groupBy("bucket").agg(F.count("*").alias("s"))
-    tgt_cnt = tgt_feats.groupBy("bucket").agg(F.count("*").alias("t"))
-    s_tot = src_cnt.agg(F.sum("s").alias("s_tot"))
-    t_tot = tgt_cnt.agg(F.sum("t").alias("t_tot"))
-    ab = float(DSIR_ALPHA * DSIR_BUCKETS)
-    lam = (
-        src_cnt.join(tgt_cnt, "bucket", "left")
-        .fillna({"t": 0})
-        .crossJoin(s_tot)
-        .crossJoin(t_tot)
-        .select(
-            "bucket",
-            F.round(
-                (
-                    F.log(
-                        (F.col("t") + F.lit(DSIR_ALPHA))
-                        / (F.col("t_tot") + F.lit(ab))
-                    )
-                    - F.log(
-                        (F.col("s") + F.lit(DSIR_ALPHA))
-                        / (F.col("s_tot") + F.lit(ab))
-                    )
-                )
-                * F.lit(DSIR_SCALE),
-                0,
-            )
-            .cast("long")
-            .alias("lam_i"),
+    feats = _dsir_bigram_buckets(docs.withColumn("__tgt", is_target))
+    # materialize the <= DSIR_BUCKETS-row count table once: tots, lam
+    # and the broadcast all read the tiny checkpointed RDD instead of
+    # re-deriving the corpus agg per branch (AQE cannot ReusedExchange
+    # across the broadcast/shuffle boundary here — measured 3 scans
+    # without this, 2 with)
+    cnts = (
+        feats.groupBy("bucket")
+        .agg(
+            F.count("*").alias("s"),
+            F.sum(F.col("__tgt").cast("long")).alias("t"),
         )
+        .localCheckpoint(eager=True)
+    )
+    tots = cnts.agg(
+        F.sum("s").alias("s_tot"), F.sum("t").alias("t_tot")
+    )
+    ab = float(DSIR_ALPHA * DSIR_BUCKETS)
+    lam = cnts.crossJoin(tots).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("t") + F.lit(DSIR_ALPHA))
+                    / (F.col("t_tot") + F.lit(ab))
+                )
+                - F.log(
+                    (F.col("s") + F.lit(DSIR_ALPHA))
+                    / (F.col("s_tot") + F.lit(ab))
+                )
+            )
+            * F.lit(DSIR_SCALE),
+            0,
+        )
+        .cast("long")
+        .alias("lam_i"),
     )
     return (
         feats.join(F.broadcast(lam), "bucket")

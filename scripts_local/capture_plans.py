@@ -197,6 +197,46 @@ def main() -> None:
         )
     )
 
+    from europe_gis_spark.queries import q_dsir_select, q_hll_users
+
+    hll = q_hll_users(spark, "/root/testdata/sf0.001")
+    sections.append(
+        (
+            "Own-HLL cardinality (ONE (group,bucket) register exchange "
+            "with map-side partial capped at m rows/group/task; the "
+            "estimate math is post-agg projection — no second pass over "
+            "events for the sketch)",
+            plan(hll),
+        )
+    )
+
+    ds = q_dsir_select(spark, "/root/testdata/sf0.001")
+    sections.append(
+        (
+            "DSIR selection (map-side hashed-bigram explode; two "
+            "bounded ≤1024-row bucket aggs; the λ table joins back as "
+            "an explicit broadcast; ONE doc_id-keyed integer score "
+            "sum; Gumbel top-k is TakeOrderedAndProject)",
+            plan(ds),
+        )
+    )
+
+    from europe_gis_spark.operators import textops as tx
+
+    docs001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pair1 = tx._bpe_pair_counts(tx.bpe_words(docs001)).orderBy(
+        F.desc("cnt"), "lft", "rgt"
+    ).limit(1)
+    sections.append(
+        (
+            "BPE merge iteration (the per-merge unit: pair counts are "
+            "a map-side zip_with explode over the word-type table into "
+            "one (lft,rgt) agg; the argmax is TakeOrderedAndProject "
+            "limit=1 — no global sort, no Python in the loop body)",
+            plan(pair1),
+        )
+    )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Captured physical plans — the evidence behind the scale claims\n\n")

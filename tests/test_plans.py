@@ -536,3 +536,57 @@ def test_bloom_filter_prunes_fact_side_before_semi_join(spark):
     # the fact branch; cheap proxy — the filter exists and is JVM-side
     assert "md5" in p.lower(), p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_dsir_two_corpus_scans_broadcast_lambda_take_ordered(spark):
+    """dsir_select: the FINAL adaptive plan reads the corpus ONCE (the
+    bucket-count table is localCheckpointed — its job is the only other
+    corpus scan); the λ table attaches as a broadcast hash join; the
+    Gumbel top-k is TakeOrderedAndProject; no Python evaluator."""
+    from europe_gis_spark.queries import q_dsir_select
+
+    df = q_dsir_select(spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("+- == Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "Scan ExistingRDD" in final, final
+    assert "BroadcastHashJoin" in final, final
+    assert "TakeOrderedAndProject" in final, final
+    assert "ArrowEvalPython" not in final and "BatchEvalPython" not in final
+
+
+def test_bpe_pair_argmax_is_take_ordered_no_python(spark):
+    """The BPE merge-iteration unit: argmax over pair counts must be a
+    1-row TakeOrderedAndProject (per-partition heap), never a global
+    sort, and the whole loop body stays JVM-side."""
+    from pyspark.sql import functions as F
+
+    from europe_gis_spark.operators import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pair1 = (
+        textops._bpe_pair_counts(textops.bpe_words(docs))
+        .orderBy(F.desc("cnt"), "lft", "rgt")
+        .limit(1)
+    )
+    p = plan_str(pair1, mode="simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_hll_single_register_exchange(spark):
+    """hll_cardinality: exactly ONE exchange pair (the (group,bucket)
+    register agg feeds the per-group reduction which rides the same
+    keyed layout — grouping on a prefix of the keys may add a second
+    small exchange over <= m rows/group, never a corpus-scale one);
+    no Python evaluator anywhere."""
+    from europe_gis_spark.operators import sketch
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = sketch.hll_cardinality(ev, "user_id", ["event_type"])
+    p = plan_str(df, mode="simple")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    # corpus-side exchange count: the register agg + the <=512-rows/group
+    # rollup — both keyed, bounded post-partial
+    assert p.count("Exchange hashpartitioning") <= 2, p
