@@ -100,6 +100,7 @@ ROTATING = [
     "bpe_vocab",
     "hll_users",
     "dsir_select",
+    "bpe_encode",
 ]
 
 

@@ -941,6 +941,7 @@ def bpe_words(docs: DataFrame) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
         .select(
+            "w",
             "freq",
             F.concat(
                 F.regexp_replace(F.col("w"), "(.)", "{$1}"),
@@ -954,6 +955,7 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
     """Frequency-weighted adjacent-symbol pair counts — map-side
     zip_with over two array slices (no self-join), one (lft,rgt)
     shuffle whose cardinality is bounded by distinct adjacent pairs."""
+    words = words.select("freq", "seq")
     parts = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), r"\}\{")
     n = F.size(parts)
     pair_len = F.greatest(n - F.lit(1), F.lit(0))
@@ -1047,6 +1049,35 @@ def bpe_vocab_after(docs: DataFrame, n_merges: int = 8, top_k: int = 40) -> Data
         .agg(F.sum("freq").alias("cnt"))
         .orderBy(F.desc("cnt"), "symbol")
         .limit(top_k)
+    )
+
+def bpe_encode_counts(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Apply the trained BPE vocabulary to the corpus: per-document
+    word and subword counts under the first ``n_merges`` merges.
+
+    The tokenizer is APPLIED BY JOIN, not by re-running merges per
+    document: the training loop's final word-type table already holds
+    every word's merged symbol sequence, so encoding is one equi join
+    of the exploded [a-z]+ token stream against the vocab (corpus-scale
+    vocabulary — hash join, never forced broadcast) plus one doc_id
+    agg. This is the standard at-scale tokenizer-application shape:
+    the expensive merge recursion runs once over word TYPES, documents
+    only pay a dictionary lookup per token."""
+    _, words = _bpe_iterate(docs, n_merges)
+    parts = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), r"\}\{")
+    vocab = words.select("w", F.size(parts).alias("n_sub"))
+    toks = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+    )
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -4742,7 +4742,11 @@ def q_bpe_vocab(spark, sf_dir):
     return textops.bpe_vocab_after(d, n_merges=8, top_k=40)
 
 
-def _sql_bpe(n_merges: int = 8, vocab_topk: int | None = None) -> str:
+def _sql_bpe(
+    n_merges: int = 8,
+    vocab_topk: int | None = None,
+    encode: bool = False,
+) -> str:
     """Unrolled BPE training as chained CTEs (the _sql_pagerank
     pattern): per merge level — pair counts from the brace-wrapped
     symbol sequences (list_zip of two slices), 1-row argmax with the
@@ -4754,13 +4758,13 @@ def _sql_bpe(n_merges: int = 8, vocab_topk: int | None = None) -> str:
     ctes = [
         """w0 AS MATERIALIZED (
   SELECT w, COUNT(*) AS freq FROM (
-    SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+    SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
                   x -> x <> '')) AS w
     FROM documents
   ) WHERE REGEXP_MATCHES(w, '^[a-z]+$') GROUP BY w
 )""",
         """s0 AS MATERIALIZED (
-  SELECT freq, REGEXP_REPLACE(w, '(.)', '{\\1}', 'g') || '{</w>}' AS seq FROM w0
+  SELECT w, freq, REGEXP_REPLACE(w, '(.)', '{\\1}', 'g') || '{</w>}' AS seq FROM w0
 )""",
     ]
     for i in range(1, n_merges + 1):
@@ -4780,13 +4784,25 @@ def _sql_bpe(n_merges: int = 8, vocab_topk: int | None = None) -> str:
         )
         ctes.append(
             f"""s{i} AS MATERIALIZED (
-  SELECT freq, REPLACE(seq,
+  SELECT w, freq, REPLACE(seq,
     '{{' || (SELECT lft FROM b{i}) || '}}{{' || (SELECT rgt FROM b{i}) || '}}',
     '{{' || (SELECT lft FROM b{i}) || (SELECT rgt FROM b{i}) || '}}') AS seq
   FROM {prev}
 )"""
         )
-    if vocab_topk is not None:
+    if encode:
+        final = f"""
+SELECT t.doc_id, COUNT(*) AS n_words,
+       CAST(SUM(LEN(STRING_SPLIT(v.seq[2:-2], '}}{{'))) AS BIGINT) AS n_subwords
+FROM (
+  SELECT doc_id,
+         UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                x -> REGEXP_MATCHES(x, '^[a-z]+$'))) AS w
+  FROM documents
+) t
+JOIN s{n_merges} v USING (w)
+GROUP BY t.doc_id ORDER BY t.doc_id"""
+    elif vocab_topk is not None:
         final = f"""
 SELECT symbol, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
   SELECT freq, UNNEST(STRING_SPLIT(seq[2:-2], '}}{{')) AS symbol FROM s{n_merges}
@@ -4919,6 +4935,15 @@ LIMIT 50
 """
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Apply the trained 8-merge BPE vocabulary: per-doc word and
+    subword counts, tokenizer applied BY JOIN against the word-type
+    table (documents never re-run merges — the at-scale application
+    shape). Oracle = the same unrolled merge CTEs + a word join."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.bpe_encode_counts(d, n_merges=8)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5037,6 +5062,7 @@ QUERIES = {
     # r5 addition awaiting its first window slot (r6 rotation);
     # exactness meanwhile pytest-pinned against the python twin
     "bpe_vocab": (q_bpe_vocab, _sql_bpe(n_merges=8, vocab_topk=40)),
+    "bpe_encode": (q_bpe_encode, _sql_bpe(n_merges=8, encode=True)),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),

@@ -2092,3 +2092,25 @@ def test_dsir_prefers_target_domain(spark):
     assert min(scores[i] for i in range(30)) > max(
         scores[i] for i in range(30, 60)
     )
+
+
+def test_bpe_encode_counts_consistency(spark):
+    """Encoding invariants: 1 ≤ subwords/word ≤ word_len+1; zero merges
+    means every word costs len(word)+1 symbols (chars + </w>); more
+    merges never increase any doc's subword count."""
+    texts = ["low lower lowest", "new newer news low", "wide wider widest new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    base = {r.doc_id: r.n_subwords
+            for r in textops.bpe_encode_counts(docs, n_merges=0).collect()}
+    for i, t in enumerate(texts):
+        assert base[i] == sum(len(w) + 1 for w in t.split())
+    merged = {r.doc_id: r.n_subwords
+              for r in textops.bpe_encode_counts(docs, n_merges=6).collect()}
+    assert all(merged[i] < base[i] for i in merged)
+    words = {r.doc_id: r.n_words
+             for r in textops.bpe_encode_counts(docs, n_merges=6).collect()}
+    for i, t in enumerate(texts):
+        assert words[i] == len(t.split())
+        assert merged[i] >= words[i]
