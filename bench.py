@@ -101,6 +101,7 @@ ROTATING = [
     "hll_users",
     "dsir_select",
     "bpe_encode",
+    "image_dups",
 ]
 
 

@@ -28,7 +28,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window, functions as F
 
 IMAGE_META_SCHEMA = "width int, height int, channels int, format string"
 
@@ -620,3 +620,104 @@ def audio_features(
             )
 
     return df.select(key_col, payload_col).mapInPandas(fn, schema=AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# perceptual-hash image near-dup detection (dHash, Krawetz 2013)
+
+DHASH_SCHEMA = "key string, dhash long"
+DHASH_BANDS = 4
+DHASH_BAND_BITS = 64 // DHASH_BANDS
+DHASH_MAX_BUCKET = 200  # hot-bucket cap, same role as SIMHASH_MAX_BUCKET
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: bilinear-resize to 8×9 grayscale, bit
+    k=y·8+x set iff g[y,x] < g[y,x+1]. Pure numpy (the deterministic
+    resize above), so the oracle twin replays it bit-for-bit."""
+    small = resize_image(img, 8, 9, method="bilinear")
+    g = small.astype(np.float64).mean(axis=2)
+    bits = (g[:, :-1] < g[:, 1:]).ravel()
+    v = np.uint64(0)
+    for k in np.nonzero(bits)[0]:
+        v |= np.uint64(1) << np.uint64(k)
+    return int(v.astype(np.int64))
+
+
+def image_dhash(
+    df: DataFrame, key_col: str = "key", payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode → 64-bit dHash per image, one Arrow batch at a time (the
+    W4 batched-UDF shape); the hash lands in a LongType column so the
+    pairing join and hamming verify stay JVM-side."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = [
+                dhash64(decode_image(p, fake=fake))
+                for p in b[payload_col].tolist()
+            ]
+            yield pd.DataFrame(
+                {"key": b[key_col].tolist(),
+                 "dhash": np.array(out, dtype=np.int64)}
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(fn, schema=DHASH_SCHEMA)
+
+
+def dhash_near_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = DHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Hamming-≤``max_hamming`` image pairs via 4×16-bit band buckets.
+
+    With 4 bands, exact-band equality is LOSSLESS for hamming ≤ 3
+    (pigeonhole: ≤3 flipped bits leave ≥1 band untouched), so the
+    banded join finds EXACTLY the brute-force pair set — the oracle
+    brute-forces it relationally. The verify (bit_count of xor) and the
+    join are JVM-side; ``max_bucket`` drops degenerate buckets (solid
+    boilerplate thumbnails) before the quadratic join, same contract as
+    the SimHash text path — at fixture scale the cap is a measured
+    no-op so the oracle needs no cap mirror.
+    """
+    mask = (1 << DHASH_BAND_BITS) - 1
+    keys = fps.select(
+        "key",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("dhash"), b * DHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for b in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("key", "dhash", "bk.band", "bk.bkey")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bkey")
+        keys = (
+            keys.withColumn("__n", F.count("*").over(w))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+    a = keys.select(
+        F.col("key").alias("id_a"), F.col("dhash").alias("ha"), "band", "bkey"
+    )
+    b = keys.select(
+        F.col("key").alias("id_b"), F.col("dhash").alias("hb"), "band", "bkey"
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -4944,6 +4944,94 @@ def q_bpe_encode(spark, sf_dir):
     return textops.bpe_encode_counts(d, n_merges=8)
 
 
+IMG_DUP_N = 200
+
+
+def _img_dup_synth_np(did: int):
+    """Deterministic synthesis formula for the image-dedup fixture —
+    shared verbatim by the Spark mapInPandas encoder and the oracle's
+    driver-side twin (motif gradient + per-variant bump + phase term;
+    (did//32)%5 makes ids 0..31 ≡ 160..191 exact duplicates)."""
+    import numpy as np
+
+    m, v, ph = did % 8, (did // 8) % 4, (did // 32) % 5
+    y, x = np.mgrid[0:16, 0:18]
+    base = (29 * m + 5 * x + 3 * y + ((x * (m + 2) + y * (1 + ph)) % 7) * 13) % 256
+    img = np.stack(
+        [base, (base + 17) % 256, (base + 34) % 256], axis=2
+    ).astype(np.uint8)
+    img[2 * v : 2 * v + 3, 4 * v : 4 * v + 4] = (
+        img[2 * v : 2 * v + 3, 4 * v : 4 * v + 4].astype(int) + 90
+    ) % 256
+    return img
+
+
+def q_image_dups(spark, sf_dir):
+    """Perceptual-hash image near-dup pairs: synthesized gradient
+    images (BMP for even ids, PNG for odd — REAL codecs) → decode →
+    64-bit dHash (mapInPandas) → 4×16-bit banded hamming-≤3 join
+    (lossless by pigeonhole, so the oracle brute-forces the exact pair
+    set from twin-recomputed fingerprints — a stride/unfilter/channel
+    bug changes hashes and hash-mismatches in CORRECTNESS).
+    Hot-bucket cap is a measured no-op at this scale (max bucket 10 vs
+    cap 200)."""
+    from .operators import multimodal
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < IMG_DUP_N)
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from europe_gis_spark.operators import multimodal as mm
+        from europe_gis_spark.queries import _img_dup_synth_np
+
+        for b in batches:
+            ids = b["doc_id"].tolist()
+            payloads = [
+                mm.encode_bmp(_img_dup_synth_np(i))
+                if i % 2 == 0
+                else mm.encode_png(_img_dup_synth_np(i))
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": [str(x) for x in ids], "payload": payloads}
+            )
+
+    media = d.mapInPandas(synth, schema="doc_id string, payload binary")
+    fps = multimodal.image_dhash(
+        media, key_col="doc_id", payload_col="payload"
+    ).select(F.col("key").cast("int").alias("key"), "dhash")
+    # cast BEFORE pairing: the id_a < id_b orientation must be numeric
+    # ('10' < '2' lexicographically would invert pairs)
+    return multimodal.dhash_near_pairs(fps, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _sql_image_dups() -> str:
+    """Oracle: recompute every fingerprint driver-side with the SAME
+    numpy synthesis+dHash kernels (no codec — the codec roundtrip is
+    exactly what the Spark path must not corrupt), embed them as
+    VALUES, brute-force all hamming-≤3 pairs relationally."""
+    from .operators.multimodal import dhash64
+
+    vals = ",".join(
+        f"({i}, {dhash64(_img_dup_synth_np(i))})" for i in range(IMG_DUP_N)
+    )
+    return f"""
+WITH fp(doc_id, h) AS (VALUES {vals})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       BIT_COUNT(XOR(a.h, b.h)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.h, b.h)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5063,6 +5151,7 @@ QUERIES = {
     # exactness meanwhile pytest-pinned against the python twin
     "bpe_vocab": (q_bpe_vocab, _sql_bpe(n_merges=8, vocab_topk=40)),
     "bpe_encode": (q_bpe_encode, _sql_bpe(n_merges=8, encode=True)),
+    "image_dups": (q_image_dups, _sql_image_dups()),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),

@@ -2114,3 +2114,40 @@ def test_bpe_encode_counts_consistency(spark):
     for i, t in enumerate(texts):
         assert words[i] == len(t.split())
         assert merged[i] >= words[i]
+
+
+def test_dhash_banding_is_lossless_at_hamming_3(spark):
+    """Pigeonhole guarantee: with 4 bands, the banded join must find
+    EXACTLY the brute-force hamming-≤3 pair set — including pairs
+    engineered to differ by 3 bits spread across 3 different bands."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from europe_gis_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    base = int(rng.integers(0, 2**63))
+    fps = [base]
+    for flips in ([1], [1, 17], [1, 17, 33], [2, 18, 34], [5], [60, 61]):
+        v = base
+        for bit in flips:
+            v ^= 1 << bit
+        fps.append(v)
+    fps += [int(x) for x in rng.integers(0, 2**63, size=40)]
+    ids = list(range(len(fps)))
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": ids, "dhash": np.array(fps, dtype=np.int64)})
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.dhash_near_pairs(df, max_hamming=3).collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(ids, 2):
+        h = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            want.add((a, b, h))
+    assert got == want
+    assert len(want) >= 7  # the engineered cluster actually paired
