@@ -102,6 +102,7 @@ ROTATING = [
     "dsir_select",
     "bpe_encode",
     "image_dups",
+    "mix_allocation",
 ]
 
 

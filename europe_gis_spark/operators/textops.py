@@ -1213,3 +1213,69 @@ def dsir_select(
         .orderBy(F.desc("gumbel_key"), "doc_id")
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# corpus mix allocation (water-filling token budgeting)
+
+def mix_allocation(
+    per_source: DataFrame, budget: "F.Column | int", weight_col: str = "w"
+) -> DataFrame:
+    """Allocate a token budget across sources toward target mix weights
+    with per-source availability caps — the water-filling step of a
+    pretraining data-mix plan (sources short of their target share
+    saturate; their shortfall redistributes to the rest ∝ weight).
+
+    Input: one row per source with ``toks`` (available tokens, BIGINT)
+    and ``weight_col`` (integer target weight). Closed form instead of
+    the iterative redistribution loop: sort by toks/weight ascending —
+    saturation is prefix-closed in that order — and mark row j
+    saturated iff toks_j·(P−cumP_{j−1}) < w_j·(B−cumT_{j−1}), an
+    EXACT integer cross-multiplication (no float in any branch
+    decision). The water level λ = (B−cumT_K)/(P−cumP_K) over the
+    saturated prefix K is the only float, applied per row.
+
+    Scale shape: the windows run over the per-source table (≤ thousands
+    of rows — bounded by distinct sources, never corpus-scale), so the
+    single-partition Window is safe by construction; the corpus-scale
+    work is whatever aggregation produced ``per_source``.
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("long")
+    t = F.col("toks").cast("long")
+    tot = per_source.agg(
+        F.sum("toks").cast("long").alias("tt"),
+        F.sum(weight_col).cast("long").alias("pp"),
+    )
+    d = per_source.crossJoin(tot).withColumn("b", budget)
+    order = Window.orderBy((t * F.lit(1.0) / w).asc(), F.col("source"))
+    cum_t = F.sum("toks").over(order.rowsBetween(Window.unboundedPreceding, 0))
+    cum_p = F.sum(weight_col).over(
+        order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("cum_t", cum_t.cast("long")).withColumn(
+        "cum_p", cum_p.cast("long")
+    )
+    sat = (
+        t * (F.col("pp") - (F.col("cum_p") - w))
+        < w * (F.col("b") - (F.col("cum_t") - t))
+    ).cast("int")
+    d = d.withColumn("run_sat", F.min(sat).over(order))
+    glob = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_t_sat = F.max(F.when(F.col("run_sat") == 1, F.col("cum_t"))).over(glob)
+    cum_p_sat = F.max(F.when(F.col("run_sat") == 1, F.col("cum_p"))).over(glob)
+    lam = (F.col("b") - F.coalesce(cum_t_sat, F.lit(0)).cast("double")) / (
+        F.col("pp") - F.coalesce(cum_p_sat, F.lit(0))
+    ).cast("double")
+    take = F.when(F.col("run_sat") == 1, t.cast("double")).otherwise(w * lam)
+    return d.select(
+        "source",
+        "toks",
+        F.col(weight_col).alias("weight"),
+        F.col("run_sat").alias("saturated"),
+        F.round(take, 4).alias("take_tokens"),
+        F.round(take / t, 6).alias("rate"),
+    ).orderBy("source")

@@ -5032,6 +5032,76 @@ ORDER BY id_a, id_b
 """
 
 
+def q_mix_allocation(spark, sf_dir):
+    """Water-filling token-budget allocation across sources (the
+    data-mix planning step): per-source available tokens vs integer
+    target weights ((src_num·7)%10+1), budget = ⌊half the corpus⌋.
+    Every saturation decision is an exact integer cross-multiplication;
+    the water level is the only float. Windows run over the ≤ n_sources
+    row table, never the corpus."""
+    d = _read(spark, sf_dir, "documents")
+    per_src = (
+        d.groupBy("source")
+        .agg(F.sum(F.size(textops.tokens_col())).cast("long").alias("toks"))
+        .withColumn(
+            "w",
+            (
+                F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("long")
+                * 7
+            )
+            % 10
+            + 1,
+        )
+    )
+    budget = F.expr("CAST(FLOOR(tt * 0.5) AS BIGINT)")
+    return textops.mix_allocation(per_src, budget, weight_col="w")
+
+
+SQL_MIX_ALLOCATION = """
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS toks,
+         (CAST(REGEXP_EXTRACT(source, 'src(\\d+)', 1) AS BIGINT) * 7) % 10 + 1 AS w
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(toks) AS BIGINT) AS tt, CAST(SUM(w) AS BIGINT) AS pp
+  FROM per_src
+),
+d AS (
+  SELECT p.*, t.tt, t.pp, CAST(FLOOR(t.tt * 0.5) AS BIGINT) AS b,
+         CAST(SUM(toks) OVER ord AS BIGINT) AS cum_t,
+         CAST(SUM(w) OVER ord AS BIGINT) AS cum_p
+  FROM per_src p CROSS JOIN tot t
+  WINDOW ord AS (ORDER BY toks * 1.0 / w ASC, source)
+),
+f AS (
+  SELECT d.*,
+         MIN(CASE WHEN toks * (pp - (cum_p - w)) < w * (b - (cum_t - toks))
+                  THEN 1 ELSE 0 END)
+           OVER (ORDER BY toks * 1.0 / w ASC, source) AS run_sat
+  FROM d
+),
+g AS (
+  SELECT f.*,
+         MAX(CASE WHEN run_sat = 1 THEN cum_t END) OVER () AS cum_t_sat,
+         MAX(CASE WHEN run_sat = 1 THEN cum_p END) OVER () AS cum_p_sat
+  FROM f
+)
+SELECT source, toks, w AS weight, run_sat AS saturated,
+       ROUND(CASE WHEN run_sat = 1 THEN toks * 1.0
+                  ELSE w * ((b - COALESCE(cum_t_sat, 0)) * 1.0
+                            / (pp - COALESCE(cum_p_sat, 0)))
+             END, 4) AS take_tokens,
+       ROUND(CASE WHEN run_sat = 1 THEN toks * 1.0
+                  ELSE w * ((b - COALESCE(cum_t_sat, 0)) * 1.0
+                            / (pp - COALESCE(cum_p_sat, 0)))
+             END / toks, 6) AS rate
+FROM g ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5152,6 +5222,7 @@ QUERIES = {
     "bpe_vocab": (q_bpe_vocab, _sql_bpe(n_merges=8, vocab_topk=40)),
     "bpe_encode": (q_bpe_encode, _sql_bpe(n_merges=8, encode=True)),
     "image_dups": (q_image_dups, _sql_image_dups()),
+    "mix_allocation": (q_mix_allocation, SQL_MIX_ALLOCATION),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),

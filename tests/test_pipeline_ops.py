@@ -2151,3 +2151,45 @@ def test_dhash_banding_is_lossless_at_hamming_3(spark):
             want.add((a, b, h))
     assert got == want
     assert len(want) >= 7  # the engineered cluster actually paired
+
+
+def test_mix_allocation_matches_iterative_water_filling(spark):
+    """Closed-form prefix-saturation ≡ the iterative redistribute-
+    shortfall loop, on randomized availability/weight tables; the
+    allocation exactly exhausts the budget and respects caps."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for trial in range(5):
+        n = int(rng.integers(3, 12))
+        toks = rng.integers(100, 20_000, size=n).tolist()
+        w = rng.integers(1, 10, size=n).tolist()
+        budget = int(sum(toks) * float(rng.uniform(0.2, 0.9)))
+        rows = [(f"s{i}", int(toks[i]), int(w[i])) for i in range(n)]
+        df = spark.createDataFrame(rows, "source STRING, toks LONG, w LONG")
+        got = {
+            r.source: (r.saturated, r.take_tokens)
+            for r in textops.mix_allocation(df, F.lit(budget)).collect()
+        }
+        # iterative reference
+        alloc = {i: None for i in range(n)}
+        active, b = set(range(n)), float(budget)
+        while True:
+            pw = sum(w[i] for i in active)
+            lam = b / pw
+            sat = [i for i in active if toks[i] < w[i] * lam]
+            if not sat:
+                for i in active:
+                    alloc[i] = w[i] * lam
+                break
+            for i in sat:
+                alloc[i] = float(toks[i])
+                b -= toks[i]
+                active.discard(i)
+            if not active:
+                break
+        for i in range(n):
+            s_flag, take = got[f"s{i}"]
+            assert abs(take - alloc[i]) < 1e-3, (trial, i, take, alloc[i])
+            assert take <= toks[i] + 1e-9
+        assert abs(sum(t for _, t in got.values()) - min(budget, sum(toks))) < 1e-2
