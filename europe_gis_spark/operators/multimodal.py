@@ -721,3 +721,51 @@ def dhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# audio near-dup fingerprints (energy-envelope difference hash)
+
+EHASH_FRAMES = 65  # 64 adjacent-frame comparisons → 64-bit hash
+
+
+def ehash64(wave: np.ndarray) -> int:
+    """64-bit audio difference hash: split the mono waveform into 65
+    equal frames (trailing remainder dropped), bit k set iff frame k's
+    energy < frame k+1's — the envelope analogue of the image dHash
+    (loudness-invariant comparisons, robust to level changes that flip
+    no ordering). Pure numpy; the oracle twin replays it bit-for-bit
+    on the SAME 16-bit-quantized samples the codec roundtrip yields."""
+    x = np.asarray(wave, dtype=np.float64).ravel()
+    m = len(x) // EHASH_FRAMES
+    if m == 0:
+        raise ValueError(f"waveform too short for {EHASH_FRAMES} frames")
+    e = (x[: m * EHASH_FRAMES].reshape(EHASH_FRAMES, m) ** 2).sum(axis=1)
+    bits = e[:-1] < e[1:]
+    v = np.uint64(0)
+    for k in np.nonzero(bits)[0]:
+        v |= np.uint64(1) << np.uint64(k)
+    return int(v.astype(np.int64))
+
+
+def audio_ehash(
+    df: DataFrame, key_col: str = "key", payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode → 64-bit envelope hash per clip, one Arrow batch at a
+    time; output column names match ``dhash_near_pairs``'s contract so
+    audio near-dups ride the SAME lossless 4-band hamming join as
+    images."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = [
+                ehash64(decode_audio(p, fake=fake))
+                for p in b[payload_col].tolist()
+            ]
+            yield pd.DataFrame(
+                {"key": [str(k) for k in b[key_col].tolist()],
+                 "dhash": np.array(out, dtype=np.int64)}
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(fn, schema=DHASH_SCHEMA)

@@ -5102,6 +5102,94 @@ FROM g ORDER BY source
 """
 
 
+def _audio_dup_synth_np(did: int):
+    """Deterministic waveform synthesis for the audio-dedup fixture —
+    shared by the Spark encoder and the oracle twin. Amplitude-
+    modulated 440 Hz tone whose per-frame envelope encodes (did%160),
+    so ids 0..39 ≡ 160..199 are exact duplicate clips; the variant
+    term dampens 3 frames (a localized edit)."""
+    import numpy as np
+
+    m, v, ph = did % 8, (did // 8) % 4, (did // 32) % 5
+    r = did % 160
+    f = np.arange(65)
+    env = 0.2 + 0.75 * ((r * 7 + f * f * (m + 2) + f * (ph + 3)) % 23) / 23.0
+    env = env.copy()
+    env[8 * v : 8 * v + 3] *= 0.3
+    t = np.arange(65 * 32)
+    return env[t // 32] * np.sin(2 * np.pi * 440.0 * t / 16000.0 + m)
+
+
+def q_audio_dups(spark, sf_dir):
+    """Audio near-dup pairs: synthesized AM clips → REAL 16-bit PCM
+    WAV roundtrip → 64-bit envelope difference hash (mapInPandas) →
+    the SAME lossless 4-band hamming-≤3 join as image_dups. The oracle
+    recomputes fingerprints driver-side from the shared synthesis
+    formula plus the exact 16-bit quantization the codec applies — a
+    framing/downmix/scale bug in the WAV path hash-mismatches in
+    CORRECTNESS."""
+    from .operators import multimodal
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < IMG_DUP_N)
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from europe_gis_spark.operators import multimodal as mm
+        from europe_gis_spark.queries import _audio_dup_synth_np
+
+        for b in batches:
+            ids = b["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        mm.encode_wav(_audio_dup_synth_np(i)) for i in ids
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    fps = multimodal.audio_ehash(
+        media, key_col="doc_id", payload_col="payload"
+    ).select(F.col("key").cast("int").alias("key"), "dhash")
+    # cast BEFORE pairing, as in q_image_dups: the id_a < id_b
+    # orientation must be numeric
+    return multimodal.dhash_near_pairs(fps, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _sql_audio_dups() -> str:
+    """Oracle twin: same synthesis + the codec's exact 16-bit
+    quantization (round/clip → int16 → /32768 float32), same numpy
+    ehash kernel; brute-force hamming-≤3 relationally."""
+    import numpy as np
+
+    from .operators.multimodal import ehash64
+
+    def rt(w):
+        q = np.round(np.clip(w, -1, 1) * 32767.0).astype(np.int16)
+        return q.astype(np.float32) / 32768.0
+
+    vals = ",".join(
+        f"({i}, {ehash64(rt(_audio_dup_synth_np(i)))})"
+        for i in range(IMG_DUP_N)
+    )
+    return f"""
+WITH fp(doc_id, h) AS (VALUES {vals})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       BIT_COUNT(XOR(a.h, b.h)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.h, b.h)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5223,6 +5311,7 @@ QUERIES = {
     "bpe_encode": (q_bpe_encode, _sql_bpe(n_merges=8, encode=True)),
     "image_dups": (q_image_dups, _sql_image_dups()),
     "mix_allocation": (q_mix_allocation, SQL_MIX_ALLOCATION),
+    "audio_dups": (q_audio_dups, _sql_audio_dups()),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),

@@ -2193,3 +2193,32 @@ def test_mix_allocation_matches_iterative_water_filling(spark):
             assert abs(take - alloc[i]) < 1e-3, (trial, i, take, alloc[i])
             assert take <= toks[i] + 1e-9
         assert abs(sum(t for _, t in got.values()) - min(budget, sum(toks))) < 1e-2
+
+
+def test_ehash_robust_to_gain_sensitive_to_edits():
+    """Envelope-hash contract: uniform gain flips no adjacent-energy
+    ordering (hamming 0); damping a few frames flips only a few bits."""
+    import numpy as np
+
+    from europe_gis_spark.operators import multimodal as mm
+    from europe_gis_spark.queries import _audio_dup_synth_np
+
+    w = _audio_dup_synth_np(3)
+    base = mm.ehash64(w)
+    assert mm.ehash64(w * 0.5) == base
+    # damp frames 10..12 (a localized edit): uniform scaling inside the
+    # band leaves intra-band orderings alone, so only the two boundary
+    # comparisons can flip — small, nonzero hamming
+    edited = w.copy()
+    edited[10 * 32 : 13 * 32] *= 0.05
+    h = bin((mm.ehash64(edited) ^ base) & ((1 << 64) - 1)).count("1")
+    assert 1 <= h <= 12
+    # codec roundtrip preserves the hash (16-bit quantization noise
+    # must not flip any energy ordering on this fixture)
+    dec = mm.decode_wav(mm.encode_wav(w))
+    assert mm.ehash64(dec) == mm.ehash64(
+        np.round(np.clip(w, -1, 1) * 32767.0).astype(np.int16).astype(
+            np.float32
+        )
+        / 32768.0
+    )
