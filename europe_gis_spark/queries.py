@@ -1139,14 +1139,26 @@ ORDER BY value, n_px, x0, y0, x1, y1
 
 def q_raster_region_geoms(spark, sf_dir):
     """F9 full features.shapes parity: region POLYGON geometry as WKB
-    (outer + holes) — rows-only driver check; the decoded-area == n_px
-    invariant and the BFS oracle are pytest-gated
-    (test_polygonize.py)."""
+    (outer + holes). VALUE-checked since r5: the registered form drops
+    the engine-labeling-specific region_id and emits the geometry as
+    lowercase hex, and the oracle (``_sql_raster_region_geoms``)
+    recomputes the exact bytes driver-side over an independent BFS
+    labeling + row-run rect decomposition — sound because the traced
+    boundary (incl. ring start + order) is decomposition-invariant.
+    The decoded-area == n_px invariant and the BFS oracle also stay
+    pytest-gated (test_polygonize.py)."""
     from .operators import layers as L
 
-    return L.region_geometries(
-        _density_tiles(spark, sf_dir), tile_w=16
-    ).orderBy("region_id")
+    return (
+        L.region_geometries(_density_tiles(spark, sf_dir), tile_w=16)
+        .select(
+            "layer",
+            "value",
+            "n_px",
+            F.lower(F.hex(F.col("wkb"))).alias("wkb_hex"),
+        )
+        .orderBy("wkb_hex")
+    )
 
 
 def q_region_geom_areas(spark, sf_dir):
@@ -1257,18 +1269,26 @@ def q_region_geoms_simplified(spark, sf_dir):
     ).orderBy("x0", "y0", "x1", "y1", "value", "n_px")
 
 
-def _sql_region_geoms_simplified():
-    """Driver-side same-kernel twin of q_region_geoms_simplified (the
-    simhash_pairs oracle pattern): replicate the raster derivation from
-    the events parquet in pandas/numpy, label 4-connected regions with
-    an independent BFS, decompose each region into ROW-RUN rects (the
-    engine uses greedy maximal rectangles — edge cancellation makes the
-    traced boundary decomposition-invariant), then run the IDENTICAL
-    ring tracer + Douglas–Peucker + area/bbox kernels and embed the
-    expected rows as VALUES."""
+_RASTER_TWIN_CACHE: dict = {}
+
+
+def _raster_regions_twin_rows():
+    """Shared driver-side twin of the raster→regions→trace pipeline
+    (the simhash_pairs materialized-intermediate pattern): replicate
+    the raster derivation from the events parquet in pandas/numpy,
+    label 4-connected regions with an INDEPENDENT BFS, decompose each
+    region into ROW-RUN rects (the engine uses greedy maximal
+    rectangles — edge cancellation makes the traced boundary
+    decomposition-invariant, including ring order: ``_trace_rings``
+    starts each ring at the lexicographically smallest boundary
+    vertex), then run the IDENTICAL ring tracer. Returns
+    [(value, n_px, wkb_bytes)] or None if the fixture is absent;
+    cached per sf dir because two oracles consume it at import."""
     import os
 
     sf = os.environ.get("SPARK_GRAFT_SF_CORRECT", "/root/testdata/sf0.01")
+    if sf in _RASTER_TWIN_CACHE:
+        return _RASTER_TWIN_CACHE[sf]
     path = os.path.join(sf, "events.parquet")
     if not os.path.exists(path):
         return None
@@ -1277,7 +1297,6 @@ def _sql_region_geoms_simplified():
     import numpy as np
     import pandas as pd
 
-    from .geo import geom as ggeom, wkb as gwkb
     from .operators import layers as L
 
     eid = pd.read_parquet(path, columns=["event_id"])["event_id"].to_numpy()
@@ -1339,13 +1358,29 @@ def _sql_region_geoms_simplified():
                     )
                 )
         wkb_bytes, n_px = L._rects_to_polygon(rects)
+        rows.append((v, n_px, wkb_bytes))
+    _RASTER_TWIN_CACHE[sf] = rows
+    return rows
+
+
+def _sql_region_geoms_simplified():
+    """Oracle for q_region_geoms_simplified: the shared raster twin's
+    rings chained through the IDENTICAL Douglas–Peucker + area/bbox
+    kernels, expected rows embedded as VALUES."""
+    rows = _raster_regions_twin_rows()
+    if rows is None:
+        return None
+    from .geo import geom as ggeom, wkb as gwkb
+
+    out = []
+    for v, n_px, wkb_bytes in rows:
         parts = gwkb.polygon_parts(gwkb.decode(wkb_bytes))
         simp = ggeom.simplify_polygon(parts, 0.75, 0.0)
         n_in = sum(len(r) for rings in parts for r in rings)
         n_out = sum(len(r) for rings in simp for r in rings)
         area = round(ggeom.polygon_area(simp), 6)
         bx0, by0, bx1, by1 = ggeom.ring_bbox(simp[0][0])
-        rows.append(
+        out.append(
             (
                 v,
                 n_px,
@@ -1360,7 +1395,7 @@ def _sql_region_geoms_simplified():
         )
     vals = ",".join(
         f"({v!r},{n_px},{ni},{no},{a!r},{x0!r},{y0!r},{x1!r},{y1!r})"
-        for v, n_px, ni, no, a, x0, y0, x1, y1 in rows
+        for v, n_px, ni, no, a, x0, y0, x1, y1 in out
     )
     return f"""
 WITH expected(value, n_px, n_vertices_in, n_vertices_out, area_s, x0, y0, x1, y1)
@@ -1368,6 +1403,27 @@ WITH expected(value, n_px, n_vertices_in, n_vertices_out, area_s, x0, y0, x1, y1
 SELECT 'density' AS layer, value, n_px, n_vertices_in, n_vertices_out,
        area_s, x0, y0, x1, y1
 FROM expected ORDER BY x0, y0, x1, y1, value, n_px
+"""
+
+
+def _sql_raster_region_geoms():
+    """Oracle for q_raster_region_geoms: the geometry BYTES themselves
+    under the hash — the shared twin's WKB per region as lowercase hex.
+    Byte-exact equality is sound because the traced boundary (ring
+    vertices, collinear merging, ring start vertex, and outer/holes
+    order) is a decomposition-invariant function of the region's pixel
+    set; engine-specific region ids are dropped in the registered
+    form."""
+    rows = _raster_regions_twin_rows()
+    if rows is None:
+        return None
+    vals = ",".join(
+        f"({v!r},{n_px},'{wkb_bytes.hex()}')" for v, n_px, wkb_bytes in rows
+    )
+    return f"""
+WITH expected(value, n_px, wkb_hex) AS (VALUES {vals})
+SELECT 'density' AS layer, value, n_px, wkb_hex
+FROM expected ORDER BY wkb_hex
 """
 
 
@@ -5297,7 +5353,7 @@ QUERIES = {
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "pagerank": (q_pagerank, _sql_pagerank()),
     "geo_within_dist": (q_geo_within_dist, _sql_geo_within_dist()),
-    "raster_region_geoms": (q_raster_region_geoms, None),
+    "raster_region_geoms": (q_raster_region_geoms, _sql_raster_region_geoms()),
     "region_geom_areas": (q_region_geom_areas, SQL_REGION_GEOM_AREAS),
     "region_geoms_simplified": (
         q_region_geoms_simplified,
