@@ -103,6 +103,8 @@ ROTATING = [
     "bpe_encode",
     "image_dups",
     "mix_allocation",
+    "audio_dups",
+    "cc_components",
 ]
 
 

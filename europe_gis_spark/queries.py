@@ -5246,6 +5246,51 @@ ORDER BY id_a, id_b
 """
 
 
+def q_cc_components(spark, sf_dir):
+    """Connected components by alternating large-star/small-star
+    (O(log n) rounds) over a deterministic chain graph derived from
+    documents — 100-node path components whose diameter (99) exceeds
+    ``dedup.connected_components``'s default 50-round budget, so this
+    fixture can ONLY be solved by the star algorithm within its 25
+    rounds: the query exercises exactly the property that makes it the
+    100 TB scale twin. Oracle: recursive-CTE closure, labels are
+    canonical (component = min node) so they are algorithm-independent."""
+    from .operators import graph
+
+    d = _read(spark, sf_dir, "documents")
+    n = F.col("doc_id") % 600
+    e = (
+        d.select(n.alias("a"), (n + 1).alias("b"))
+        .filter(((n + 1) % 100) != 0)
+        .distinct()
+    )
+    comp = graph.cc_star(e, max_rounds=25)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_nodes"), F.max("node").alias("max_node"))
+        .orderBy("component")
+    )
+
+
+SQL_CC_COMPONENTS = """
+WITH e AS (
+  SELECT DISTINCT doc_id % 600 AS a, doc_id % 600 + 1 AS b
+  FROM documents WHERE (doc_id % 600 + 1) % 100 <> 0
+),
+ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+rch AS (
+  WITH RECURSIVE reach(node, label) AS (
+    SELECT a, a FROM ee
+    UNION
+    SELECT e2.a, r.label FROM reach r JOIN ee e2 ON e2.b = r.node
+  )
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+)
+SELECT component, COUNT(*) AS n_nodes, MAX(node) AS max_node
+FROM rch GROUP BY component ORDER BY component
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5368,6 +5413,7 @@ QUERIES = {
     "image_dups": (q_image_dups, _sql_image_dups()),
     "mix_allocation": (q_mix_allocation, SQL_MIX_ALLOCATION),
     "audio_dups": (q_audio_dups, _sql_audio_dups()),
+    "cc_components": (q_cc_components, SQL_CC_COMPONENTS),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),

@@ -280,3 +280,46 @@ def test_ppr_matches_numpy_and_localizes(spark):
     # teleport localization: seeds hold more mass than uniform PR gives them
     uni = {r.node: r.pr for r in graph.pagerank(df, iters=5).collect()}
     assert sum(got[s] for s in seeds) > sum(uni[s] for s in seeds)
+
+
+def test_cc_star_path_and_isolated_edge(spark):
+    """Star CC on 3 path components + one far pair: exact canonical
+    labels (component = min reachable node)."""
+    edges = [(i, i + 1) for i in range(299) if (i + 1) % 100 != 0]
+    edges.append((500, 501))
+    df = spark.createDataFrame(edges, "a long, b long").coalesce(4)
+    got = {r.node: r.component for r in graph.cc_star(df).collect()}
+    exp = {n: (n // 100) * 100 for n in range(300)}
+    exp.update({500: 500, 501: 500})
+    assert got == exp
+
+
+def test_cc_star_matches_min_label_on_random_graph(spark):
+    from europe_gis_spark.operators import dedup
+
+    rng = np.random.default_rng(7)
+    pairs = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 400, 350), rng.integers(0, 400, 350))
+        if a != b
+    ]
+    df = spark.createDataFrame(pairs, "a long, b long").coalesce(4)
+    s = {(r.node, r.component) for r in graph.cc_star(df).collect()}
+    m = {
+        (r.doc_id, r.component)
+        for r in dedup.connected_components(df, "a", "b").collect()
+    }
+    assert s == m
+
+
+def test_cc_star_log_rounds_on_long_path(spark):
+    """THE property that earns cc_star its place next to min-label
+    propagation: a 512-node path (diameter 511, far beyond
+    connected_components' 50-round budget) converges within 16 star
+    rounds (log2(512)=9 + slack) — round count scales with log n, not
+    diameter."""
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(511)], "a long, b long"
+    ).coalesce(8)
+    got = {r.node: r.component for r in graph.cc_star(df, max_rounds=16).collect()}
+    assert got == {n: 0 for n in range(512)}
