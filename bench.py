@@ -105,6 +105,7 @@ ROTATING = [
     "mix_allocation",
     "audio_dups",
     "cc_components",
+    "random_walks",
 ]
 
 

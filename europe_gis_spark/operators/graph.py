@@ -538,3 +538,86 @@ def cc_star(
     return universe.join(labels, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 8,
+    walks_per_node: int = 1,
+    seed: str = "rw:v1",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus generation (walks become
+    skip-gram training sequences for node embeddings), with a
+    HASH-DETERMINISTIC choice function instead of rand(): the step-t
+    transition out of node u on walk (start, rep) picks neighbor index
+    md5(seed|start|rep|t|u) mod outdeg(u) over the SORTED neighbor
+    array — engine-portable (the DuckDB oracle replays the identical
+    arithmetic), reproducible across retries/speculative tasks (a
+    rand() walk is not), and still uniform per step.
+
+    Plan shape: the adjacency builds ONCE as (node, sorted nbr array)
+    — one groupBy — then the whole walk is a SINGLE declarative plan:
+    ``walk_len`` chained node-keyed joins with the path accumulated in
+    an array column (no driver action between steps, no O(len²)
+    recompute, Catalyst/AQE sees the full chain). Dangling nodes hold
+    in place (documented choice). Walks start from every node with
+    ≥1 out-edge.
+
+    Returns (start, rep, step, node) — step 0 is the start itself.
+    """
+    adj = (
+        edges.select(
+            F.col(src_col).cast("long").alias("node"),
+            F.col(dst_col).cast("long").alias("nbr"),
+        )
+        .distinct()
+        .groupBy("node")
+        .agg(F.array_sort(F.collect_list("nbr")).alias("nbrs"))
+    )
+    state = (
+        adj.select("node")
+        .withColumn(
+            "rep",
+            F.explode(F.array(*[F.lit(i) for i in range(walks_per_node)])),
+        )
+        .select(
+            F.col("node").alias("start"),
+            "rep",
+            F.col("node").alias("cur"),
+            F.array(F.col("node")).alias("path"),
+        )
+    )
+    for t in range(1, walk_len + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(seed),
+                        F.col("start"),
+                        F.col("rep"),
+                        F.lit(t),
+                        F.col("cur"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        nxt = F.when(
+            F.col("nbrs").isNotNull(),
+            F.element_at("nbrs", ((h % F.size("nbrs")) + 1).cast("int")),
+        ).otherwise(F.col("cur"))
+        state = state.join(adj, state.cur == adj.node, "left").select(
+            "start",
+            "rep",
+            nxt.alias("cur"),
+            F.concat("path", F.array(nxt)).alias("path"),
+        )
+    return state.select(
+        "start", "rep", F.posexplode("path").alias("step", "node")
+    )

@@ -5291,6 +5291,64 @@ FROM rch GROUP BY component ORDER BY component
 """
 
 
+def q_random_walks(spark, sf_dir):
+    """DeepWalk-style random-walk corpus over the shared synthetic link
+    graph — 2 walks per node × 8 steps, hash-deterministic transitions
+    (md5(seed|start|rep|t|cur) mod outdeg over the sorted neighbor
+    array) so the walk corpus is reproducible across retries and
+    replayable by the oracle's identical arithmetic. The whole walk is
+    ONE declarative plan (8 chained node-keyed joins, path accumulated
+    in an array column, no driver actions)."""
+    from .operators import graph
+
+    return graph.random_walks(
+        _pagerank_edges(spark, sf_dir), walk_len=8, walks_per_node=2
+    ).orderBy("start", "rep", "step")
+
+
+def _sql_random_walks(walk_len: int = 8, walks_per_node: int = 2) -> str:
+    """Unrolled step CTEs replaying the identical md5 choice function
+    (('0x'||prefix)::BIGINT is DuckDB's conv(hex,16,10))."""
+    seed = "rw:v1"
+    reps = ",".join(f"({i})" for i in range(walks_per_node))
+    ctes = [
+        f"""e AS (
+  SELECT DISTINCT doc_id % 60 AS node, (doc_id*7+3) % 60 AS nbr FROM documents
+  UNION SELECT DISTINCT doc_id % 60, (doc_id*13+5) % 60 FROM documents
+),
+ranked AS (
+  SELECT node, nbr,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY node) AS cnt
+  FROM (SELECT DISTINCT node, nbr FROM e)
+),
+s0 AS (
+  SELECT node AS start, r.rep AS rep, node AS cur
+  FROM (SELECT DISTINCT node FROM ranked), (VALUES {reps}) r(rep)
+)"""
+    ]
+    for t in range(1, walk_len + 1):
+        ctes.append(
+            f"""s{t} AS (
+  SELECT s.start, s.rep, COALESCE(a.nbr, s.cur) AS cur
+  FROM s{t - 1} s LEFT JOIN ranked a
+    ON a.node = s.cur
+   AND a.rn = ('0x' || SUBSTRING(MD5('{seed}|' || CAST(s.start AS VARCHAR)
+        || '|' || CAST(s.rep AS VARCHAR) || '|' || CAST({t} AS VARCHAR)
+        || '|' || CAST(s.cur AS VARCHAR)), 1, 8))::BIGINT % a.cnt
+)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT start, rep, {t} AS step, cur AS node FROM s{t}"
+        for t in range(walk_len + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({unions}) ORDER BY start, rep, step"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5414,6 +5472,7 @@ QUERIES = {
     "mix_allocation": (q_mix_allocation, SQL_MIX_ALLOCATION),
     "audio_dups": (q_audio_dups, _sql_audio_dups()),
     "cc_components": (q_cc_components, SQL_CC_COMPONENTS),
+    "random_walks": (q_random_walks, _sql_random_walks()),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),

@@ -323,3 +323,44 @@ def test_cc_star_log_rounds_on_long_path(spark):
     ).coalesce(8)
     got = {r.node: r.component for r in graph.cc_star(df, max_rounds=16).collect()}
     assert got == {n: 0 for n in range(512)}
+
+
+def test_random_walks_contract(spark):
+    """Walks are valid (every step follows an edge or holds on a
+    dangling node), deterministic, and distinct across (start, rep)."""
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0)]  # plus 4 dangling? no: 1,2,3 have out
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = graph.random_walks(df, walk_len=6, walks_per_node=3)
+    rows = out.orderBy("start", "rep", "step").collect()
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    walks = {}
+    for r in rows:
+        walks.setdefault((r.start, r.rep), []).append(r.node)
+    assert len(walks) == 4 * 3 and all(len(w) == 7 for w in walks.values())
+    for (s, _), w in walks.items():
+        assert w[0] == s
+        for a, b in zip(w, w[1:]):
+            assert b in adj.get(a, {a}), (w, a, b)
+    # deterministic across runs
+    again = {
+        (r.start, r.rep): r.node
+        for r in graph.random_walks(df, walk_len=6, walks_per_node=3)
+        .filter(F.col("step") == 6)
+        .collect()
+    }
+    assert all(again[k] == w[-1] for k, w in walks.items())
+    # reps explore differently somewhere (hash varies with rep)
+    assert any(
+        walks[(s, 0)] != walks[(s, 1)] for s in adj
+    ), "all reps produced identical walks"
+
+
+def test_random_walks_dangling_holds(spark):
+    df = spark.createDataFrame([(7, 9)], "src long, dst long")
+    w = {
+        r.step: r.node
+        for r in graph.random_walks(df, walk_len=4).collect()
+    }
+    assert w == {0: 7, 1: 9, 2: 9, 3: 9, 4: 9}
