@@ -106,6 +106,7 @@ ROTATING = [
     "audio_dups",
     "cc_components",
     "random_walks",
+    "quality_classifier",
 ]
 
 

@@ -5349,6 +5349,80 @@ s0 AS (
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed bag-of-ngrams quality classifier scored
+    IN the engine — the webtext analogue of the reference's batched
+    model inference (model weights ride the plan; zero shuffle, zero
+    join, no Python). Weights are fixed-point integers frozen by a
+    deterministic driver-side training run, so the per-doc feature sum
+    is an exact integer both engines agree on bit-for-bit and the
+    logit is a chain of correctly-rounded IEEE ops on identical
+    inputs. The fixture is the documents table PLUS 50 synthesized
+    spam docs (doc_id+1000000) so the checked output contains BOTH
+    classifier decisions, not just the positive class."""
+    from .operators import classify
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    junk = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.rtrim(
+            F.repeat(F.lit("buy cheap click here now free win prize "), 4)
+        ).alias("text"),
+    )
+    return classify.quality_classifier_scores(d.unionByName(junk)).orderBy(
+        "doc_id"
+    )
+
+
+def _sql_quality_classifier() -> str:
+    """Oracle: relational replay of the identical featurization
+    (string_split_regex + bigram list_transform), md5 bucket hash, and
+    the frozen integer weight table as VALUES."""
+    from .operators import classify
+
+    w, bias = classify.train_quality_classifier()
+    vals = ",".join(f"({i},{wi})" for i, wi in enumerate(w))
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         RTRIM(REPEAT('buy cheap click here now free win prize ', 4))
+  FROM documents WHERE doc_id < 50
+),
+d AS (
+  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\\s+') AS ws
+  FROM d0
+),
+g AS (
+  SELECT doc_id,
+         list_concat(
+           ws,
+           list_transform(range(1, GREATEST(length(ws), 1)),
+                          i -> ws[i] || '_' || ws[i+1])
+         ) AS grams
+  FROM d
+),
+f AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+b AS (
+  SELECT doc_id,
+         ('0x' || SUBSTRING(MD5('{classify.SEED}|' || gram), 1, 8))::BIGINT
+           % {classify.N_BUCKETS} AS bucket
+  FROM f
+),
+w(bucket, wt) AS (VALUES {vals}),
+s AS (
+  SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS feat_sum,
+         CAST(COUNT(*) AS INT) AS n_feats
+  FROM b JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, feat_sum, n_feats,
+       ROUND({bias!r} + (feat_sum / 1000000.0) / n_feats, 9) AS logit,
+       ROUND({bias!r} + (feat_sum / 1000000.0) / n_feats, 9) > 0 AS keep
+FROM s ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5473,6 +5547,7 @@ QUERIES = {
     "audio_dups": (q_audio_dups, _sql_audio_dups()),
     "cc_components": (q_cc_components, SQL_CC_COMPONENTS),
     "random_walks": (q_random_walks, _sql_random_walks()),
+    "quality_classifier": (q_quality_classifier, _sql_quality_classifier()),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),
