@@ -107,6 +107,7 @@ ROTATING = [
     "cc_components",
     "random_walks",
     "quality_classifier",
+    "video_dups",
 ]
 
 

@@ -5423,6 +5423,112 @@ FROM s ORDER BY doc_id
 """
 
 
+VIDEO_DUP_N = 60
+
+
+def _video_frame_np(cid: int):
+    """One deterministic 16×16 RGB frame per content id — shared by
+    the Spark encoder and the oracle twin."""
+    import numpy as np
+
+    y, x = np.mgrid[0:16, 0:16]
+    px = np.stack(
+        [
+            (cid * 31 + 17 * k + x * y + 3 * x + 5 * y) % 251
+            for k in range(3)
+        ],
+        axis=2,
+    )
+    return px.astype(np.uint8)
+
+
+def _video_dup_frame_cid(v: int, f: int) -> int:
+    """Content id of frame f of video v: videos 40..59 are exact
+    duplicates of 0..19; videos 20..39 share their first 6 frames with
+    v−20 (a partial re-edit) and carry a unique tail."""
+    r = v % 40
+    if 20 <= r and f >= 6:
+        return 100000 + r * 12 + f
+    return (r % 20) * 12 + f
+
+
+def q_video_dups(spark, sf_dir):
+    """Video near-dup pairs through a REAL container: synthesized
+    12-frame clips → uncompressed AVI (RIFF demux is structural, not
+    fake) → every-3rd-frame sampling → 64-bit dHash per sampled frame
+    (mapInPandas) → ONE equi-join on the exact frame hash, pairs
+    keeping ≥2 shared distinct hashes. The fixture has exact dups
+    (4/4 sampled frames shared) AND partial re-edits (2/4), so the
+    checked output exercises both counts. Oracle recomputes every
+    sampled frame hash from the shared synthesis (DIB frames are
+    lossless, no quantization step) and brute-forces the overlap
+    relationally."""
+    from .operators import multimodal
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < VIDEO_DUP_N)
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from europe_gis_spark.operators import multimodal as mm
+        from europe_gis_spark.queries import (
+            _video_dup_frame_cid,
+            _video_frame_np,
+        )
+
+        for b in batches:
+            ids = b["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        mm.encode_avi(
+                            [
+                                _video_frame_np(_video_dup_frame_cid(v, f))
+                                for f in range(12)
+                            ]
+                        )
+                        for v in ids
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    fps = multimodal.video_frame_dhash(
+        media, key_col="doc_id", payload_col="payload", every_n=3
+    ).select(F.col("key").cast("int").alias("key"), "dhash")
+    return multimodal.video_overlap_pairs(fps, min_shared=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _sql_video_dups() -> str:
+    """Oracle twin: same synthesis + the identical dhash kernel on the
+    sampled frames, distinct per video, relational overlap count."""
+    from .operators.multimodal import dhash64
+
+    rows = []
+    for v in range(VIDEO_DUP_N):
+        hs = {
+            dhash64(_video_frame_np(_video_dup_frame_cid(v, f)))
+            for f in range(0, 12, 3)
+        }
+        rows.extend((v, h) for h in sorted(hs))
+    vals = ",".join(f"({v},{h})" for v, h in rows)
+    return f"""
+WITH fp(vid, h) AS (VALUES {vals})
+SELECT a.vid AS id_a, b.vid AS id_b, COUNT(*) AS n_shared
+FROM fp a JOIN fp b ON a.h = b.h AND a.vid < b.vid
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5548,6 +5654,7 @@ QUERIES = {
     "cc_components": (q_cc_components, SQL_CC_COMPONENTS),
     "random_walks": (q_random_walks, _sql_random_walks()),
     "quality_classifier": (q_quality_classifier, _sql_quality_classifier()),
+    "video_dups": (q_video_dups, _sql_video_dups()),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),

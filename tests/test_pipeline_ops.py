@@ -2222,3 +2222,77 @@ def test_ehash_robust_to_gain_sensitive_to_edits():
         )
         / 32768.0
     )
+
+
+def test_avi_roundtrip_and_structure():
+    """encode_avi ∘ decode_avi is identity (DIB frames are lossless);
+    the container is structurally real (RIFF magic, hdrl/strl headers,
+    movi frame list, idx1 index); junk and compressed streams raise."""
+    import numpy as np
+    import pytest
+
+    from europe_gis_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)  # w*3 % 4 != 0
+        for _ in range(12)
+    ]
+    avi = mm.encode_avi(frames, fps=10)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    for tag in (b"hdrl", b"strl", b"strh", b"strf", b"movi", b"idx1"):
+        assert tag in avi, tag
+    dec = mm.decode_avi(avi)
+    assert len(dec) == 12
+    assert all((a == b).all() for a, b in zip(frames, dec))
+    assert len(mm.frame_sample(avi, every_n=3)) == 4
+    with pytest.raises(ValueError):
+        mm.decode_avi(b"RIFF\x00\x00\x00\x00XXXX")
+    # compressed stream (nonzero biCompression) must raise, not decode junk
+    import struct as st
+
+    pos = avi.index(b"strf") + 8 + 16  # biCompression field inside strf
+    bad = avi[:pos] + st.pack("<I", 1) + avi[pos + 4 :]
+    with pytest.raises(NotImplementedError):
+        mm.decode_avi(bad)
+
+
+def test_video_frame_dhash_and_overlap(spark):
+    """Distributed demux+hash matches the driver-side kernel; the
+    overlap join finds exactly the pairs sharing enough frames."""
+    import numpy as np
+    import pandas as pd
+
+    from europe_gis_spark.operators import multimodal as mm
+
+    def frame(c):
+        # x*y term breaks monotonicity in x so distinct contents get
+        # distinct dhashes (a pure gradient hashes all-ones for any c)
+        y, x = np.mgrid[0:16, 0:16]
+        return ((x * y * (c + 2) + 3 * x + 5 * y + c) % 251).astype(
+            np.uint8
+        )[..., None].repeat(3, 2)
+
+    vids = {
+        1: [frame(c) for c in (0, 1, 2, 3, 4, 5)],
+        2: [frame(c) for c in (0, 1, 2, 9, 10, 11)],   # shares sampled frames 0,2? sampling=2 -> frames 0,2,4
+        3: [frame(c) for c in (20, 21, 22, 23, 24, 25)],
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": list(vids),
+                "payload": [mm.encode_avi(v) for v in vids.values()],
+            }
+        )
+    )
+    fps = mm.video_frame_dhash(df, every_n=2)
+    rows = fps.collect()
+    for r in rows:
+        want = mm.dhash64(vids[int(r.key)][r.frame_idx])
+        assert r.dhash == want, (r.key, r.frame_idx)
+    # video 1 vs 2 share sampled frames 0 and 2 (contents 0, 2) -> n_shared 2
+    pairs = mm.video_overlap_pairs(
+        fps.select(fps.key.cast("int").alias("key"), "dhash"), min_shared=2
+    ).collect()
+    assert {(p.id_a, p.id_b, p.n_shared) for p in pairs} == {(1, 2, 2)}
