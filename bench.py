@@ -108,6 +108,7 @@ ROTATING = [
     "random_walks",
     "quality_classifier",
     "video_dups",
+    "semdedup",
 ]
 
 

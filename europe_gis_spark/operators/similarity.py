@@ -381,6 +381,104 @@ def pairwise_cosine_dups(
     )
 
 
+def assign_lists_with_cos(
+    embeddings: DataFrame, centroids: np.ndarray
+) -> DataFrame:
+    """(vec_id, list_id, cos_centroid): nearest-centroid assignment plus
+    the (rounded) cosine to that centroid, one vectorized Arrow pass —
+    the SemDeDup ordering key. The cosine is computed in the SAME numpy
+    kernel on the Spark path and the oracle twin, so the rounded value
+    is bit-identical across engines."""
+    c = np.asarray(centroids, dtype=np.float64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            mat = np.array(b["embedding"].tolist(), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            dots = mat @ c.T
+            lists = np.argmax(dots, axis=1).astype(np.int32)
+            cos = np.round(dots[np.arange(len(mat)), lists], 8)
+            yield pd.DataFrame(
+                {"vec_id": b["vec_id"], "list_id": lists, "cos_centroid": cos}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        fn, schema="vec_id long, list_id int, cos_centroid double"
+    )
+
+
+def semdedup_flags(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 32,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+    max_cluster: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering of embeddings, then dropping
+    within each cluster every item whose cosine to an EARLIER-ordered
+    cluster member reaches ``threshold``. Items are ordered by cosine
+    to the cluster centroid ASCENDING (vec_id tie-break), so the
+    survivor of each near-dup group is its LOWEST-centroid-similarity
+    member — the paper's keep policy (prototypical examples are the
+    redundant ones; edge examples carry the information).
+
+    The drop rule is the paper implementation's non-iterative one:
+    drop(b) ⇔ ∃ a in the same cluster with rank(a) < rank(b) and
+    cos(a,b) ≥ τ — a appearing earlier need not itself survive. That
+    makes the whole operator ONE relational plan (no fixpoint): rank
+    window + within-cluster self-join + anti-join, all on the list_id
+    key.
+
+    Scale shape (the paper runs 50k clusters over LAION-440M): training
+    is a fixed-size driver sample; assignment is map-side; the rank
+    window and the self-join share the list_id hash key. Within-cluster
+    pairwise work is O((corpus/n_clusters)²) per cluster — n_clusters
+    grows with the corpus to bound it, and ``max_cluster`` drops
+    degenerate hot clusters wholesale (cap-not-crash, like the LSH
+    bucket caps). Returns every input row flagged:
+    (vec_id, list_id, cos_centroid, kept)."""
+    from pyspark.sql.window import Window
+
+    from .dedup import cap_hot_buckets
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_lists=n_clusters, seed=seed
+        )
+    a = assign_lists_with_cos(embeddings, centroids)
+    if max_cluster is not None:
+        a = cap_hot_buckets(a, ("list_id",), max_cluster)
+    w = Window.partitionBy("list_id").orderBy(
+        F.asc("cos_centroid"), F.asc("vec_id")
+    )
+    ranked = a.withColumn("rank", F.row_number().over(w))
+    e = embeddings.select("vec_id", "embedding").join(ranked, "vec_id")
+    la = e.alias("a").hint("shuffle_hash")
+    lb = e.alias("b")
+    dot = _dot(F.col("a.embedding"), F.col("b.embedding"))
+    na = F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))
+    nb = F.sqrt(_dot(F.col("b.embedding"), F.col("b.embedding")))
+    dropped = (
+        la.join(
+            lb,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.rank") < F.col("b.rank")),
+        )
+        .filter(F.round(dot / (na * nb), 8) >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return ranked.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left").select(
+        "vec_id",
+        "list_id",
+        "cos_centroid",
+        "rank",
+        F.coalesce(~F.col("_d"), F.lit(True)).alias("kept"),
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

@@ -3077,6 +3077,109 @@ SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.95 ORDER BY vec_a, vec_b
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the planted-dup embedding
+    table: spherical k-means clusters (deterministic md5-ordered
+    sample training), items ranked within each cluster by ASCENDING
+    centroid cosine, and every item dropped whose cosine to an
+    earlier-ranked cluster member is ≥ 0.9 — so exactly one member of
+    each planted ×1.5 dup pair (cosine 1.0, same cluster; the float32
+    cast nudges the clone's centroid cosine in the 8th decimal, so
+    either member may rank first) survives.
+    VALUE-checked end to end: the oracle retrains the centroids with
+    the bit-identical pandas twin, recomputes every (list_id,
+    cos_centroid) with the same numpy kernel, and DuckDB re-derives
+    the rank window, the within-cluster pairwise-cosine drop set, and
+    the keep flags relationally."""
+    e = _embeddings_with_dups(spark, sf_dir)
+    return similarity.semdedup_flags(
+        e, threshold=0.9, n_clusters=16, seed=7
+    ).orderBy("vec_id")
+
+
+def _semdedup_twin_frame():
+    """Pandas twin of ``_embeddings_with_dups`` (same float32 dup
+    construction as the Spark transform: double multiply, cast back
+    to float)."""
+    d = _check_scale_embeddings()
+    if d is None:
+        return None
+    import numpy as np
+    import pandas as pd
+
+    dup = d[d["vec_id"] % 50 == 0]
+    scaled = [
+        (np.asarray(v, dtype=np.float64) * 1.5).astype(np.float32)
+        for v in dup["embedding"]
+    ]
+    return pd.concat(
+        [
+            d,
+            pd.DataFrame(
+                {"vec_id": dup["vec_id"].to_numpy() + 100000, "embedding": scaled}
+            ),
+        ],
+        ignore_index=True,
+    )
+
+
+def _sql_semdedup():
+    """Oracle for semdedup: recompute centroids (pandas training twin)
+    + assignments/centroid-cosines (same numpy kernel as the Spark
+    mapInPandas pass), embed them as VALUES, and let DuckDB re-derive
+    rank, drop set (within-cluster pairwise cosine over the scaled-dup
+    CTE) and keep flags."""
+    d = _semdedup_twin_frame()
+    if d is None:
+        return None
+    import numpy as np
+
+    cent = similarity.train_ivf_centroids_pandas(d, n_lists=16, seed=7)
+    mat = np.array(
+        [np.asarray(v, dtype=np.float64) for v in d["embedding"]]
+    )
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    dots = mat @ cent.T
+    lists = np.argmax(dots, axis=1).astype(np.int32)
+    cos = np.round(dots[np.arange(len(mat)), lists], 8)
+    vals = ",".join(
+        f"({int(v)},{int(l)},{c!r})"
+        for v, l, c in zip(d["vec_id"].to_numpy(), lists, cos)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         [CAST(v * 1.5 AS FLOAT) FOR v IN embedding] AS embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+assign(vec_id, list_id, cos_centroid) AS (VALUES {vals}),
+r AS (
+  SELECT vec_id, list_id, cos_centroid,
+         ROW_NUMBER() OVER (
+           PARTITION BY list_id ORDER BY cos_centroid ASC, vec_id ASC
+         ) AS rank
+  FROM assign
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM r a JOIN r b ON a.list_id = b.list_id AND a.rank < b.rank
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE ROUND(
+          LIST_DOT_PRODUCT(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+          / (SQRT(LIST_DOT_PRODUCT(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+             * SQRT(LIST_DOT_PRODUCT(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+          8) >= 0.9
+)
+SELECT r.vec_id, r.list_id, r.cos_centroid, CAST(r.rank AS INT) AS rank,
+       (d.vec_id IS NULL) AS kept
+FROM r LEFT JOIN dropped d USING (vec_id)
+ORDER BY r.vec_id
+"""
+
+
 def q_pipeline_inference(spark, sf_dir):
     """End-to-end W1→W4 serve path (ref scripts/jobs/model_prediction.py:
     33-63) as a driver-checked query: event points → 2 km count raster →
@@ -5675,6 +5778,7 @@ QUERIES = {
     "dedup_lsh_verified": (q_lsh_verified, _sql_lsh_verified()),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "embedding_dups": (q_embed_dups, SQL_EMBED_DUPS),
+    "semdedup": (q_semdedup, _sql_semdedup()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

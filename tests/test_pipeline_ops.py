@@ -1102,6 +1102,81 @@ def test_embedding_dups_find_planted_pairs(spark):
         assert got[p] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_semdedup_drops_planted_keeps_lowest_cos(spark):
+    """SemDeDup over the planted-dup table: each ×1.5 clone has
+    cosine 1.0 with its original and lands in the same cluster, so
+    EXACTLY ONE member of every planted pair survives (the float32
+    cast of the scaled clone nudges its centroid cosine in the 8th
+    decimal, so which member ranks first is pair-specific — the
+    invariant is one-survivor, with the earlier-ranked member kept).
+    Non-duplicated vectors survive; within every cluster the
+    first-ranked item is always kept (nothing precedes it)."""
+    from europe_gis_spark.queries import _embeddings_with_dups
+
+    sf = "/root/testdata/sf0.01"
+    e = _embeddings_with_dups(spark, sf)
+    out = {
+        r.vec_id: r
+        for r in similarity.semdedup_flags(
+            e, threshold=0.9, n_clusters=16, seed=7
+        ).collect()
+    }
+    planted = [v for v in out if v >= 100000]
+    assert planted
+    for v in planted:
+        clone, orig = out[v], out[v - 100000]
+        assert orig.list_id == clone.list_id
+        assert clone.kept != orig.kept, f"pair {v}: {clone.kept}/{orig.kept}"
+        survivor, dropped = (orig, clone) if orig.kept else (clone, orig)
+        assert survivor.rank < dropped.rank
+    assert all(r.kept for r in out.values() if r.rank == 1)
+    # non-dup vectors (random 64-dim, mutual cosine far below 0.9) keep
+    kept_frac = sum(r.kept for r in out.values()) / len(out)
+    assert kept_frac >= 0.9
+
+
+def test_semdedup_engineered_keep_policy(spark):
+    """Engineered 3-way near-dup group: the survivor is the group
+    member with the LOWEST centroid cosine (the paper's keep policy),
+    not an arbitrary one — and the drop rule is non-iterative (a
+    dropped earlier item still shadows later ones)."""
+    import pandas as pd
+
+    base = np.zeros(8)
+    base[0] = 1.0
+    tilt = np.zeros(8)
+    tilt[1] = 1.0
+
+    def mix(eps):
+        v = base + eps * tilt
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    far = np.zeros(8, dtype=np.float32)
+    far[2] = 1.0
+    rows = [
+        (0, mix(0.00)),
+        (1, mix(0.01)),
+        (2, mix(0.02)),
+        (3, far),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [r[0] for r in rows], "embedding": [list(map(float, r[1])) for r in rows]}
+        )
+    )
+    cent = np.stack([base / np.linalg.norm(base), far.astype(np.float64)])
+    out = {
+        r.vec_id: r
+        for r in similarity.semdedup_flags(
+            df, threshold=0.99, n_clusters=2, centroids=cent
+        ).collect()
+    }
+    # cluster 0 holds 0,1,2: centroid cosine DEscends with eps, so the
+    # eps=0.02 member ranks first and is the sole survivor
+    assert [out[v].kept for v in (0, 1, 2)] == [False, False, True]
+    assert out[3].kept  # alone in its cluster
+
+
 def test_ivf_training_paths_bit_equal(spark):
     """The Spark training path (md5-ordered sample via orderBy/limit)
     and the pandas oracle twin must produce BIT-IDENTICAL centroids —
