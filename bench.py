@@ -109,6 +109,7 @@ ROTATING = [
     "quality_classifier",
     "video_dups",
     "semdedup",
+    "tile_pyramid",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Web-map tile serving: slippy-style power-of-two tile pyramids.
+
+The serving layer every web GIS ends with (ref: the reference's raster
+tiling feeds map overlays — raster_processor.py tile loops): aggregate
+points into the max-zoom tile grid ONCE, then roll each coarser zoom up
+from its children 4-to-1.  The naive per-zoom shape re-shuffles the
+point corpus once per zoom level; this one shuffles it once, and every
+further level is an aggregation over an already-aggregated tile table
+4x smaller than the last — at 100 TB the pyramid above the base level
+is effectively free, and each level's agg is a fresh (tx, ty) hash key
+so no level inherits the skew of a hot parent tile.
+
+Tile ids follow the slippy-map convention over a planar power-of-two
+world square: at zoom z the world splits into 2^z x 2^z tiles,
+tx = floor((x - x0) / (world / 2^z)), and a tile's QUADKEY is the
+z-digit base-4 string whose i-th digit interleaves bit (z-1-i) of ty
+(high) and tx (low) — parent = prefix, the property tile caches key on.
+
+Values are summed as exact integer milli-units (floor(value * 1000)) so
+pyramid sums are associative and engine-portable — float sums would
+depend on partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def quadkey_expr(tx, ty, z: int):
+    """Base-4 quadkey string for a zoom-``z`` tile id pair (JVM-only:
+    shifts, masks and a concat — no UDF)."""
+    digits = [
+        ((F.shiftright(ty, i) % 2) * 2 + (F.shiftright(tx, i) % 2)).cast(
+            "string"
+        )
+        for i in range(z - 1, -1, -1)
+    ]
+    return F.concat(*digits) if digits else F.lit("")
+
+
+def tile_pyramid(
+    points: DataFrame,
+    x0: float,
+    y0: float,
+    world_size: float,
+    z_min: int,
+    z_max: int,
+    value_col: str = "value",
+) -> DataFrame:
+    """(z, tx, ty, quadkey, n_events, mval_sum) for every occupied tile
+    at zooms z_min..z_max.  ONE corpus shuffle (the z_max grid agg);
+    each coarser level aggregates the previous level's tile table with
+    tx >> 1, ty >> 1 — 4x smaller per step, all in one declarative
+    plan."""
+    if not (0 <= z_min <= z_max):
+        raise ValueError("need 0 <= z_min <= z_max")
+    size = world_size / (1 << z_max)
+    base = (
+        points.select(
+            F.floor((F.col("x") - x0) / size).cast("long").alias("tx"),
+            F.floor((F.col("y") - y0) / size).cast("long").alias("ty"),
+            F.floor(F.col(value_col) * 1000).cast("long").alias("mval"),
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("mval").alias("mval_sum"),
+        )
+    )
+    levels = {z_max: base}
+    for z in range(z_max - 1, z_min - 1, -1):
+        levels[z] = (
+            levels[z + 1]
+            .groupBy(
+                F.shiftright("tx", 1).alias("tx"),
+                F.shiftright("ty", 1).alias("ty"),
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("mval_sum").alias("mval_sum"),
+            )
+        )
+    out = None
+    for z in range(z_min, z_max + 1):
+        lvl = levels[z].select(
+            F.lit(z).alias("z"),
+            "tx",
+            "ty",
+            quadkey_expr(F.col("tx"), F.col("ty"), z).alias("quadkey"),
+            "n_events",
+            "mval_sum",
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out

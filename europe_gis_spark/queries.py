@@ -3077,6 +3077,54 @@ SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.95 ORDER BY vec_a, vec_b
 """
 
 
+TILE_WORLD = 65536.0
+TILE_ZMIN, TILE_ZMAX = 3, 8
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Slippy-style quadkey tile pyramid over the deterministic event
+    points: one corpus shuffle aggregates the zoom-8 grid (count +
+    exact integer milli-value sum), then zooms 7..3 roll up 4-to-1
+    from the previous level's tile table — the points are never
+    re-scanned, and every level above the base is 4× smaller than the
+    last. Quadkeys are JVM shift/mask/concat (parent = prefix). The
+    oracle aggregates each zoom straight from the points (floor
+    composition over power-of-two sizes makes direct and rolled-up
+    grids identical) and rebuilds the quadkey with per-level literal
+    digit concats."""
+    from .operators import webmap
+
+    pts = event_points(spark, sf_dir)
+    return webmap.tile_pyramid(
+        pts, AA_X0, AA_Y0, TILE_WORLD, TILE_ZMIN, TILE_ZMAX
+    ).orderBy("z", "tx", "ty")
+
+
+def _sql_tile_pyramid() -> str:
+    levels = []
+    for z in range(TILE_ZMIN, TILE_ZMAX + 1):
+        size = TILE_WORLD / (1 << z)
+        digits = " || ".join(
+            f"CAST(((ty >> {i}) & 1) * 2 + ((tx >> {i}) & 1) AS VARCHAR)"
+            for i in range(z - 1, -1, -1)
+        )
+        levels.append(f"""
+SELECT {z} AS z, tx, ty, {digits} AS quadkey, n_events, mval_sum
+FROM (
+  SELECT CAST(FLOOR((x - {AA_X0}) / {size!r}) AS BIGINT) AS tx,
+         CAST(FLOOR((y - {AA_Y0}) / {size!r}) AS BIGINT) AS ty,
+         COUNT(*) AS n_events,
+         SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS mval_sum
+  FROM pts GROUP BY 1, 2
+)""")
+        body = "\nUNION ALL\n".join(levels)
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL})
+{body}
+ORDER BY z, tx, ty
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the planted-dup embedding
     table: spherical k-means clusters (deterministic md5-ordered
@@ -5779,6 +5827,7 @@ QUERIES = {
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "embedding_dups": (q_embed_dups, SQL_EMBED_DUPS),
     "semdedup": (q_semdedup, _sql_semdedup()),
+    "tile_pyramid": (q_tile_pyramid, _sql_tile_pyramid()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

@@ -190,3 +190,49 @@ def test_within_distance_join_fuzz_vs_brute_force(spark):
         ]
         assert sorted(got) == sorted(want), f"D={D}"
         assert len(got) == len(set(got))
+
+
+def test_tile_pyramid_rollup_and_quadkey(spark):
+    """Tile pyramid: every parent tile's counts/sums equal the sum of
+    its (<=4) children, base-level counts match a brute-force grid,
+    and each child's quadkey extends its parent's by one digit."""
+    from europe_gis_spark.operators import webmap
+
+    rng = np.random.default_rng(11)
+    pts = [
+        (float(x), float(y), float(v))
+        for x, y, v in zip(
+            rng.uniform(0, 1000, 300),
+            rng.uniform(0, 1000, 300),
+            rng.uniform(-5, 5, 300),
+        )
+    ]
+    df = spark.createDataFrame(pts, "x double, y double, value double")
+    out = webmap.tile_pyramid(df, 0.0, 0.0, 1024.0, 0, 4).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.z, {})[(r.tx, r.ty)] = r
+    # brute-force base grid
+    base = {}
+    for x, y, v in pts:
+        k = (int(x // 64), int(y // 64))
+        n, s = base.get(k, (0, 0))
+        base[k] = (n + 1, s + int(np.floor(v * 1000)))
+    assert {
+        k: (r.n_events, r.mval_sum) for k, r in by_level[4].items()
+    } == base
+    for z in range(1, 5):
+        for (tx, ty), r in by_level[z].items():
+            parent = by_level[z - 1][(tx >> 1, ty >> 1)]
+            assert r.quadkey[: z - 1] == parent.quadkey
+        for (tx, ty), p in by_level[z - 1].items():
+            kids = [
+                c
+                for (cx, cy), c in by_level[z].items()
+                if (cx >> 1, cy >> 1) == (tx, ty)
+            ]
+            assert p.n_events == sum(c.n_events for c in kids)
+            assert p.mval_sum == sum(c.mval_sum for c in kids)
+    # zoom 0 is the whole world: one tile, empty quadkey, every point
+    (root,) = by_level[0].values()
+    assert root.n_events == 300 and root.quadkey == ""
