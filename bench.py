@@ -110,6 +110,7 @@ ROTATING = [
     "video_dups",
     "semdedup",
     "tile_pyramid",
+    "stay_points",
 ]
 
 

@@ -1,0 +1,70 @@
+"""Trajectory analysis over per-entity point streams.
+
+Stay-point detection (the relational variant of Li et al. 2008,
+"Mining user similarity based on location history"): a stay is a
+maximal run of consecutive points (per entity, time-ordered) in which
+every step moves at most ``radius`` — runs lasting at least
+``min_duration`` are the places the entity dwelt.  The sequential
+reference algorithm anchors on the first point of a candidate stay;
+the chained-step variant here is the standard gaps-and-islands
+relaxation that needs NO iteration: one window pass marks the
+over-radius steps, a running sum turns them into island ids, and one
+aggregation per (entity, island) finishes the job.
+
+Engine-portable exactness: the step test compares SQUARED distance to
+radius² — with the integer-plus-half synthetic coordinates both sides
+are exact doubles, so no sqrt and no float-rounding boundary exists;
+island centroids divide an exactly-representable coordinate sum by the
+count (one correctly-rounded IEEE division, identical across engines).
+
+Scale shape: ONE shuffle.  The window exchange hash-partitions on the
+entity key; the island aggregation's key (entity, island) extends it,
+and Spark's ClusteredDistribution accepts a partitioning on a key
+subset — so the agg rides the window's exchange (plan-asserted).
+Per-entity history length bounds the window buffer, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def stay_points(
+    points: DataFrame,
+    radius: float,
+    min_duration_s: int,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """(key, island, n_points, start_ts, end_ts, cx, cy) for every
+    chained-step stay of at least ``min_duration_s`` seconds."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(time_col), F.col(order_tiebreak)
+    )
+    dx = F.col("x") - F.lag("x").over(w)
+    dy = F.col("y") - F.lag("y").over(w)
+    move = F.when(
+        dx.isNull() | (dx * dx + dy * dy > F.lit(float(radius) ** 2)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    island = F.sum(move).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        points.withColumn("island", island)
+        .groupBy(key_col, "island")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min(time_col).alias("start_ts"),
+            F.max(time_col).alias("end_ts"),
+            F.round(F.sum("x") / F.count("*"), 6).alias("cx"),
+            F.round(F.sum("y") / F.count("*"), 6).alias("cy"),
+        )
+        .filter(
+            F.unix_micros(F.col("end_ts").cast("timestamp"))
+            - F.unix_micros(F.col("start_ts").cast("timestamp"))
+            >= F.lit(min_duration_s * 1_000_000)
+        )
+    )

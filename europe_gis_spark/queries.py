@@ -3125,6 +3125,69 @@ ORDER BY z, tx, ty
 """
 
 
+STAY_RADIUS = 15000.0
+STAY_MIN_S = 3600
+
+
+def q_stay_points(spark, sf_dir):
+    """Trajectory stay-point detection (relational Li et al. 2008):
+    per-user time-ordered event points, chained steps within 15 km
+    form islands (gaps-and-islands over ONE user-keyed window
+    exchange; the island agg's key extends the window key so it rides
+    the same exchange), islands dwelling ≥ 1 h kept with exact-count
+    centroids. The squared-distance step test and the
+    integer-plus-half coordinates make every comparison exact, so the
+    DuckDB twin reproduces the island structure bit-for-bit."""
+    from .operators import trajectory
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.lit(AA_X0) + (F.col("event_id") * 48271 % 60000) + 0.5).alias("x"),
+        (F.lit(AA_Y0) + (F.col("event_id") * 16807 % 40000) + 0.5).alias("y"),
+    )
+    return trajectory.stay_points(
+        pts, radius=STAY_RADIUS, min_duration_s=STAY_MIN_S
+    ).orderBy("user_id", "island")
+
+
+SQL_STAY_POINTS = f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts,
+         {AA_X0} + (event_id * 48271 % 60000) + 0.5 AS x,
+         {AA_Y0} + (event_id * 16807 % 40000) + 0.5 AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, x, y,
+         x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT *, CASE WHEN dx IS NULL
+                   OR dx * dx + dy * dy > {STAY_RADIUS ** 2!r}
+                 THEN 1 ELSE 0 END AS move
+  FROM s
+),
+i AS (
+  SELECT *, SUM(move) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS island
+  FROM m
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       COUNT(*) AS n_points, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       ROUND(SUM(x) / COUNT(*), 6) AS cx,
+       ROUND(SUM(y) / COUNT(*), 6) AS cy
+FROM i
+GROUP BY user_id, island
+HAVING EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) >= {STAY_MIN_S}::BIGINT * 1000000
+ORDER BY user_id, island
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the planted-dup embedding
     table: spherical k-means clusters (deterministic md5-ordered
@@ -5828,6 +5891,7 @@ QUERIES = {
     "embedding_dups": (q_embed_dups, SQL_EMBED_DUPS),
     "semdedup": (q_semdedup, _sql_semdedup()),
     "tile_pyramid": (q_tile_pyramid, _sql_tile_pyramid()),
+    "stay_points": (q_stay_points, SQL_STAY_POINTS),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

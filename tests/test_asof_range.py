@@ -288,3 +288,44 @@ def test_scd2_history_random_vs_bruteforce(spark):
                  nxt is None)
             )
     assert got == set(ref)
+
+
+def test_stay_points_islands_and_single_exchange(spark):
+    import pytest
+    """Hand-built trajectory: two dwell clusters separated by a long
+    hop, plus a singleton user. Islands, durations, and exact
+    centroids must match; the island aggregation must reuse the
+    window's user-keyed exchange (ONE Exchange in the whole plan)."""
+    import datetime as dt
+
+    from europe_gis_spark.operators import trajectory
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(eid, user, minutes, x, y):
+        return (eid, user, t0 + dt.timedelta(minutes=minutes), float(x), float(y))
+
+    rows = [
+        # user 1: dwell A (3 pts, 90 min), hop, dwell B (2 pts, 60 min)
+        row(1, 1, 0, 0.5, 0.5),
+        row(2, 1, 45, 3.5, 4.5),   # step 5 <= r
+        row(3, 1, 90, 0.5, 0.5),
+        row(4, 1, 120, 100.5, 100.5),  # hop > r starts island 2
+        row(5, 1, 180, 103.5, 104.5),
+        # user 2: single point (duration 0 -> filtered)
+        row(6, 2, 0, 50.5, 50.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, x double, y double"
+    )
+    out = trajectory.stay_points(df, radius=6.0, min_duration_s=3600)
+    got = {(r.user_id, r.island): r for r in out.collect()}
+    assert set(got) == {(1, 1), (1, 2)}
+    a = got[(1, 1)]
+    assert a.n_points == 3 and a.cx == pytest.approx(1.5) and a.cy == pytest.approx(1.8333333333333333, abs=1e-6)
+    assert (a.end_ts - a.start_ts).total_seconds() == 5400
+    b = got[(1, 2)]
+    assert b.n_points == 2 and b.cx == 102.0 and b.cy == 102.5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
