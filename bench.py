@@ -111,6 +111,7 @@ ROTATING = [
     "semdedup",
     "tile_pyramid",
     "stay_points",
+    "trip_stats",
 ]
 
 

@@ -30,6 +30,68 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def trip_stats(
+    points: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per (entity, day) travel statistics: point/step counts, total
+    and maximum step length, and net first-to-last displacement —
+    the trajectory summary layer (daily ranges, commute vs roam).
+
+    Step lengths are floor(sqrt(dx²+dy²)·1000) — integer millimeters.
+    IEEE sqrt is correctly rounded on every engine and the squared
+    terms are exact, so each step length is bit-identical across
+    engines and the SUMS are associative integers (a float-meter sum
+    would depend on partial-aggregation order). First/last positions
+    come from min/max over (ts, tiebreak, x, y) structs — exact, no
+    first_value frame subtleties. Same one-exchange shape as
+    stay_points: the (key, day) agg key extends the window key."""
+    w = Window.partitionBy(key_col, "day").orderBy(
+        F.col(time_col), F.col(order_tiebreak)
+    )
+    dx = F.col("x") - F.lag("x").over(w)
+    dy = F.col("y") - F.lag("y").over(w)
+    step_mm = F.floor(F.sqrt(dx * dx + dy * dy) * 1000).cast("long")
+    pos = F.struct(
+        F.col(time_col), F.col(order_tiebreak), F.col("x"), F.col("y")
+    )
+    net = F.sqrt(
+        (F.col("l.x") - F.col("f.x")) * (F.col("l.x") - F.col("f.x"))
+        + (F.col("l.y") - F.col("f.y")) * (F.col("l.y") - F.col("f.y"))
+    )
+    return (
+        points.select(
+            key_col,
+            F.to_date(time_col).alias("day"),
+            F.col(time_col),
+            F.col(order_tiebreak),
+            "x",
+            "y",
+        )
+        .withColumn("step_mm", step_mm)
+        .groupBy(key_col, "day")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.count("step_mm").alias("n_steps"),
+            F.coalesce(F.sum("step_mm"), F.lit(0)).alias("total_mm"),
+            F.coalesce(F.max("step_mm"), F.lit(0)).alias("max_step_mm"),
+            F.min(pos).alias("f"),
+            F.max(pos).alias("l"),
+        )
+        .select(
+            key_col,
+            "day",
+            "n_points",
+            "n_steps",
+            "total_mm",
+            "max_step_mm",
+            F.floor(net * 1000).cast("long").alias("net_mm"),
+        )
+    )
+
+
 def stay_points(
     points: DataFrame,
     radius: float,

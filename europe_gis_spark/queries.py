@@ -3188,6 +3188,62 @@ ORDER BY user_id, island
 """
 
 
+def q_trip_stats(spark, sf_dir):
+    """Per-user-day travel summary over the deterministic event
+    points: step/point counts, total + max step length and net
+    first-to-last displacement — all lengths as floor(·1000) integer
+    millimeters so sums are associative and engine-exact (IEEE sqrt
+    is correctly rounded everywhere; the squared terms are exact).
+    One window exchange; the (user, day) agg rides it."""
+    from .operators import trajectory
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.lit(AA_X0) + (F.col("event_id") * 48271 % 60000) + 0.5).alias("x"),
+        (F.lit(AA_Y0) + (F.col("event_id") * 16807 % 40000) + 0.5).alias("y"),
+    )
+    return trajectory.trip_stats(pts).orderBy("user_id", "day")
+
+
+SQL_TRIP_STATS = f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts, CAST(ts AS DATE) AS day,
+         {AA_X0} + (event_id * 48271 % 60000) + 0.5 AS x,
+         {AA_Y0} + (event_id * 16807 % 40000) + 0.5 AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, day, ts, event_id, x, y,
+         x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy,
+         FIRST_VALUE(x) OVER wf AS fx, FIRST_VALUE(y) OVER wf AS fy,
+         LAST_VALUE(x) OVER wf AS lx, LAST_VALUE(y) OVER wf AS ly
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, day ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+m AS (
+  SELECT *, CAST(FLOOR(SQRT(dx * dx + dy * dy) * 1000) AS BIGINT) AS step_mm
+  FROM s
+)
+SELECT user_id, day,
+       COUNT(*) AS n_points,
+       COUNT(step_mm) AS n_steps,
+       COALESCE(SUM(step_mm), 0) AS total_mm,
+       COALESCE(MAX(step_mm), 0) AS max_step_mm,
+       CAST(FLOOR(SQRT(
+         (ANY_VALUE(lx) - ANY_VALUE(fx)) * (ANY_VALUE(lx) - ANY_VALUE(fx))
+         + (ANY_VALUE(ly) - ANY_VALUE(fy)) * (ANY_VALUE(ly) - ANY_VALUE(fy))
+       ) * 1000) AS BIGINT) AS net_mm
+FROM m
+GROUP BY user_id, day
+ORDER BY user_id, day
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the planted-dup embedding
     table: spherical k-means clusters (deterministic md5-ordered
@@ -5892,6 +5948,7 @@ QUERIES = {
     "semdedup": (q_semdedup, _sql_semdedup()),
     "tile_pyramid": (q_tile_pyramid, _sql_tile_pyramid()),
     "stay_points": (q_stay_points, SQL_STAY_POINTS),
+    "trip_stats": (q_trip_stats, SQL_TRIP_STATS),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

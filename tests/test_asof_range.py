@@ -329,3 +329,37 @@ def test_stay_points_islands_and_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_trip_stats_exact_integer_lengths(spark):
+    """Hand trajectory across a day boundary: integer-mm step sums,
+    max step, and net displacement match a brute-force recompute; a
+    single-point day reports zeros; ONE exchange total."""
+    import datetime as dt
+    import math
+
+    from europe_gis_spark.operators import trajectory
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, 7, t0 + dt.timedelta(minutes=0), 0.5, 0.5),
+        (2, 7, t0 + dt.timedelta(minutes=10), 3.5, 4.5),
+        (3, 7, t0 + dt.timedelta(minutes=20), 0.25, 0.5),
+        (4, 7, t0 + dt.timedelta(days=1), 9.5, 9.5),  # next day: own group
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, x double, y double"
+    )
+    out = trajectory.trip_stats(df)
+    got = {(r.user_id, str(r.day)): r for r in out.collect()}
+    d1 = got[(7, "2024-03-01")]
+    s1 = math.floor(math.sqrt(3.0**2 + 4.0**2) * 1000)
+    s2 = math.floor(math.sqrt(3.25**2 + 4.0**2) * 1000)
+    assert (d1.n_points, d1.n_steps) == (3, 2)
+    assert d1.total_mm == s1 + s2 and d1.max_step_mm == s2
+    assert d1.net_mm == math.floor(math.sqrt(0.25**2) * 1000)
+    d2 = got[(7, "2024-03-02")]
+    assert (d2.n_points, d2.n_steps, d2.total_mm, d2.max_step_mm, d2.net_mm) == (1, 0, 0, 0, 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
