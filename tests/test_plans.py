@@ -590,3 +590,26 @@ def test_hll_single_register_exchange(spark):
     # corpus-side exchange count: the register agg + the <=512-rows/group
     # rollup — both keyed, bounded post-partial
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_tile_pyramid_scans_points_once_reuses_base(spark):
+    """tile_pyramid: ONE point scan for the whole pyramid — the base
+    (tx, ty) grid exchange is computed once and ReusedExchange'd by
+    the other zoom branches (the z_min branch materializes the
+    halving chain; every other level reuses its prefix). No Python
+    evaluator; values are integer sums."""
+    from europe_gis_spark.queries import q_tile_pyramid
+
+    df = q_tile_pyramid(spark, "/root/testdata/sf0.001")
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("Scan parquet") == 1, final
+    # 5 reuses: base exchange by the z_max branch + the 4 intermediate
+    # halving exchanges by zoom branches 4..7
+    assert final.count("ReusedExchange") >= 5, final
+    assert "ArrowEvalPython" not in final and "BatchEvalPython" not in final
