@@ -112,6 +112,7 @@ ROTATING = [
     "tile_pyramid",
     "stay_points",
     "trip_stats",
+    "crawl_schedule",
 ]
 
 

@@ -251,3 +251,46 @@ def cap_per_domain(pages: DataFrame, k: int, url_col: str = "url") -> DataFrame:
     return domain_rank_flags(pages, k, url_col).filter(F.col("rk") <= k).drop(
         "kept"
     )
+
+
+def crawl_schedule(
+    pages: DataFrame,
+    delay_s: int = 2,
+    n_workers: int = 8,
+    url_col: str = "url",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Politeness-aware fetch scheduling for a crawl frontier: every
+    registered domain's fetches are serialized ``delay_s`` seconds
+    apart (rank · delay), and each domain is PINNED to one of
+    ``n_workers`` fetcher slots by an md5-derived engine-portable hash
+    — domain affinity is what lets each worker enforce the per-domain
+    delay locally, with no cross-worker coordination (the standard
+    frontier design: Mercator / Heritrix queue assignment).
+
+    Priority within a domain is length-desc with an ``order_col``
+    tie-break (same ordering contract as ``cap_per_domain``).  One
+    window exchange on the domain key; the worker assignment and
+    offsets are map-side arithmetic.  Politeness is per-domain: two
+    domains on the same worker may share an offset — workers interleave
+    them, they only ever serialize fetches WITHIN a domain."""
+    w = Window.partitionBy("domain").orderBy(
+        F.desc(F.length("text")), F.asc(order_col)
+    )
+    worker = (
+        F.conv(F.substring(F.md5(F.col("domain")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % n_workers
+    )
+    return (
+        pages.withColumn("domain", registered_domain(url_col))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            order_col,
+            "domain",
+            worker.alias("worker"),
+            "rk",
+            ((F.col("rk") - 1) * delay_s).alias("fetch_offset_s"),
+        )
+    )

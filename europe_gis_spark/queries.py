@@ -3709,6 +3709,33 @@ FROM canon QUALIFY rk <= 5 ORDER BY domain, rk, doc_id
 """
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness-aware crawl scheduling: per registered domain,
+    fetches serialize 2 s apart in length-desc priority order, and
+    each domain pins to one of 8 fetcher slots via the engine-portable
+    md5 hash — the Mercator/Heritrix frontier queue-assignment shape.
+    One domain-keyed window exchange; worker + offset are map-side."""
+    from .operators import webops
+
+    return webops.crawl_schedule(
+        _docs_with_urls(spark, sf_dir), delay_s=2, n_workers=8
+    ).orderBy("domain", "rk")
+
+
+SQL_CRAWL_SCHEDULE = f"""
+WITH urls AS ({URLS_SQL}),
+{CANON_SQL}
+SELECT doc_id, domain,
+       CAST('0x' || SUBSTRING(MD5(domain), 1, 8) AS BIGINT) % 8 AS worker,
+       ROW_NUMBER() OVER (PARTITION BY domain
+                          ORDER BY LENGTH(text) DESC, doc_id) AS rk,
+       (ROW_NUMBER() OVER (PARTITION BY domain
+                           ORDER BY LENGTH(text) DESC, doc_id) - 1) * 2
+         AS fetch_offset_s
+FROM canon ORDER BY domain, rk
+"""
+
+
 def q_gap_fill(spark, sf_dir):
     """Daily gap fill + LOCF per user over the events table: dense
     bucket grid (sequence/explode off per-key bounds), in-bucket aggs,
@@ -5949,6 +5976,7 @@ QUERIES = {
     "tile_pyramid": (q_tile_pyramid, _sql_tile_pyramid()),
     "stay_points": (q_stay_points, SQL_STAY_POINTS),
     "trip_stats": (q_trip_stats, SQL_TRIP_STATS),
+    "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

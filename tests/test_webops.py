@@ -281,3 +281,36 @@ def test_robots_longest_match_and_ties(spark):
     assert got["https://A.COM/x/casehost"] == (False, "/x/")
     kept = {r.url for r in webops.robots_filter(pages, rules).collect()}
     assert kept == {u for u, (a, _) in got.items() if a}
+
+
+def test_crawl_schedule_politeness_and_affinity(spark):
+    """Each domain's offsets are 0, d, 2d, ... in priority order; all
+    rows of a domain land on one worker; workers stay in range."""
+    import pandas as pd
+
+    from europe_gis_spark.operators import webops
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "url": [
+                "http://a.com/1", "https://www.a.com/2", "http://a.com/3",
+                "http://b.org/x", "http://b.org/y", "http://c.net/z",
+            ],
+            "text": ["lorem" * n for n in (9, 3, 5, 2, 8, 1)],
+        }
+    )
+    out = webops.crawl_schedule(
+        spark.createDataFrame(rows), delay_s=3, n_workers=4
+    ).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert set(by_dom) == {"a.com", "b.org", "c.net"}
+    for dom, rs in by_dom.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.fetch_offset_s for r in rs] == [3 * i for i in range(len(rs))]
+        assert len({r.worker for r in rs}) == 1
+        assert all(0 <= r.worker < 4 for r in rs)
+    # priority: longest text first within a.com (doc 0 then 2 then 1)
+    assert [r.doc_id for r in sorted(by_dom["a.com"], key=lambda r: r.rk)] == [0, 2, 1]
