@@ -3114,7 +3114,7 @@ FROM (
   SELECT CAST(FLOOR((x - {AA_X0}) / {size!r}) AS BIGINT) AS tx,
          CAST(FLOOR((y - {AA_Y0}) / {size!r}) AS BIGINT) AS ty,
          COUNT(*) AS n_events,
-         SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS mval_sum
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS mval_sum
   FROM pts GROUP BY 1, 2
 )""")
         body = "\nUNION ALL\n".join(levels)
@@ -3205,7 +3205,11 @@ def q_trip_stats(spark, sf_dir):
         (F.lit(AA_X0) + (F.col("event_id") * 48271 % 60000) + 0.5).alias("x"),
         (F.lit(AA_Y0) + (F.col("event_id") * 16807 % 40000) + 0.5).alias("y"),
     )
-    return trajectory.trip_stats(pts).orderBy("user_id", "day")
+    return (
+        trajectory.trip_stats(pts)
+        .withColumn("day", F.col("day").cast("string"))
+        .orderBy("user_id", "day")
+    )
 
 
 SQL_TRIP_STATS = f"""
@@ -3229,10 +3233,10 @@ m AS (
   SELECT *, CAST(FLOOR(SQRT(dx * dx + dy * dy) * 1000) AS BIGINT) AS step_mm
   FROM s
 )
-SELECT user_id, day,
+SELECT user_id, CAST(day AS VARCHAR) AS day,
        COUNT(*) AS n_points,
        COUNT(step_mm) AS n_steps,
-       COALESCE(SUM(step_mm), 0) AS total_mm,
+       CAST(COALESCE(SUM(step_mm), 0) AS BIGINT) AS total_mm,
        COALESCE(MAX(step_mm), 0) AS max_step_mm,
        CAST(FLOOR(SQRT(
          (ANY_VALUE(lx) - ANY_VALUE(fx)) * (ANY_VALUE(lx) - ANY_VALUE(fx))
