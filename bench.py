@@ -113,6 +113,7 @@ ROTATING = [
     "stay_points",
     "trip_stats",
     "crawl_schedule",
+    "stay_regions",
 ]
 
 

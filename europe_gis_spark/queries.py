@@ -3188,6 +3188,96 @@ ORDER BY user_id, island
 """
 
 
+def q_stay_regions(spark, sf_dir):
+    """Trajectory × PIP composition: stay-point centroids (where users
+    dwell ≥ 1 h) assigned to the admin polygons through the REAL
+    cell-bucketed broadcast index (the flagship machinery, not a
+    re-derivation), then dwell stats per region — the
+    'which regions do users actually stay in' rollup. Oracle: the
+    stay-point CTE chain feeding the same reversed half-plane CASE
+    as the flagship PIP oracle."""
+    import pandas as pd
+
+    from .operators import trajectory
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.lit(AA_X0) + (F.col("event_id") * 48271 % 60000) + 0.5).alias("x"),
+        (F.lit(AA_Y0) + (F.col("event_id") * 16807 % 40000) + 0.5).alias("y"),
+    )
+    stays = trajectory.stay_points(
+        pts, radius=STAY_RADIUS, min_duration_s=STAY_MIN_S
+    ).select(
+        "user_id",
+        F.col("cx").alias("x"),
+        F.col("cy").alias("y"),
+    )
+    polys = [(pid, _poly_wkb(v)) for pid, v in PIP_POLYS]
+    polys_df = spark.createDataFrame(
+        pd.DataFrame(polys, columns=["nuts_id", "geometry"])
+    )
+    idx_bc = geo_join.build_polygon_index_bc(spark, polys_df)
+    assigned = geo_join.assign_polygons(stays, idx_bc, keep_cols=("user_id",))
+    return (
+        assigned.groupBy("poly_id")
+        .agg(
+            F.count("*").alias("n_stays"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.asc_nulls_first("poly_id"))
+    )
+
+
+def _sql_stay_regions() -> str:
+    cases = " ".join(
+        f"WHEN {_halfplane_sql(v)} THEN '{pid}'"
+        for pid, v in reversed(PIP_POLYS)
+    )
+    # the stay CTE chain is SQL_STAY_POINTS minus its final ORDER BY,
+    # reshaped to emit centroids as (x, y) for the half-plane CASE
+    return f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts,
+         {AA_X0} + (event_id * 48271 % 60000) + 0.5 AS x,
+         {AA_Y0} + (event_id * 16807 % 40000) + 0.5 AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, x, y,
+         x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT *, CASE WHEN dx IS NULL
+                   OR dx * dx + dy * dy > {STAY_RADIUS ** 2!r}
+                 THEN 1 ELSE 0 END AS move
+  FROM s
+),
+i AS (
+  SELECT *, SUM(move) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS island
+  FROM m
+),
+stays AS (
+  SELECT user_id,
+         ROUND(SUM(x) / COUNT(*), 6) AS x,
+         ROUND(SUM(y) / COUNT(*), 6) AS y
+  FROM i
+  GROUP BY user_id, island
+  HAVING EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) >= {STAY_MIN_S}::BIGINT * 1000000
+),
+assigned AS (
+  SELECT user_id, CASE {cases} ELSE NULL END AS poly_id FROM stays
+)
+SELECT poly_id, COUNT(*) AS n_stays, COUNT(DISTINCT user_id) AS n_users
+FROM assigned GROUP BY poly_id ORDER BY poly_id NULLS FIRST
+"""
+
+
 def q_trip_stats(spark, sf_dir):
     """Per-user-day travel summary over the deterministic event
     points: step/point counts, total + max step length and net
@@ -5981,6 +6071,7 @@ QUERIES = {
     "stay_points": (q_stay_points, SQL_STAY_POINTS),
     "trip_stats": (q_trip_stats, SQL_TRIP_STATS),
     "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
+    "stay_regions": (q_stay_regions, _sql_stay_regions()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
