@@ -114,6 +114,7 @@ ROTATING = [
     "trip_stats",
     "crawl_schedule",
     "stay_regions",
+    "kde_heatmap",
 ]
 
 

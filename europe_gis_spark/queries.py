@@ -3188,6 +3188,44 @@ ORDER BY user_id, island
 """
 
 
+KDE_CELL = 2000.0
+KDE_R, KDE_SIGMA = 2, 1.0
+
+
+def q_kde_heatmap(spark, sf_dir):
+    """Binned Gaussian KDE heatmap over the event points at 2 km
+    cells: each point stamps a driver-quantized integer-ppm kernel
+    onto the 5×5 cells around its bin (map-side inline explode of a
+    plan-literal stamp), ONE (cx, cy) shuffle sums exact integers.
+    The oracle cross-joins the identical stamp VALUES."""
+    from .operators import webmap
+
+    pts = event_points(spark, sf_dir)
+    return webmap.kde_heatmap(
+        pts, AA_X0, AA_Y0, KDE_CELL, KDE_R, KDE_SIGMA
+    ).orderBy("cx", "cy")
+
+
+def _sql_kde_heatmap() -> str:
+    from .operators.webmap import kde_kernel_weights
+
+    stamp = kde_kernel_weights(KDE_R, KDE_SIGMA)
+    vals = ",".join(f"({dx},{dy},{w})" for dx, dy, w in stamp)
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+stamp(dx, dy, w) AS (VALUES {vals}),
+b AS (
+  SELECT CAST(FLOOR((x - {AA_X0}) / {KDE_CELL!r}) AS BIGINT) AS bx,
+         CAST(FLOOR((y - {AA_Y0}) / {KDE_CELL!r}) AS BIGINT) AS by
+  FROM pts
+)
+SELECT b.bx + s.dx AS cx, b.by + s.dy AS cy,
+       CAST(SUM(s.w) AS BIGINT) AS density_ppm
+FROM b CROSS JOIN stamp s
+GROUP BY 1, 2 ORDER BY cx, cy
+"""
+
+
 def q_stay_regions(spark, sf_dir):
     """Trajectory × PIP composition: stay-point centroids (where users
     dwell ≥ 1 h) assigned to the admin polygons through the REAL
@@ -6072,6 +6110,7 @@ QUERIES = {
     "trip_stats": (q_trip_stats, SQL_TRIP_STATS),
     "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
     "stay_regions": (q_stay_regions, _sql_stay_regions()),
+    "kde_heatmap": (q_kde_heatmap, _sql_kde_heatmap()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

@@ -236,3 +236,23 @@ def test_tile_pyramid_rollup_and_quadkey(spark):
     # zoom 0 is the whole world: one tile, empty quadkey, every point
     (root,) = by_level[0].values()
     assert root.n_events == 300 and root.quadkey == ""
+
+
+def test_kde_heatmap_mass_conservation(spark):
+    """Total stamped density == n_points × Σ(stamp weights); the peak
+    sits at a point's own cell; stamp is symmetric."""
+    from europe_gis_spark.operators import webmap
+
+    stamp = webmap.kde_kernel_weights(2, 1.0)
+    assert {(dx, dy) for dx, dy, _ in stamp} == {
+        (dx, dy) for dx in range(-2, 3) for dy in range(-2, 3)
+    }
+    wmap = {(dx, dy): w for dx, dy, w in stamp}
+    assert wmap[(0, 0)] == 1_000_000 and wmap[(1, 0)] == wmap[(-1, 0)] == wmap[(0, 1)]
+    pts = [(5.5, 5.5), (5.5, 5.5), (100.5, 100.5)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = {(r.cx, r.cy): r.density_ppm for r in
+           webmap.kde_heatmap(df, 0.0, 0.0, 1.0, 2, 1.0).collect()}
+    assert sum(out.values()) == 3 * sum(wmap.values())
+    assert out[(5, 5)] == 2_000_000 and out[(100, 100)] == 1_000_000
+    assert out[(6, 5)] == 2 * wmap[(1, 0)]
