@@ -115,6 +115,7 @@ ROTATING = [
     "crawl_schedule",
     "stay_regions",
     "kde_heatmap",
+    "lpa_communities",
 ]
 
 

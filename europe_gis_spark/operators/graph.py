@@ -540,6 +540,59 @@ def cc_star(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) made fully deterministic: over the undirected simple
+    graph, every round EVERY node adopts the smallest label among
+    those of maximal frequency in its neighborhood (ties: min label —
+    the random pick in the paper is replaced by a total order so the
+    result is engine-reproducible and an unrolled oracle can state
+    it). FIXED round budget: synchronous LPA can oscillate on
+    bipartite structure, so a fixed count is both the deterministic
+    choice and the oracle-checkable one — the result is whatever
+    state round N reaches, exactly.
+
+    Per round: one node-keyed edge⋈label join, one (node, label)
+    count, one argmax-pick agg (min over (-cnt, label) structs — all
+    integer arithmetic, no floats anywhere); lineage truncated per
+    round like ``pagerank``. Returns (node, label)."""
+    a, b = F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    und = (
+        edges.select(a, b)
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        nb = und.join(labels, und["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "label"
+        )
+        cnt = nb.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("label").alias("lbl"),
+                    )
+                ).alias("pick")
+            )
+            .select("node", F.col("pick.lbl").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def random_walks(
     edges: DataFrame,
     walk_len: int = 8,

@@ -4045,6 +4045,77 @@ def q_link_pagerank(spark, sf_dir):
     )
 
 
+LPA_ROUNDS = 4
+
+
+def q_lpa_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007, min-label tie-break, FIXED 4 rounds) over a block-structured
+    synthetic graph from documents: 12 blocks of 10 nodes, each block
+    a ring plus a +3 chord plus a hub edge to the block minimum —
+    dense inside, no edges across, and the hub asymmetry drives every
+    block to ONE community (its min node's label; a pure ring is a
+    stable two-label fixed point of synchronous min-tie-break LPA).
+    The fixed budget is the oracle contract: the result is whatever
+    state round 4 reaches, and the DuckDB twin unrolls the identical
+    integer recurrence (count → max-frequency → min-label QUALIFY
+    pick per round)."""
+    from .operators import graph
+
+    d = _read(spark, sf_dir, "documents")
+    n = F.col("doc_id") % 120
+    blk = F.floor(n / 10)
+    e = (
+        d.select(n.alias("src"), (blk * 10 + (n + 1) % 10).alias("dst"))
+        .union(
+            d.select(n.alias("src"), (blk * 10 + (n + 3) % 10).alias("dst"))
+        )
+        .union(d.select(n.alias("src"), (blk * 10).alias("dst")))
+    )
+    return (
+        graph.label_propagation(e, rounds=LPA_ROUNDS)
+        .orderBy("node")
+    )
+
+
+def _sql_lpa() -> str:
+    ctes = [
+        """raw AS (
+  SELECT doc_id % 120 AS src,
+         (doc_id % 120 // 10) * 10 + (doc_id % 120 + 1) % 10 AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id % 120 AS src,
+         (doc_id % 120 // 10) * 10 + (doc_id % 120 + 3) % 10 AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id % 120 AS src, (doc_id % 120 // 10) * 10 AS dst
+  FROM documents
+)""",
+        """und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM raw UNION ALL SELECT dst, src FROM raw
+  ) WHERE a <> b
+)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und)",
+    ]
+    for i in range(1, LPA_ROUNDS + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, lbl AS label FROM (
+    SELECT e.a AS node, r.label AS lbl, COUNT(*) AS cnt
+    FROM und e JOIN l{i - 1} r ON e.b = r.node
+    GROUP BY 1, 2
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{LPA_ROUNDS} ORDER BY node"
+    )
+
+
 def q_pagerank_topk(spark, sf_dir):
     """The deliverable form of authority scoring: top-10 nodes by
     PageRank after 7 fixed iterations — TakeOrderedAndProject (per-
@@ -6111,6 +6182,7 @@ QUERIES = {
     "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
     "stay_regions": (q_stay_regions, _sql_stay_regions()),
     "kde_heatmap": (q_kde_heatmap, _sql_kde_heatmap()),
+    "lpa_communities": (q_lpa_communities, _sql_lpa()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

@@ -364,3 +364,28 @@ def test_random_walks_dangling_holds(spark):
         for r in graph.random_walks(df, walk_len=4).collect()
     }
     assert w == {0: 7, 1: 9, 2: 9, 3: 9, 4: 9}
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA assigns each
+    clique its min node's label and the bridge does not merge them;
+    deterministic under repartitioning."""
+    from europe_gis_spark.operators import graph
+
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = cl1 + cl2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.label
+        for r in graph.label_propagation(df, rounds=4).collect()
+    }
+    assert {n: got[n] for n in range(4)} == {n: 0 for n in range(4)}
+    assert {n: got[n] for n in range(10, 14)} == {n: 10 for n in range(10, 14)}
+    got2 = {
+        r.node: r.label
+        for r in graph.label_propagation(
+            df.repartition(7), rounds=4
+        ).collect()
+    }
+    assert got2 == got
