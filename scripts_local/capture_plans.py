@@ -237,6 +237,60 @@ def main() -> None:
         )
     )
 
+    from europe_gis_spark.operators import trajectory, webmap
+    from europe_gis_spark.queries import AA_X0, AA_Y0, event_points
+
+    pts001 = event_points(spark, "/root/testdata/sf0.001").join(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+            "event_id", "user_id", "ts"
+        ),
+        "event_id",
+    )
+    sections.append(
+        (
+            "Tile pyramid (ONE point scan + ONE corpus shuffle at max "
+            "zoom; each coarser level aggregates the previous level's "
+            "tile table — at runtime AQE dedups the shared prefix into "
+            "ReusedExchange per zoom branch, asserted in "
+            "test_plans.test_tile_pyramid_scans_points_once_reuses_base)",
+            plan(
+                webmap.tile_pyramid(
+                    event_points(spark, "/root/testdata/sf0.001"),
+                    AA_X0,
+                    AA_Y0,
+                    65536.0,
+                    3,
+                    8,
+                )
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Stay points (gaps-and-islands dwell detection: the island "
+            "aggregation's (user, island) key EXTENDS the window's "
+            "user key, so ClusteredDistribution lets it ride the one "
+            "window exchange — single Exchange total, asserted in "
+            "test_asof_range.test_stay_points_islands_and_single_exchange)",
+            plan(trajectory.stay_points(pts001, 15000.0, 3600)),
+        )
+    )
+    sections.append(
+        (
+            "KDE heatmap (driver-quantized integer kernel stamp rides "
+            "the plan as an inline-exploded literal; one (cx, cy) "
+            "exchange, no Python, no floats in either engine)",
+            plan(
+                webmap.kde_heatmap(
+                    event_points(spark, "/root/testdata/sf0.001"),
+                    AA_X0,
+                    AA_Y0,
+                    2000.0,
+                )
+            ),
+        )
+    )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Captured physical plans — the evidence behind the scale claims\n\n")
