@@ -453,7 +453,13 @@ def semdedup_flags(
     w = Window.partitionBy("list_id").orderBy(
         F.asc("cos_centroid"), F.asc("vec_id")
     )
-    ranked = a.withColumn("rank", F.row_number().over(w))
+    # pin the tiny (vec_id, list_id, cos, rank) table ONCE — the
+    # simhash fingerprint-table discipline (~24 B/row): without it the
+    # Arrow assignment pass + rank window re-run for the self-join's
+    # two sides AND the final flag join (measured 8 scans → 2)
+    ranked = a.withColumn("rank", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     e = embeddings.select("vec_id", "embedding").join(ranked, "vec_id")
     la = e.alias("a").hint("shuffle_hash")
     lb = e.alias("b")
