@@ -116,6 +116,7 @@ ROTATING = [
     "stay_regions",
     "kde_heatmap",
     "lpa_communities",
+    "od_matrix",
 ]
 
 

@@ -92,6 +92,37 @@ def trip_stats(
     )
 
 
+def transition_matrix(
+    states: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order transition counts over per-entity ordered state
+    sequences: (from_state, to_state, n_transitions).  The generic
+    Markov-chain builder — fed region sequences it is the
+    origin–destination mobility matrix; fed page/event types it is the
+    session flow graph.  One key-partitioned lag window + one
+    (from, to) aggregation; NULL states propagate (a NULL never forms
+    a transition).  Per-entity sequence length bounds the window
+    buffer, not corpus size."""
+    order = [F.col(order_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(state_col).over(w)
+    return (
+        states.withColumn("_from", prev)
+        .filter(F.col("_from").isNotNull() & F.col(state_col).isNotNull())
+        .groupBy(
+            F.col("_from").alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
 def stay_points(
     points: DataFrame,
     radius: float,

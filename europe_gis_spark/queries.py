@@ -3192,6 +3192,104 @@ KDE_CELL = 2000.0
 KDE_R, KDE_SIGMA = 2, 1.0
 
 
+def q_od_matrix(spark, sf_dir):
+    """Origin–destination mobility matrix: each user's time-ordered
+    stay regions (dwell centroids through the real PIP index; outside
+    every polygon → 'OUT') feed the generic first-order transition
+    counter — the region-to-region flow table urban-mobility and
+    audience-migration analyses start from. Stays ride one user
+    window; transitions one more lag window + (from, to) agg."""
+    import pandas as pd
+
+    from .operators import trajectory
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.lit(AA_X0) + (F.col("event_id") * 48271 % 60000) + 0.5).alias("x"),
+        (F.lit(AA_Y0) + (F.col("event_id") * 16807 % 40000) + 0.5).alias("y"),
+    )
+    stays = trajectory.stay_points(
+        pts, radius=STAY_RADIUS, min_duration_s=STAY_MIN_S
+    ).select(
+        "user_id",
+        "start_ts",
+        F.col("cx").alias("x"),
+        F.col("cy").alias("y"),
+    )
+    polys = [(pid, _poly_wkb(v)) for pid, v in PIP_POLYS]
+    polys_df = spark.createDataFrame(
+        pd.DataFrame(polys, columns=["nuts_id", "geometry"])
+    )
+    idx_bc = geo_join.build_polygon_index_bc(spark, polys_df)
+    assigned = geo_join.assign_polygons(
+        stays, idx_bc, keep_cols=("user_id", "start_ts")
+    ).select(
+        "user_id",
+        "start_ts",
+        F.coalesce(F.col("poly_id"), F.lit("OUT")).alias("region"),
+    )
+    return trajectory.transition_matrix(
+        assigned, "user_id", "start_ts", "region"
+    ).orderBy("from_state", "to_state")
+
+
+def _sql_od_matrix() -> str:
+    cases = " ".join(
+        f"WHEN {_halfplane_sql(v)} THEN '{pid}'"
+        for pid, v in reversed(PIP_POLYS)
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts,
+         {AA_X0} + (event_id * 48271 % 60000) + 0.5 AS x,
+         {AA_Y0} + (event_id * 16807 % 40000) + 0.5 AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, x, y,
+         x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT *, CASE WHEN dx IS NULL
+                   OR dx * dx + dy * dy > {STAY_RADIUS ** 2!r}
+                 THEN 1 ELSE 0 END AS move
+  FROM s
+),
+i AS (
+  SELECT *, SUM(move) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS island
+  FROM m
+),
+stays AS (
+  SELECT user_id, MIN(ts) AS start_ts,
+         ROUND(SUM(x) / COUNT(*), 6) AS x,
+         ROUND(SUM(y) / COUNT(*), 6) AS y
+  FROM i
+  GROUP BY user_id, island
+  HAVING EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) >= {STAY_MIN_S}::BIGINT * 1000000
+),
+reg AS (
+  SELECT user_id, start_ts,
+         COALESCE(CASE {cases} ELSE NULL END, 'OUT') AS region
+  FROM stays
+),
+tr AS (
+  SELECT LAG(region) OVER (PARTITION BY user_id ORDER BY start_ts)
+           AS from_state,
+         region AS to_state
+  FROM reg
+)
+SELECT from_state, to_state, COUNT(*) AS n_transitions
+FROM tr WHERE from_state IS NOT NULL
+GROUP BY 1, 2 ORDER BY from_state, to_state
+"""
+
+
 def q_kde_heatmap(spark, sf_dir):
     """Binned Gaussian KDE heatmap over the event points at 2 km
     cells: each point stamps a driver-quantized integer-ppm kernel
@@ -6183,6 +6281,7 @@ QUERIES = {
     "stay_regions": (q_stay_regions, _sql_stay_regions()),
     "kde_heatmap": (q_kde_heatmap, _sql_kde_heatmap()),
     "lpa_communities": (q_lpa_communities, _sql_lpa()),
+    "od_matrix": (q_od_matrix, _sql_od_matrix()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

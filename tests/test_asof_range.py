@@ -363,3 +363,21 @@ def test_trip_stats_exact_integer_lengths(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_transition_matrix_hand_computed(spark):
+    """Per-key ordered state sequences → first-order transition
+    counts; NULL states break chains; keys independent."""
+    from europe_gis_spark.operators import trajectory
+
+    rows = [
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "B"), (1, 4, None), (1, 5, "A"),
+        (2, 1, "B"), (2, 2, "A"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, s string")
+    got = {
+        (r.from_state, r.to_state): r.n_transitions
+        for r in trajectory.transition_matrix(df, "k", "t", "s").collect()
+    }
+    # NULL at t=4 kills both (B->NULL) and (NULL->A)
+    assert got == {("A", "B"): 1, ("B", "B"): 1, ("B", "A"): 1}
