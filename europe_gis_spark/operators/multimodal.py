@@ -215,6 +215,234 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px.reshape(h, w, channels)
 
 
+# --------------------------------------------------------------------------
+# GIF: the second compressed format a pure-Python engine can own —
+# LZW (GIF variant: LSB-first bit packing, variable code width, clear /
+# end codes, 12-bit cap with deferred clear) implemented both ways, so
+# roundtrip tests are golden and decode is real, not a shim.
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: codes are packed LSB-first; width starts at
+    min+1 and grows after the table reaches 2^width (capped at 12 —
+    past the cap codes keep coming at 12 bits until a CLEAR)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                next_code = end + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code})")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """Encoder twin (CLEAR up front, table reset at 4096) — emits the
+    byte stream :func:`_gif_lzw_decode` inverts exactly."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run: tuple[int, ...] = ()
+    for idx in indices:
+        cand = run + (int(idx),)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            # width grows when the NEXT code to assign no longer fits
+            if next_code == (1 << width):
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        run = (int(idx),)
+    if run:
+        emit(table[run], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) uint8 RGB → single-frame GIF89a.  The global palette
+    is the image's sorted unique colors (≤ 256 — quantization is the
+    caller's job, this is a lossless codec for already-quantized
+    frames, same contract as the BMP/PNG encoders)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_gif wants (H, W, 3) RGB")
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} colors; quantize to <= 256 first")
+    pal_bits = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << pal_bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    indices = inverse.astype(np.int64).reshape(h, w)
+    if interlace:
+        order = [y for s, step in _GIF_INTERLACE_PASSES for y in range(s, h, step)]
+        indices = indices[order]
+    min_code = max(2, pal_bits)
+    lzw = _gif_lzw_encode(indices.reshape(-1).tolist(), min_code)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    screen = struct.pack(
+        "<HHBBB", w, h, 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1), 0, 0
+    )
+    imgdesc = struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    return (
+        b"GIF89a"
+        + screen
+        + pal.tobytes()
+        + imgdesc
+        + bytes([min_code])
+        + blocks
+        + b"\x00;"
+    )
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Single-frame GIF87a/89a → (H, W, 3) uint8 RGB: real LZW
+    inflate, global/local palettes, interlace supported; extensions
+    (GCE/comment/application) skipped structurally.  Animated GIFs
+    (more than one image block) raise loudly — frame compositing with
+    disposal methods is out of scope, same contract as the other
+    codecs' unsupported-variant raises."""
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF (missing GIF87a/GIF89a magic)")
+    if len(payload) < 14:
+        raise ValueError("truncated GIF header")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gpal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    frames = 0
+    result = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        pal = gpal
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image block without any color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        frames += 1
+        if frames > 1:
+            raise NotImplementedError(
+                "animated GIF (multiple image blocks) — frame "
+                "compositing with disposal methods is unsupported"
+            )
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise NotImplementedError("partial-canvas GIF frame")
+        idx = _gif_lzw_decode(b"".join(chunks), min_code)
+        if len(idx) < iw * ih:
+            raise ValueError("truncated GIF pixel data")
+        arr = np.asarray(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: invert the pass ordering
+            order = [
+                y for s, step in _GIF_INTERLACE_PASSES for y in range(s, ih, step)
+            ]
+            out = np.empty_like(arr)
+            out[order] = arr
+            arr = out
+        if (arr >= len(pal)).any():
+            raise ValueError("GIF index outside color table")
+        result = pal[arr]
+    if result is None:
+        raise ValueError("GIF has no image block")
+    return np.ascontiguousarray(result)
+
+
 def decode_image(payload: bytes, fake: bool | None = None) -> np.ndarray:
     """Decode an image payload to (H, W, C) uint8.
 
@@ -253,6 +481,11 @@ def decode_image(payload: bytes, fake: bool | None = None) -> np.ndarray:
                 return to_rgb(decode_png(payload))
             except Exception:
                 pass
+        if (payload or b"")[:6] in GIF_MAGICS:
+            try:
+                return decode_gif(payload)
+            except Exception:
+                pass
         if codecs_available():
             try:
                 import io
@@ -270,12 +503,15 @@ def decode_image(payload: bytes, fake: bool | None = None) -> np.ndarray:
             return decode_bmp(payload)
         if (payload or b"")[: len(PNG_MAGIC)] == PNG_MAGIC:
             return to_rgb(decode_png(payload))
+        if (payload or b"")[:6] in GIF_MAGICS:
+            return decode_gif(payload)
         if not codecs_available():
             raise NotImplementedError(
                 "compressed-image codecs not available in this "
-                "environment (uncompressed BMP and 8-bit PNG decode "
-                "natively); pass fake=True (or leave the default) for "
-                "the deterministic test decoder"
+                "environment (uncompressed BMP, 8-bit PNG and "
+                "single-frame GIF decode natively); pass fake=True "
+                "(or leave the default) for the deterministic test "
+                "decoder"
             )
         import io
 

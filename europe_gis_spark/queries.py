@@ -4666,13 +4666,14 @@ FROM h{iters} h JOIN a{iters} a USING (node) ORDER BY h.node"""
 
 def q_media_decode(spark, sf_dir):
     """REAL image decode inside the checked DAG: solid-gray W×H images
-    are synthesized per doc_id (BMP for even ids, PNG — the stdlib-zlib
-    codec — for odd), encoded to actual bytes in one mapInPandas, then
-    decoded back by the committed `image_features` operator (Arrow-
-    batched, W4 shape). The ORACLE is ANALYTIC — it states the channel
-    means and phash length directly from the synthesis formula without
-    touching any codec — so a stride bug, a bad PNG unfilter, or a
-    channel swap hash-mismatches in CORRECTNESS, not just pytest."""
+    are synthesized per doc_id (doc_id mod 3 picks the codec — BMP /
+    stdlib-zlib PNG / LZW GIF), encoded to actual bytes in one
+    mapInPandas, then decoded back by the committed `image_features`
+    operator (Arrow-batched, W4 shape). The ORACLE is ANALYTIC — it
+    states the channel means and phash length directly from the
+    synthesis formula without touching any codec — so a stride bug, a
+    bad PNG unfilter, a wrong LZW code width, or a channel swap
+    hash-mismatches in CORRECTNESS, not just pytest."""
     from .operators import multimodal
 
     d = (
@@ -4693,9 +4694,8 @@ def q_media_decode(spark, sf_dir):
             for did in ids:
                 w, h, g = 4 + did % 5, 3 + did % 4, did % 251
                 img = np.full((h, w, 3), g, dtype=np.uint8)
-                payloads.append(
-                    mm.encode_bmp(img) if did % 2 == 0 else mm.encode_png(img)
-                )
+                enc = [mm.encode_bmp, mm.encode_png, mm.encode_gif][did % 3]
+                payloads.append(enc(img))
             yield pd.DataFrame(
                 {"doc_id": [str(x) for x in ids], "payload": payloads}
             )

@@ -2371,3 +2371,82 @@ def test_video_frame_dhash_and_overlap(spark):
         fps.select(fps.key.cast("int").alias("key"), "dhash"), min_shared=2
     ).collect()
     assert {(p.id_a, p.id_b, p.n_shared) for p in pairs} == {(1, 2, 2)}
+
+
+def test_gif_roundtrip_interlace_and_adversarial():
+    """encode_gif ∘ decode_gif is identity (plain, interlaced, and a
+    256-color image wide enough to force the 4096-entry LZW table
+    reset); junk, animated, partial-canvas and truncated payloads
+    raise; a hand-built clear-code-per-pixel LZW stream (a shape our
+    encoder never emits) still decodes — the decoder is not merely
+    the encoder's mirror."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from europe_gis_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    img = (rng.integers(0, 5, (23, 17, 3)) * 50).astype(np.uint8)
+    for inter in (False, True):
+        g = mm.encode_gif(img, interlace=inter)
+        assert g[:6] == b"GIF89a"
+        assert (mm.decode_gif(g) == img).all(), inter
+    gray = rng.integers(0, 256, (80, 90)).astype(np.uint8)
+    big = np.stack([gray] * 3, axis=2)
+    assert (mm.decode_gif(mm.encode_gif(big)) == big).all()
+    assert (mm.decode_image(mm.encode_gif(img), fake=False) == img).all()
+
+    with pytest.raises(ValueError):
+        mm.decode_gif(b"GIF89aXX")
+    with pytest.raises(ValueError):
+        mm.encode_gif(rng.integers(0, 256, (40, 40, 3)).astype(np.uint8))
+    g = mm.encode_gif(img)
+    # animated: duplicate the image block before the trailer
+    blk_start = 13 + (g[10] & 0x80 and (2 << (g[10] & 7)) * 3)
+    body = g[blk_start:-1]
+    with pytest.raises(NotImplementedError):
+        mm.decode_gif(g[:-1] + body + b";")
+    # truncated pixel data
+    with pytest.raises(Exception):
+        mm.decode_gif(g[: len(g) // 2])
+
+    # independent stream shape: every pixel emitted as a literal with
+    # a CLEAR before it, at the post-clear width — legal per spec
+    pix = [0, 1, 3, 2, 1, 0]  # 2x3, 4-color palette
+    min_code = 2
+    clear, end = 4, 5
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 3  # min_code + 1
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for p in pix:
+        emit(clear)
+        emit(p)
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 3, 2, 0x80 | 0x01, 0, 0)
+        + pal
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 3, 2, 0)
+        + bytes([min_code, len(out)])
+        + bytes(out)
+        + b"\x00;"
+    )
+    want = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 0, 255], [0, 255, 0], [255, 0, 0], [0, 0, 0]],
+        dtype=np.uint8,
+    ).reshape(2, 3, 3)
+    assert (mm.decode_gif(raw) == want).all()
