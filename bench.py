@@ -117,6 +117,7 @@ ROTATING = [
     "kde_heatmap",
     "lpa_communities",
     "od_matrix",
+    "areal_interp",
 ]
 
 

@@ -3966,6 +3966,114 @@ FROM canon ORDER BY domain, rk
 """
 
 
+AREAL_VALUES = {"A": 700, "B": 300}
+
+
+def q_areal_interp(spark, sf_dir):
+    """Areal interpolation (dasymetric redistribution, the classic
+    incompatible-zones GIS product): each rectangular zone's value is
+    mass-preservingly spread over the 2 km grid in proportion to the
+    REAL clip-area kernel's |cell ∩ zone| (popgrid.overlay_weights —
+    the vectorized Sutherland–Hodgman path, not a re-derivation).
+    Shares are exact integer fixed-point: overlap areas quantized at
+    1e-4 m² (the tolerance overlay_rects already proves the kernel
+    meets against the closed form), per-zone totals summed as
+    integers, each cell's milli-value = v·ov·1000 DIV tot — identical
+    integer arithmetic in both engines, so the float kernel never
+    leaks ordering into the result. Oracle states the rect∩rect
+    overlap in closed form."""
+    from .operators import popgrid
+
+    pts = event_points(spark, sf_dir)
+    grid = (
+        pts.select(
+            F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("xb"),
+            F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("yb"),
+        )
+        .distinct()
+        .select(
+            F.concat_ws("|", F.lit("g"), F.col("xb"), F.col("yb")).alias(
+                "grd_id"
+            ),
+            (F.col("xb") * 2000.0).alias("x0"),
+            (F.col("yb") * 2000.0).alias("y0"),
+            F.lit(2000.0).alias("size"),
+        )
+    )
+    polys = [
+        (
+            pid,
+            _poly_wkb(
+                [
+                    (x0 - AA_X0, y0 - AA_Y0),
+                    (x1 - AA_X0, y0 - AA_Y0),
+                    (x1 - AA_X0, y1 - AA_Y0),
+                    (x0 - AA_X0, y1 - AA_Y0),
+                ]
+            ),
+        )
+        for pid, x0, y0, x1, y1 in BORDER_RECTS
+    ]
+    w = popgrid.overlay_weights(grid, polys, res=16).select(
+        "grd_id",
+        "zone_id",
+        F.round(F.col("area_frac") * F.lit(2000.0 * 2000.0 * 10000.0))
+        .cast("long")
+        .alias("ov"),
+    )
+    tot = w.groupBy("zone_id").agg(F.sum("ov").alias("tot"))
+    v = F.create_map(
+        *[F.lit(x) for kv in AREAL_VALUES.items() for x in kv]
+    )[F.col("zone_id")]
+    return (
+        w.join(F.broadcast(tot), "zone_id")
+        .select(
+            "grd_id",
+            (v.cast("long") * F.col("ov") * F.lit(1000)).alias("num"),
+            "tot",
+        )
+        .select("grd_id", F.expr("num DIV tot").alias("milli"))
+        .groupBy("grd_id")
+        .agg(F.sum("milli").alias("milli_value"))
+        .orderBy("grd_id")
+    )
+
+
+def _sql_areal_interp() -> str:
+    rects = ", ".join(
+        f"('{pid}', {x0 - AA_X0!r}, {y0 - AA_Y0!r}, {x1 - AA_X0!r}, "
+        f"{y1 - AA_Y0!r}, {AREAL_VALUES[pid]})"
+        for pid, x0, y0, x1, y1 in BORDER_RECTS
+    )
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+g AS (
+  SELECT DISTINCT CAST(FLOOR((x - {AA_X0}) / 2000.0) AS INT) AS xb,
+                  CAST(FLOOR((y - {AA_Y0}) / 2000.0) AS INT) AS yb
+  FROM pts
+),
+cellsq AS (
+  SELECT 'g' || '|' || xb || '|' || yb AS grd_id,
+         xb * 2000.0 AS cx0, yb * 2000.0 AS cy0 FROM g
+),
+z(zone_id, zx0, zy0, zx1, zy1, v) AS (VALUES {rects}),
+w AS (
+  SELECT grd_id, zone_id, v,
+         CAST(ROUND(
+           GREATEST(0, LEAST(cx0 + 2000.0, zx1) - GREATEST(cx0, zx0)) *
+           GREATEST(0, LEAST(cy0 + 2000.0, zy1) - GREATEST(cy0, zy0)) *
+           10000.0) AS BIGINT) AS ov
+  FROM cellsq CROSS JOIN z
+),
+wp AS (SELECT * FROM w WHERE ov > 0),
+t AS (SELECT zone_id, SUM(ov) AS tot FROM wp GROUP BY zone_id)
+SELECT grd_id,
+       CAST(SUM((wp.v * wp.ov * 1000) // t.tot) AS BIGINT) AS milli_value
+FROM wp JOIN t USING (zone_id)
+GROUP BY grd_id ORDER BY grd_id
+"""
+
+
 def q_gap_fill(spark, sf_dir):
     """Daily gap fill + LOCF per user over the events table: dense
     bucket grid (sequence/explode off per-key bounds), in-bucket aggs,
@@ -6282,6 +6390,7 @@ QUERIES = {
     "kde_heatmap": (q_kde_heatmap, _sql_kde_heatmap()),
     "lpa_communities": (q_lpa_communities, _sql_lpa()),
     "od_matrix": (q_od_matrix, _sql_od_matrix()),
+    "areal_interp": (q_areal_interp, _sql_areal_interp()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

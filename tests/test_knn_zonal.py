@@ -256,3 +256,32 @@ def test_kde_heatmap_mass_conservation(spark):
     assert sum(out.values()) == 3 * sum(wmap.values())
     assert out[(5, 5)] == 2_000_000 and out[(100, 100)] == 1_000_000
     assert out[(6, 5)] == 2 * wmap[(1, 0)]
+
+
+def test_areal_interp_mass_conserved(spark):
+    """Dasymetric redistribution: total interpolated mass equals the
+    zone totals up to the per-cell integer-DIV floor loss; every cell
+    receiving mass genuinely overlaps a zone."""
+    from europe_gis_spark.queries import (
+        AREAL_VALUES,
+        BORDER_RECTS,
+        q_areal_interp,
+    )
+
+    rows = q_areal_interp(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    total = sum(r.milli_value for r in rows)
+    target = 1000 * sum(AREAL_VALUES.values())
+    # each (cell, zone) share floors away < 1 milli-unit
+    assert target - 2 * len(rows) <= total <= target
+    for r in rows:
+        g, xb, yb = r.grd_id.split("|")
+        cx0, cy0 = int(xb) * 2000.0, int(yb) * 2000.0
+        from europe_gis_spark.queries import AA_X0, AA_Y0
+
+        hit = any(
+            min(cx0 + 2000, x1 - AA_X0) > max(cx0, x0 - AA_X0)
+            and min(cy0 + 2000, y1 - AA_Y0) > max(cy0, y0 - AA_Y0)
+            for _, x0, y0, x1, y1 in BORDER_RECTS
+        )
+        assert hit, r.grd_id
