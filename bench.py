@@ -118,6 +118,7 @@ ROTATING = [
     "lpa_communities",
     "od_matrix",
     "areal_interp",
+    "idw_surface",
 ]
 
 

@@ -4074,6 +4074,129 @@ GROUP BY grd_id ORDER BY grd_id
 """
 
 
+IDW_K = 3
+
+
+def q_idw_surface(spark, sf_dir):
+    """IDW surface interpolation (Shepard's method, k=3, power 2) —
+    the classic scattered-points → raster product: every occupied
+    2 km cell center takes Σ vᵢ/dᵢ² / Σ 1/dᵢ² over its 3 nearest
+    anchor stations. The k-nearest pick is a rank window over the
+    (cell × anchor) distances — anchors are a bounded station list,
+    so the candidate join is a broadcast; at corpus-scale anchor
+    counts the cell-ring expansion (geo_knn's machinery) replaces it
+    and the downstream math is unchanged. DETERMINISM: the three
+    weight terms are pivoted into explicit columns by rank, so both
+    engines evaluate the same left-to-right float expression — no
+    aggregation-order dependence; distances² are exact doubles (cell
+    centers are ×1000-integers + 0.5-offset anchors)."""
+    pts = event_points(spark, sf_dir)
+    cells = (
+        pts.select(
+            F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("xb"),
+            F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("yb"),
+        )
+        .distinct()
+        .select(
+            "xb",
+            "yb",
+            (F.col("xb") * 2000.0 + 1000.0).alias("cx"),
+            (F.col("yb") * 2000.0 + 1000.0).alias("cy"),
+        )
+    )
+    import pandas as pd
+
+    anchors = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (pid, x - AA_X0, y - AA_Y0, 10.0 * (i + 1))
+                for i, (pid, x, y) in enumerate(KNN_ANCHORS)
+            ],
+            columns=["anchor_id", "ax", "ay", "val"],
+        )
+    )
+    d2 = (F.col("cx") - F.col("ax")) * (F.col("cx") - F.col("ax")) + (
+        F.col("cy") - F.col("ay")
+    ) * (F.col("cy") - F.col("ay"))
+    from pyspark.sql.window import Window
+
+    ranked = (
+        cells.join(F.broadcast(anchors))
+        .select("xb", "yb", "anchor_id", "val", d2.alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("xb", "yb").orderBy(
+                    F.asc("d2"), F.asc("anchor_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= IDW_K)
+    )
+    pv = ranked.groupBy("xb", "yb").agg(
+        *[
+            f
+            for i in range(1, IDW_K + 1)
+            for f in (
+                F.max(F.when(F.col("rk") == i, F.col("val"))).alias(f"v{i}"),
+                F.max(F.when(F.col("rk") == i, F.col("d2"))).alias(f"d{i}"),
+            )
+        ]
+    )
+    num = sum(
+        (F.col(f"v{i}") / F.col(f"d{i}") for i in range(2, IDW_K + 1)),
+        F.col("v1") / F.col("d1"),
+    )
+    den = sum(
+        (F.lit(1.0) / F.col(f"d{i}") for i in range(2, IDW_K + 1)),
+        F.lit(1.0) / F.col("d1"),
+    )
+    return pv.select(
+        "xb", "yb", F.round(num / den, 6).alias("idw")
+    ).orderBy("xb", "yb")
+
+
+def _sql_idw_surface() -> str:
+    anchors = ", ".join(
+        f"('{pid}', {x - AA_X0!r}, {y - AA_Y0!r}, {10.0 * (i + 1)!r})"
+        for i, (pid, x, y) in enumerate(KNN_ANCHORS)
+    )
+    num = " + ".join(f"v{i} / d{i}" for i in range(1, IDW_K + 1))
+    den = " + ".join(f"1.0 / d{i}" for i in range(1, IDW_K + 1))
+    cols = ", ".join(
+        f"MAX(CASE WHEN rk = {i} THEN val END) AS v{i}, "
+        f"MAX(CASE WHEN rk = {i} THEN d2 END) AS d{i}"
+        for i in range(1, IDW_K + 1)
+    )
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+cells AS (
+  SELECT xb, yb, xb * 2000.0 + 1000.0 AS cx, yb * 2000.0 + 1000.0 AS cy
+  FROM (
+    SELECT DISTINCT CAST(FLOOR((x - {AA_X0}) / 2000.0) AS INT) AS xb,
+                    CAST(FLOOR((y - {AA_Y0}) / 2000.0) AS INT) AS yb
+    FROM pts
+  )
+),
+a(anchor_id, ax, ay, val) AS (VALUES {anchors}),
+r AS (
+  SELECT xb, yb, anchor_id, val,
+         (cx - ax) * (cx - ax) + (cy - ay) * (cy - ay) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY xb, yb
+           ORDER BY (cx - ax) * (cx - ax) + (cy - ay) * (cy - ay), anchor_id
+         ) AS rk
+  FROM cells CROSS JOIN a
+),
+pv AS (
+  SELECT xb, yb, {cols}
+  FROM r WHERE rk <= {IDW_K} GROUP BY xb, yb
+)
+SELECT xb, yb, ROUND(({num}) / ({den}), 6) AS idw
+FROM pv ORDER BY xb, yb
+"""
+
+
 def q_gap_fill(spark, sf_dir):
     """Daily gap fill + LOCF per user over the events table: dense
     bucket grid (sequence/explode off per-key bounds), in-bucket aggs,
@@ -6391,6 +6514,7 @@ QUERIES = {
     "lpa_communities": (q_lpa_communities, _sql_lpa()),
     "od_matrix": (q_od_matrix, _sql_od_matrix()),
     "areal_interp": (q_areal_interp, _sql_areal_interp()),
+    "idw_surface": (q_idw_surface, _sql_idw_surface()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

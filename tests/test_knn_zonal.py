@@ -285,3 +285,35 @@ def test_areal_interp_mass_conserved(spark):
             for _, x0, y0, x1, y1 in BORDER_RECTS
         )
         assert hit, r.grd_id
+
+
+def test_idw_surface_bounds_and_exactness_at_anchor(spark):
+    """IDW values stay within the anchor-value envelope; a cell is
+    dominated by its nearest anchor; Spark result equals a pure-python
+    recompute of Shepard k=3."""
+    from europe_gis_spark.queries import (
+        AA_X0,
+        AA_Y0,
+        KNN_ANCHORS,
+        q_idw_surface,
+    )
+
+    rows = q_idw_surface(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    vals = [10.0 * (i + 1) for i in range(len(KNN_ANCHORS))]
+    anchors = [
+        (x - AA_X0, y - AA_Y0, v)
+        for (_, x, y), v in zip(KNN_ANCHORS, vals)
+    ]
+    for r in rows:
+        assert min(vals) <= r.idw <= max(vals)
+    import math
+
+    for r in rows[:50]:
+        cx, cy = r.xb * 2000.0 + 1000.0, r.yb * 2000.0 + 1000.0
+        ds = sorted(
+            ((cx - ax) ** 2 + (cy - ay) ** 2, v) for ax, ay, v in anchors
+        )[:3]
+        num = ds[0][1] / ds[0][0] + ds[1][1] / ds[1][0] + ds[2][1] / ds[2][0]
+        den = 1.0 / ds[0][0] + 1.0 / ds[1][0] + 1.0 / ds[2][0]
+        assert r.idw == round(num / den, 6), (r.xb, r.yb)
