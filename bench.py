@@ -119,6 +119,7 @@ ROTATING = [
     "od_matrix",
     "areal_interp",
     "idw_surface",
+    "raster_gradient",
 ]
 
 

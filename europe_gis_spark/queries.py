@@ -4074,6 +4074,70 @@ GROUP BY grd_id ORDER BY grd_id
 """
 
 
+def q_raster_gradient(spark, sf_dir):
+    """Horn gradient (terrain slope components, the map-algebra
+    neighborhood kernel) over the 2 km event-count raster, computed
+    through the REAL distributed window machinery: tiles →
+    halo-exchange 3×3 patches (W1/W2) → per-patch weighted
+    differences gx = (E column) − (W column), gy = (N row) − (S row)
+    with Horn's 1-2-1 weights — exact integer arithmetic on counts.
+    A patch is valid ⇔ all 9 pixels exist (W2), which the oracle
+    mirrors as a 9-neighbor existence count. Checks the patch
+    ORIENTATION (x varies along columns, y along rows) that the
+    mean-based pipeline_inference oracle is blind to."""
+    from .operators import windows, zonal
+
+    pts = event_points(spark, sf_dir)
+    counts = pts.groupBy(
+        F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("x"),
+        F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("y"),
+    ).agg(F.count("*").cast("float").alias("value"))
+    tiles = zonal.cells_to_tiles(
+        counts.withColumn("layer", F.lit("cnt")), tile_w=16
+    )
+    patches = windows.extract_patches(tiles, tile_w=16, win=3).filter("valid")
+    p = [F.element_at("patch", k + 1).cast("long") for k in range(9)]
+    gx = (p[2] + 2 * p[5] + p[8]) - (p[0] + 2 * p[3] + p[6])
+    gy = (p[6] + 2 * p[7] + p[8]) - (p[0] + 2 * p[1] + p[2])
+    # extract_patches emits (i, j) = (row, col) = (y, x); patch
+    # elements run x along k%3 and y along k//3 (orientation pinned by
+    # this oracle)
+    return patches.select(
+        (F.col("j") + 1).alias("x"),
+        (F.col("i") + 1).alias("y"),
+        gx.alias("gx"),
+        gy.alias("gy"),
+    ).orderBy("x", "y")
+
+
+SQL_RASTER_GRADIENT = f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+cnt AS (
+  SELECT CAST(FLOOR((x - {AA_X0}) / 2000.0) AS INT) AS x,
+         CAST(FLOOR((y - {AA_Y0}) / 2000.0) AS INT) AS y,
+         COUNT(*) AS v
+  FROM pts GROUP BY 1, 2
+),
+nb AS (
+  SELECT c.x AS cx, c.y AS cy, n.x - c.x AS dx, n.y - c.y AS dy, n.v
+  FROM cnt c JOIN cnt n
+    ON ABS(n.x - c.x) <= 1 AND ABS(n.y - c.y) <= 1
+),
+g AS (
+  SELECT cx, cy, COUNT(*) AS n9,
+         SUM(CASE WHEN dx = 1 THEN (CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v
+                  WHEN dx = -1 THEN -(CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v
+                  ELSE 0 END) AS gx,
+         SUM(CASE WHEN dy = 1 THEN (CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v
+                  WHEN dy = -1 THEN -(CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v
+                  ELSE 0 END) AS gy
+  FROM nb GROUP BY 1, 2
+)
+SELECT cx AS x, cy AS y, CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy
+FROM g WHERE n9 = 9 ORDER BY x, y
+"""
+
+
 IDW_K = 3
 
 
@@ -6515,6 +6579,7 @@ QUERIES = {
     "od_matrix": (q_od_matrix, _sql_od_matrix()),
     "areal_interp": (q_areal_interp, _sql_areal_interp()),
     "idw_surface": (q_idw_surface, _sql_idw_surface()),
+    "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
