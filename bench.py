@@ -120,6 +120,7 @@ ROTATING = [
     "areal_interp",
     "idw_surface",
     "raster_gradient",
+    "line_raster",
 ]
 
 

@@ -38,6 +38,63 @@ def quadkey_expr(tx, ty, z: int):
     return F.concat(*digits) if digits else F.lit("")
 
 
+def rasterize_segments(
+    segments: DataFrame,
+    cell: float,
+    x0: float = 0.0,
+    y0: float = 0.0,
+) -> DataFrame:
+    """Flow-map line rasterization: each segment (ax, ay, bx, by)
+    marks every grid cell a sampled DDA walk touches; output is
+    per-cell traversal counts (the desire-line density raster).
+
+    The walk takes n = max(|Δcx|, |Δcy|) + 1 samples (cell-level
+    deltas), so consecutive samples never skip a cell along the
+    dominant axis; sample t lands in cell c0 + floor((2tΔ + n) /
+    2n) per axis — integer inputs, one exact IEEE division, floor —
+    bit-identical across engines (integer `DIV` would differ on
+    negative deltas: trunc vs floor). Cells are deduplicated within a
+    segment (diagonal walks revisit), then ONE (cx, cy) aggregation.
+    Map-side explode bounded by the longest segment in cells — the
+    constant to watch at scale (split ultra-long segments upstream)."""
+    bax = F.floor((F.col("ax") - x0) / cell).cast("long")
+    bay = F.floor((F.col("ay") - y0) / cell).cast("long")
+    bbx = F.floor((F.col("bx") - x0) / cell).cast("long")
+    bby = F.floor((F.col("by") - y0) / cell).cast("long")
+    base = segments.select(
+        F.monotonically_increasing_id().alias("seg"),
+        bax.alias("cax"),
+        bay.alias("cay"),
+        (bbx - bax).alias("dx"),
+        (bby - bay).alias("dy"),
+    ).withColumn(
+        "n", F.greatest(F.abs("dx"), F.abs("dy"))
+    )
+    stepped = base.select(
+        "seg",
+        "cax",
+        "cay",
+        "dx",
+        "dy",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n"))).alias("t"),
+    )
+    cx = F.col("cax") + F.floor(
+        (2 * F.col("t") * F.col("dx") + F.col("n"))
+        / (2.0 * F.greatest(F.col("n"), F.lit(1)))
+    ).cast("long")
+    cy = F.col("cay") + F.floor(
+        (2 * F.col("t") * F.col("dy") + F.col("n"))
+        / (2.0 * F.greatest(F.col("n"), F.lit(1)))
+    ).cast("long")
+    return (
+        stepped.select("seg", cx.alias("cx"), cy.alias("cy"))
+        .distinct()
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n_traversals"))
+    )
+
+
 def kde_kernel_weights(radius_cells: int, sigma_cells: float) -> list:
     """The quantized Gaussian stamp: (dx, dy, floor(1e6·exp(-(dx²+dy²)
     / 2σ²))) for every offset within the Chebyshev radius.  Weights

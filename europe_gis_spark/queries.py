@@ -4138,6 +4138,81 @@ FROM g WHERE n9 = 9 ORDER BY x, y
 """
 
 
+def q_line_raster(spark, sf_dir):
+    """Flow-map rasterization: every user's consecutive-event segments
+    walked over the 2 km grid with a sampled DDA (n = max cell delta
+    + 1 samples, exact IEEE floor-division cell picks — bit-identical
+    across engines on negative deltas where integer DIV would
+    diverge), deduplicated within segment, ONE (cx, cy) aggregation —
+    the desire-line density raster under every movement heatmap."""
+    from .operators import webmap
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.lit(AA_X0) + (F.col("event_id") * 48271 % 60000) + 0.5).alias("x"),
+        (F.lit(AA_Y0) + (F.col("event_id") * 16807 % 40000) + 0.5).alias("y"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.select(
+            "user_id",
+            "ts",
+            F.lag("x").over(w).alias("ax"),
+            F.lag("y").over(w).alias("ay"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+        )
+        .filter(F.col("ax").isNotNull())
+    )
+    return webmap.rasterize_segments(
+        seg, cell=2000.0, x0=AA_X0, y0=AA_Y0
+    ).orderBy("cx", "cy")
+
+
+SQL_LINE_RASTER = f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts,
+         {AA_X0} + (event_id * 48271 % 60000) + 0.5 AS x,
+         {AA_Y0} + (event_id * 16807 % 40000) + 0.5 AS y
+  FROM events
+),
+seg AS (
+  SELECT user_id, ts, event_id,
+         LAG(x) OVER w AS ax, LAG(y) OVER w AS ay, x AS bx, y AS by
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR((ax - {AA_X0}) / 2000.0) AS BIGINT) AS cax,
+         CAST(FLOOR((ay - {AA_Y0}) / 2000.0) AS BIGINT) AS cay,
+         CAST(FLOOR((bx - {AA_X0}) / 2000.0) AS BIGINT)
+           - CAST(FLOOR((ax - {AA_X0}) / 2000.0) AS BIGINT) AS dx,
+         CAST(FLOOR((by - {AA_Y0}) / 2000.0) AS BIGINT)
+           - CAST(FLOOR((ay - {AA_Y0}) / 2000.0) AS BIGINT) AS dy
+  FROM seg WHERE ax IS NOT NULL
+),
+n AS (SELECT *, GREATEST(ABS(dx), ABS(dy)) AS nn FROM c),
+st AS (
+  SELECT user_id, ts, event_id, cax, cay, dx, dy, nn,
+         UNNEST(GENERATE_SERIES(0, nn)) AS t
+  FROM n
+),
+cells AS (
+  SELECT DISTINCT user_id, ts, event_id,
+         cax + CAST(FLOOR((2 * t * dx + nn) / (2.0 * GREATEST(nn, 1))) AS BIGINT) AS cx,
+         cay + CAST(FLOOR((2 * t * dy + nn) / (2.0 * GREATEST(nn, 1))) AS BIGINT) AS cy
+  FROM st
+)
+SELECT cx, cy, COUNT(*) AS n_traversals
+FROM cells GROUP BY cx, cy ORDER BY cx, cy
+"""
+
+
 IDW_K = 3
 
 
@@ -6580,6 +6655,7 @@ QUERIES = {
     "areal_interp": (q_areal_interp, _sql_areal_interp()),
     "idw_surface": (q_idw_surface, _sql_idw_surface()),
     "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
+    "line_raster": (q_line_raster, SQL_LINE_RASTER),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

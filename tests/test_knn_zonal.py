@@ -317,3 +317,28 @@ def test_idw_surface_bounds_and_exactness_at_anchor(spark):
         num = ds[0][1] / ds[0][0] + ds[1][1] / ds[1][0] + ds[2][1] / ds[2][0]
         den = 1.0 / ds[0][0] + 1.0 / ds[1][0] + 1.0 / ds[2][0]
         assert r.idw == round(num / den, 6), (r.xb, r.yb)
+
+
+def test_rasterize_segments_dda_walk(spark):
+    """Sampled-DDA line rasterization: the walk never skips a cell on
+    the dominant axis, handles negative deltas (floor, not trunc),
+    dedups within a segment, and counts overlapping segments twice."""
+    from europe_gis_spark.operators import webmap
+
+    segs = [
+        (0.5, 0.5, 5.5, 2.5),    # rightward, slope < 1
+        (5.5, 2.5, 0.5, 0.5),    # same line, reversed (negative deltas)
+        (3.5, 3.5, 3.5, 3.5),    # degenerate: one cell
+    ]
+    df = spark.createDataFrame(segs, "ax double, ay double, bx double, by double")
+    got = {(r.cx, r.cy): r.n_traversals for r in
+           webmap.rasterize_segments(df, cell=1.0).collect()}
+    # forward walk: n=5, t=0..5 -> x=0..5, y=floor((2t*2+5)/10)
+    fwd = {(t, (2 * t * 2 + 5) // 10) for t in range(6)}
+    for c in fwd:
+        assert got.get(c, 0) >= 1, c
+    assert got[(3, 3)] == 1
+    # both long segments cover their shared endpoint cells
+    assert got[(0, 0)] == 2 and got[(5, 2)] == 2
+    # dominant-axis continuity: every x column 0..5 appears
+    assert {x for x, _ in got} == {0, 1, 2, 3, 4, 5}
