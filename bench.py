@@ -121,6 +121,7 @@ ROTATING = [
     "idw_surface",
     "raster_gradient",
     "line_raster",
+    "hex_bin",
 ]
 
 

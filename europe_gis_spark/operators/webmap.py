@@ -38,6 +38,59 @@ def quadkey_expr(tx, ty, z: int):
     return F.concat(*digits) if digits else F.lit("")
 
 
+SQRT3 = 1.7320508075688772
+
+
+def hex_bin(
+    points: DataFrame,
+    size: float,
+    x0: float = 0.0,
+    y0: float = 0.0,
+) -> DataFrame:
+    """Pointy-top hexagonal binning (the H3-shaped aggregation every
+    density map offers beside square tiles): axial (q, r) cell per
+    point via fractional axial coords + cube rounding, ONE (q, r)
+    shuffle for the counts.
+
+    Engine-portability: every step is a fixed float expression —
+    literal √3, `floor(x + 0.5)` instead of round() (half-even vs
+    half-away divergence), and the cube-round repair branch picks the
+    largest residual with plain comparisons — so DuckDB evaluates the
+    bit-identical IEEE sequence and the bin ids match exactly."""
+    px = F.col("x") - x0
+    py = F.col("y") - y0
+    fq = (F.lit(SQRT3 / 3.0) * px - F.lit(1.0 / 3.0) * py) / size
+    fr = (F.lit(2.0 / 3.0) * py) / size
+
+    def rnd(c):
+        return F.floor(c + F.lit(0.5))
+
+    binned = points.select(
+        fq.alias("fq"), fr.alias("fr"), (-fq - fr).alias("fs")
+    ).select(
+        "fq",
+        "fr",
+        "fs",
+        rnd(F.col("fq")).alias("rq"),
+        rnd(F.col("fr")).alias("rr"),
+        rnd(F.col("fs")).alias("rs"),
+    )
+    dq = F.abs(F.col("rq") - F.col("fq"))
+    dr = F.abs(F.col("rr") - F.col("fr"))
+    ds = F.abs(F.col("rs") - F.col("fs"))
+    q = F.when(
+        (dq > dr) & (dq > ds), -F.col("rr") - F.col("rs")
+    ).otherwise(F.col("rq"))
+    r = F.when(
+        (~((dq > dr) & (dq > ds))) & (dr > ds), -F.col("rq") - F.col("rs")
+    ).otherwise(F.col("rr"))
+    return (
+        binned.select(q.cast("long").alias("hq"), r.cast("long").alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
 def rasterize_segments(
     segments: DataFrame,
     cell: float,

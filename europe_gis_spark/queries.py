@@ -4138,6 +4138,55 @@ FROM g WHERE n9 = 9 ORDER BY x, y
 """
 
 
+HEX_SIZE = 1500.0
+
+
+def q_hex_bin(spark, sf_dir):
+    """Pointy-top hexagonal density binning of the event points
+    (1.5 km hexes): fractional axial coords → cube rounding → ONE
+    (q, r) count shuffle. Every arithmetic step is a fixed IEEE
+    expression (literal √3, floor(x+0.5) rounding, comparison-picked
+    repair coordinate), so the DuckDB twin reproduces bin ids
+    bit-for-bit."""
+    from .operators import webmap
+
+    pts = event_points(spark, sf_dir)
+    return webmap.hex_bin(
+        pts, size=HEX_SIZE, x0=AA_X0, y0=AA_Y0
+    ).orderBy("hq", "hr")
+
+
+def _sql_hex_bin() -> str:
+    from .operators import webmap as webmapmod
+
+    s3 = repr(webmapmod.SQRT3 / 3.0)
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+f AS (
+  SELECT ({s3} * (x - {AA_X0}) - (1.0 / 3.0) * (y - {AA_Y0})) / {HEX_SIZE!r} AS fq,
+         ((2.0 / 3.0) * (y - {AA_Y0})) / {HEX_SIZE!r} AS fr
+  FROM pts
+),
+c AS (
+  SELECT fq, fr, -fq - fr AS fs,
+         FLOOR(fq + 0.5) AS rq, FLOOR(fr + 0.5) AS rr,
+         FLOOR(-fq - fr + 0.5) AS rs
+  FROM f
+),
+fixed AS (
+  SELECT CASE WHEN ABS(rq - fq) > ABS(rr - fr) AND ABS(rq - fq) > ABS(rs - fs)
+              THEN -rr - rs ELSE rq END AS hq,
+         CASE WHEN NOT (ABS(rq - fq) > ABS(rr - fr) AND ABS(rq - fq) > ABS(rs - fs))
+                   AND ABS(rr - fr) > ABS(rs - fs)
+              THEN -rq - rs ELSE rr END AS hr
+  FROM c
+)
+SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+       COUNT(*) AS n_points
+FROM fixed GROUP BY 1, 2 ORDER BY hq, hr
+"""
+
+
 def q_line_raster(spark, sf_dir):
     """Flow-map rasterization: every user's consecutive-event segments
     walked over the 2 km grid with a sampled DDA (n = max cell delta
@@ -6656,6 +6705,7 @@ QUERIES = {
     "idw_surface": (q_idw_surface, _sql_idw_surface()),
     "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
     "line_raster": (q_line_raster, SQL_LINE_RASTER),
+    "hex_bin": (q_hex_bin, _sql_hex_bin()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

@@ -342,3 +342,39 @@ def test_rasterize_segments_dda_walk(spark):
     assert got[(0, 0)] == 2 and got[(5, 2)] == 2
     # dominant-axis continuity: every x column 0..5 appears
     assert {x for x, _ in got} == {0, 1, 2, 3, 4, 5}
+
+
+def test_hex_bin_nearest_center_and_mass(spark):
+    """Every point lands in the hex whose center is nearest (the
+    defining property of cube rounding); total mass preserved."""
+    import math
+
+    from europe_gis_spark.operators import webmap
+
+    rng = np.random.default_rng(31)
+    pts = [(float(x), float(y)) for x, y in rng.uniform(0, 100, (400, 2))]
+    df = spark.createDataFrame(pts, "x double, y double")
+    size = 7.0
+    out = webmap.hex_bin(df, size=size).collect()
+    assert sum(r.n_points for r in out) == 400
+
+    def center(q, r):
+        return (size * math.sqrt(3) * (q + r / 2.0), size * 1.5 * r)
+
+    # recompute each point's bin in pure python and confirm nearest
+    s3 = webmap.SQRT3 / 3.0
+    for x, y in pts[:100]:
+        fq = (s3 * x - y / 3.0) / size
+        fr = (2.0 / 3.0 * y) / size
+        fs = -fq - fr
+        rq, rr, rs = (math.floor(v + 0.5) for v in (fq, fr, fs))
+        dq, dr, ds = abs(rq - fq), abs(rr - fr), abs(rs - fs)
+        if dq > dr and dq > ds:
+            rq = -rr - rs
+        elif dr > ds:
+            rr = -rq - rs
+        cx, cy = center(rq, rr)
+        d0 = (x - cx) ** 2 + (y - cy) ** 2
+        for nq, nr in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+            nx, ny = center(rq + nq, rr + nr)
+            assert d0 <= (x - nx) ** 2 + (y - ny) ** 2 + 1e-9
