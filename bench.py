@@ -122,6 +122,7 @@ ROTATING = [
     "raster_gradient",
     "line_raster",
     "hex_bin",
+    "zonal_majority",
 ]
 
 

@@ -4138,6 +4138,47 @@ FROM g WHERE n9 = 9 ORDER BY x, y
 """
 
 
+def q_zonal_majority(spark, sf_dir):
+    """Zonal majority (the categorical zonal statistic): dominant
+    event_type per 2 km cell with a deterministic min-type tie-break
+    — one (cell, type) count agg + a WindowGroupLimit-eligible
+    rank-1 pick riding the same key prefix. All-integer logic."""
+    from pyspark.sql.window import Window
+
+    pts = event_points(spark, sf_dir)
+    counts = pts.groupBy(
+        F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("cx"),
+        F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("cy"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("cx", "cy").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cx", "cy", F.col("event_type").alias("majority"), "n")
+        .orderBy("cx", "cy")
+    )
+
+
+SQL_ZONAL_MAJORITY = f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+c AS (
+  SELECT CAST(FLOOR((x - {AA_X0}) / 2000.0) AS INT) AS cx,
+         CAST(FLOOR((y - {AA_Y0}) / 2000.0) AS INT) AS cy,
+         event_type, COUNT(*) AS n
+  FROM pts GROUP BY 1, 2, 3
+)
+SELECT cx, cy, event_type AS majority, n
+FROM c
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY cx, cy ORDER BY n DESC, event_type
+) = 1
+ORDER BY cx, cy
+"""
+
+
 HEX_SIZE = 1500.0
 
 
@@ -6706,6 +6747,7 @@ QUERIES = {
     "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
     "line_raster": (q_line_raster, SQL_LINE_RASTER),
     "hex_bin": (q_hex_bin, _sql_hex_bin()),
+    "zonal_majority": (q_zonal_majority, SQL_ZONAL_MAJORITY),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
