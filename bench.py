@@ -123,6 +123,7 @@ ROTATING = [
     "line_raster",
     "hex_bin",
     "zonal_majority",
+    "stream_tiles",
 ]
 
 

@@ -4138,6 +4138,52 @@ FROM g WHERE n9 = 9 ORDER BY x, y
 """
 
 
+def q_stream_tiles(spark, sf_dir):
+    """The tile-grid rollup crossed with a STREAMING trigger: event
+    points drain through Trigger.AvailableNow into the exactly-once
+    ADDITIVE delta sink (per-batch count deltas land in a
+    batch_id-named partition with dynamic overwrite, so at-least-once
+    replays overwrite themselves instead of double-counting — the
+    rollup analogue of the keyed upsert sink). The drain runs TWICE
+    (second must be a no-op), totals are folded back from the delta
+    log, and the oracle is the plain batch grid count — stream ≡
+    batch, with the sink layout inside the checked DAG."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import incremental
+
+    tag = hashlib.md5(f"stream_tiles:{sf_dir}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"egs_stream_tiles_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src, dst, ck = (os.path.join(root, d) for d in ("src", "dst", "ck"))
+    pts = event_points(spark, sf_dir).select(
+        "event_id",
+        F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("tx"),
+        F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("ty"),
+    )
+    pts.write.parquet(src)
+    for _ in range(2):  # second drain: exactly-once no-op
+        stream = spark.readStream.schema(pts.schema).parquet(src)
+        incremental.delta_counts_sink(stream, dst, ck, key_cols=("tx", "ty"))
+    return (
+        incremental.read_delta_counts(spark, dst, ("tx", "ty"))
+        .select("tx", "ty", F.col("n").cast("long").alias("n"))
+        .orderBy("tx", "ty")
+    )
+
+
+SQL_STREAM_TILES = f"""
+WITH pts AS ({EVENT_POINTS_SQL})
+SELECT CAST(FLOOR((x - {AA_X0}) / 2000.0) AS INT) AS tx,
+       CAST(FLOOR((y - {AA_Y0}) / 2000.0) AS INT) AS ty,
+       COUNT(*) AS n
+FROM pts GROUP BY 1, 2 ORDER BY tx, ty
+"""
+
+
 def q_zonal_majority(spark, sf_dir):
     """Zonal majority (the categorical zonal statistic): dominant
     event_type per 2 km cell with a deterministic min-type tie-break
@@ -6748,6 +6794,7 @@ QUERIES = {
     "line_raster": (q_line_raster, SQL_LINE_RASTER),
     "hex_bin": (q_hex_bin, _sql_hex_bin()),
     "zonal_majority": (q_zonal_majority, SQL_ZONAL_MAJORITY),
+    "stream_tiles": (q_stream_tiles, SQL_STREAM_TILES),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

@@ -11,7 +11,7 @@ catch-up batch, which is the correct semantics for a crawl-dump ingest
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def incremental_ingest(
@@ -287,3 +287,60 @@ def windowed_event_counts(
     return src.groupBy(
         F.window(ts_col, window_dur).alias("win"), F.col("event_type")
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+def delta_counts_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...],
+) -> None:
+    """Exactly-once ADDITIVE aggregation sink — the streaming rollup
+    counterpart of :func:`upsert_sink` (which dedups KEYS; this one
+    accumulates COUNTS, where key-dedup would be wrong).
+
+    Each micro-batch writes its per-key count DELTA into a partition
+    named by the batch_id, with dynamic partition overwrite — so an
+    at-least-once REPLAY of a batch overwrites its own partition
+    instead of appending a second copy: idempotence without a ledger
+    or a read-modify-write of the whole table (the classic
+    crash-between-data-and-ledger double-count has nothing to
+    double). The at-rest layout is a delta log; :func:`read_delta_
+    counts` folds it with one sum, and periodic compaction (the
+    lineage-maintenance shape) can fold old batches into one
+    partition whenever the partition count grows. Blocks until
+    drained (availableNow)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch.groupBy(*key_cols)
+            .count()
+            .withColumnRenamed("count", "n")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_delta_counts(
+    spark: SparkSession, path: str, key_cols: tuple[str, ...]
+) -> DataFrame:
+    """Fold the delta log written by :func:`delta_counts_sink` into
+    current totals: one sum over the batch partitions."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(*key_cols)
+        .agg(F.sum("n").alias("n"))
+    )

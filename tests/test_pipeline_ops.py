@@ -2450,3 +2450,43 @@ def test_gif_roundtrip_interlace_and_adversarial():
         dtype=np.uint8,
     ).reshape(2, 3, 3)
     assert (mm.decode_gif(raw) == want).all()
+
+
+def test_delta_counts_sink_replay_and_accumulate(spark, tmp_path):
+    """Additive exactly-once semantics: a REPLAYED batch (fresh
+    checkpoint, same source => same batch_id) overwrites its own
+    delta partition instead of double-counting; genuinely new data
+    under the kept checkpoint adds on top."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    df1 = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "b"]})
+    )
+    df1.write.parquet(src)
+    stream = lambda: spark.readStream.schema("k string").parquet(src)  # noqa: E731
+    incremental.delta_counts_sink(stream(), dst, ck1, key_cols=("k",))
+    first = {
+        r.k: r.n
+        for r in incremental.read_delta_counts(spark, dst, ("k",)).collect()
+    }
+    assert first == {"a": 2, "b": 1}
+    # replay: fresh checkpoint re-reads the same file as batch 0
+    incremental.delta_counts_sink(stream(), dst, ck2, key_cols=("k",))
+    replay = {
+        r.k: r.n
+        for r in incremental.read_delta_counts(spark, dst, ("k",)).collect()
+    }
+    assert replay == first, "replayed batch double-counted"
+    # new data under the ORIGINAL checkpoint accumulates
+    spark.createDataFrame(pd.DataFrame({"k": ["b", "c"]})).write.mode(
+        "append"
+    ).parquet(src)
+    incremental.delta_counts_sink(stream(), dst, ck1, key_cols=("k",))
+    acc = {
+        r.k: r.n
+        for r in incremental.read_delta_counts(spark, dst, ("k",)).collect()
+    }
+    assert acc == {"a": 2, "b": 2, "c": 1}
