@@ -344,3 +344,47 @@ def read_delta_counts(
         .groupBy(*key_cols)
         .agg(F.sum("n").alias("n"))
     )
+
+
+def compact_delta_counts(
+    spark: SparkSession,
+    path: str,
+    key_cols: tuple[str, ...],
+    keep_after_batch: int | None = None,
+) -> None:
+    """Fold the delta log into one partition: batches ≤
+    ``keep_after_batch`` (default: all) collapse into a single summed
+    delta written under batch_id = -1 (reserved: real trigger batch
+    ids are non-negative, so later replays can never collide with the
+    compacted partition). Totals are invariant — read_delta_counts
+    before ≡ after — and the fold is materialized (localCheckpoint)
+    before any partition is dropped, so a crash mid-compaction leaves
+    either the old log or the new one, never a half state."""
+    at_rest = spark.read.parquet(path)
+    cond = (
+        F.col("batch_id") <= keep_after_batch
+        if keep_after_batch is not None
+        else F.lit(True)
+    )
+    old = at_rest.filter(cond)
+    folded = (
+        old.groupBy(*key_cols)
+        .agg(F.sum("n").alias("n"))
+        .withColumn("batch_id", F.lit(-1))
+        .localCheckpoint(eager=True)
+    )
+    doomed = [
+        r.batch_id
+        for r in old.select("batch_id").distinct().collect()
+    ]
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+    import shutil
+
+    for b in doomed:
+        if b != -1:
+            shutil.rmtree(f"{path}/batch_id={b}", ignore_errors=True)

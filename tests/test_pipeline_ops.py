@@ -2490,3 +2490,38 @@ def test_delta_counts_sink_replay_and_accumulate(spark, tmp_path):
         for r in incremental.read_delta_counts(spark, dst, ("k",)).collect()
     }
     assert acc == {"a": 2, "b": 2, "c": 1}
+
+
+def test_compact_delta_counts_preserves_totals(spark, tmp_path):
+    """Compaction folds the delta log into batch_id=-1 without
+    changing totals, and new batches keep accumulating after it."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(pd.DataFrame({"k": ["a", "b", "a"]})).write.parquet(src)
+    stream = lambda: spark.readStream.schema("k string").parquet(src)  # noqa: E731
+    incremental.delta_counts_sink(stream(), dst, ck, key_cols=("k",))
+    spark.createDataFrame(pd.DataFrame({"k": ["b"]})).write.mode("append").parquet(src)
+    incremental.delta_counts_sink(stream(), dst, ck, key_cols=("k",))
+    before = {
+        r.k: r.n for r in incremental.read_delta_counts(spark, dst, ("k",)).collect()
+    }
+    assert before == {"a": 2, "b": 2}
+    incremental.compact_delta_counts(spark, dst, ("k",))
+    after = {
+        r.k: r.n for r in incremental.read_delta_counts(spark, dst, ("k",)).collect()
+    }
+    assert after == before
+    parts = {
+        r.batch_id
+        for r in spark.read.parquet(dst).select("batch_id").distinct().collect()
+    }
+    assert parts == {-1}
+    spark.createDataFrame(pd.DataFrame({"k": ["c"]})).write.mode("append").parquet(src)
+    incremental.delta_counts_sink(stream(), dst, ck, key_cols=("k",))
+    final = {
+        r.k: r.n for r in incremental.read_delta_counts(spark, dst, ("k",)).collect()
+    }
+    assert final == {"a": 2, "b": 2, "c": 1}
