@@ -613,3 +613,23 @@ def test_tile_pyramid_scans_points_once_reuses_base(spark):
     # halving exchanges by zoom branches 4..7
     assert final.count("ReusedExchange") >= 5, final
     assert "ArrowEvalPython" not in final and "BatchEvalPython" not in final
+
+
+def test_webmap_query_plan_shapes(spark):
+    """hex_bin: ONE corpus exchange (the (q, r) count agg) and no
+    Python evaluator; line_raster: map-side explode, then only the
+    bounded dedup/count exchanges; kde_heatmap already pinned by its
+    operator test — all three stay JVM-only."""
+    from europe_gis_spark.queries import q_hex_bin, q_line_raster
+
+    hb = q_hex_bin(spark, "/root/testdata/sf0.001")
+    p = plan_str(hb, mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+    lr = q_line_raster(spark, "/root/testdata/sf0.001")
+    p2 = plan_str(lr, mode="simple")
+    assert "Generate explode" in p2 or "Explode" in p2 or "Generate" in p2, p2
+    # window + within-segment dedup + final count: bounded exchanges
+    assert p2.count("Exchange hashpartitioning") <= 3, p2
+    assert "ArrowEvalPython" not in p2 and "BatchEvalPython" not in p2, p2
