@@ -124,6 +124,7 @@ ROTATING = [
     "hex_bin",
     "zonal_majority",
     "stream_tiles",
+    "hotspot_gi",
 ]
 
 

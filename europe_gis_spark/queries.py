@@ -4138,6 +4138,87 @@ FROM g WHERE n9 = 9 ORDER BY x, y
 """
 
 
+def q_hotspot_gi(spark, sf_dir):
+    """Getis–Ord Gi* hotspot detection over the 2 km event-count
+    grid (the spatial statistic behind every 'crime/activity hotspot'
+    map): for each occupied cell, z = (S1 − x̄·k) / (s·√((N·k − k²)
+    / (N−1))) with unit 3×3 weights, S1 the neighbor-count sum and k
+    the occupied-neighbor count. Every aggregate input is an EXACT
+    integer (S1, k, N, Σx, Σx² — counts are ints), so the final
+    z-score is one fixed float expression evaluated identically in
+    both engines; neighborhood sums ride a KDE-style constant offset
+    explode + one cell-keyed aggregation."""
+    pts = event_points(spark, sf_dir)
+    counts = pts.groupBy(
+        F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("cx"),
+        F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("cy"),
+    ).agg(F.count("*").alias("n"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    contrib = counts.select(
+        "cx", "cy", "n", F.inline(offsets)
+    ).select(
+        (F.col("cx") + F.col("dx")).alias("tx"),
+        (F.col("cy") + F.col("dy")).alias("ty"),
+        "n",
+    )
+    nb = contrib.groupBy("tx", "ty").agg(
+        F.sum("n").alias("s1"), F.count("*").alias("k")
+    )
+    g = counts.agg(
+        F.count("*").alias("nn"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    j = counts.join(
+        nb, (F.col("cx") == F.col("tx")) & (F.col("cy") == F.col("ty"))
+    ).crossJoin(F.broadcast(g))
+    xbar = F.col("sx") / F.col("nn")
+    s = F.sqrt(F.col("sxx") / F.col("nn") - xbar * xbar)
+    denom = s * F.sqrt(
+        (F.col("nn") * F.col("k") - F.col("k") * F.col("k"))
+        / (F.col("nn") - 1)
+    )
+    return j.select(
+        "cx",
+        "cy",
+        F.round((F.col("s1") - xbar * F.col("k")) / denom, 6).alias("gi_z"),
+    ).orderBy("cx", "cy")
+
+
+SQL_HOTSPOT_GI = f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+c AS (
+  SELECT CAST(FLOOR((x - {AA_X0}) / 2000.0) AS INT) AS cx,
+         CAST(FLOOR((y - {AA_Y0}) / 2000.0) AS INT) AS cy,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+off(dx, dy) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+),
+nb AS (
+  SELECT c.cx + o.dx AS tx, c.cy + o.dy AS ty,
+         SUM(c.n) AS s1, COUNT(*) AS k
+  FROM c CROSS JOIN off o GROUP BY 1, 2
+),
+g AS (SELECT COUNT(*) AS nn, SUM(n) AS sx, SUM(n * n) AS sxx FROM c)
+SELECT c.cx, c.cy,
+       ROUND(
+         (nb.s1 - (g.sx / g.nn) * nb.k)
+         / (SQRT(g.sxx / g.nn - (g.sx / g.nn) * (g.sx / g.nn))
+            * SQRT((g.nn * nb.k - nb.k * nb.k) / (g.nn - 1))),
+         6) AS gi_z
+FROM c JOIN nb ON c.cx = nb.tx AND c.cy = nb.ty CROSS JOIN g
+ORDER BY c.cx, c.cy
+"""
+
+
 def q_stream_tiles(spark, sf_dir):
     """The tile-grid rollup crossed with a STREAMING trigger: event
     points drain through Trigger.AvailableNow into the exactly-once
@@ -6795,6 +6876,7 @@ QUERIES = {
     "hex_bin": (q_hex_bin, _sql_hex_bin()),
     "zonal_majority": (q_zonal_majority, SQL_ZONAL_MAJORITY),
     "stream_tiles": (q_stream_tiles, SQL_STREAM_TILES),
+    "hotspot_gi": (q_hotspot_gi, SQL_HOTSPOT_GI),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
