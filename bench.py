@@ -125,6 +125,7 @@ ROTATING = [
     "zonal_majority",
     "stream_tiles",
     "hotspot_gi",
+    "moran_i",
 ]
 
 

@@ -4219,6 +4219,83 @@ ORDER BY c.cx, c.cy
 """
 
 
+def q_moran_i(spark, sf_dir):
+    """Global Moran's I spatial autocorrelation of the 2 km
+    event-count grid (rook+bishop 8-neighbor unit weights): I =
+    (N/W) · (P − 2x̄R + Wx̄²) / (Σx² − Nx̄²), where P = Σ_pairs
+    xᵢxⱼ, R = Σᵢ kᵢxᵢ and W = Σᵢ kᵢ are EXACT integer aggregates
+    (one offset-explode equi-join for the pairs), so the statistic is
+    a single fixed float expression — bit-identical across engines.
+    Emits (moran_i, n_cells, w_pairs) as one checked row."""
+    pts = event_points(spark, sf_dir)
+    c = pts.groupBy(
+        F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("cx"),
+        F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("cy"),
+    ).agg(F.count("*").alias("n"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    shifted = c.select("cx", "cy", "n", F.inline(offsets)).select(
+        (F.col("cx") + F.col("dx")).alias("tx"),
+        (F.col("cy") + F.col("dy")).alias("ty"),
+        F.col("n").alias("xn"),
+    )
+    pairs = shifted.join(
+        c, (F.col("tx") == F.col("cx")) & (F.col("ty") == F.col("cy"))
+    ).agg(
+        F.sum(F.col("xn") * F.col("n")).alias("p"),
+        F.sum("xn").alias("r"),
+        F.count("*").alias("w"),
+    )
+    g = c.agg(
+        F.count("*").alias("nn"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    j = pairs.crossJoin(g)
+    xbar = F.col("sx") / F.col("nn")
+    num = F.col("p") - F.lit(2.0) * xbar * F.col("r") + F.col("w") * xbar * xbar
+    den = F.col("sxx") - F.col("nn") * xbar * xbar
+    return j.select(
+        F.round((F.col("nn") / F.col("w")) * num / den, 8).alias("moran_i"),
+        F.col("nn").alias("n_cells"),
+        F.col("w").alias("w_pairs"),
+    )
+
+
+SQL_MORAN_I = f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+c AS (
+  SELECT CAST(FLOOR((x - {AA_X0}) / 2000.0) AS INT) AS cx,
+         CAST(FLOOR((y - {AA_Y0}) / 2000.0) AS INT) AS cy,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+off(dx, dy) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)
+),
+p AS (
+  SELECT SUM(a.n * b.n) AS p, SUM(a.n) AS r, COUNT(*) AS w
+  FROM c a CROSS JOIN off o JOIN c b
+    ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+),
+g AS (SELECT COUNT(*) AS nn, SUM(n) AS sx, SUM(n * n) AS sxx FROM c)
+SELECT ROUND(
+         (g.nn / p.w)
+         * (p.p - 2.0 * (g.sx / g.nn) * p.r
+            + p.w * (g.sx / g.nn) * (g.sx / g.nn))
+         / (g.sxx - g.nn * (g.sx / g.nn) * (g.sx / g.nn)),
+         8) AS moran_i,
+       g.nn AS n_cells, p.w AS w_pairs
+FROM p CROSS JOIN g
+"""
+
+
 def q_stream_tiles(spark, sf_dir):
     """The tile-grid rollup crossed with a STREAMING trigger: event
     points drain through Trigger.AvailableNow into the exactly-once
@@ -6877,6 +6954,7 @@ QUERIES = {
     "zonal_majority": (q_zonal_majority, SQL_ZONAL_MAJORITY),
     "stream_tiles": (q_stream_tiles, SQL_STREAM_TILES),
     "hotspot_gi": (q_hotspot_gi, SQL_HOTSPOT_GI),
+    "moran_i": (q_moran_i, SQL_MORAN_I),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
