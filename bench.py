@@ -126,6 +126,7 @@ ROTATING = [
     "stream_tiles",
     "hotspot_gi",
     "moran_i",
+    "trend_cells",
 ]
 
 

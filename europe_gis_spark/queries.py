@@ -4296,6 +4296,115 @@ FROM p CROSS JOIN g
 """
 
 
+def q_trend_cells(spark, sf_dir):
+    """Per-cell Mann–Kendall trend over daily event counts — the
+    'emerging hotspot' temporal layer on top of Gi*: for each 6 km
+    cell, S = Σ_{a<b} sign(n_b − n_a) over its observed days (exact
+    integer via one within-cell day-pair self-join), tie-corrected
+    variance Var = [m(m−1)(2m+5) − Σ t(t−1)(2t+5)] / 18, and the
+    continuity-corrected z — integers everywhere until one final
+    fixed float expression. Cells classified at |z| ≥ 1.96."""
+    pts = event_points(spark, sf_dir)
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    d = (
+        pts.join(ev, "event_id")
+        .groupBy(
+            F.floor((F.col("x") - AA_X0) / 6000.0).cast("int").alias("cx"),
+            F.floor((F.col("y") - AA_Y0) / 6000.0).cast("int").alias("cy"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.cx").alias("cx"), F.col("a.cy").alias("cy"))
+        .agg(
+            F.sum(F.signum(F.col("b.n") - F.col("a.n")).cast("long")).alias(
+                "s"
+            )
+        )
+    )
+    m = d.groupBy("cx", "cy").agg(F.count("*").alias("m"))
+    ties = (
+        d.groupBy("cx", "cy", "n")
+        .agg(F.count("*").alias("t"))
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie")
+        )
+    )
+    j = s.join(m, ["cx", "cy"]).join(ties, ["cx", "cy"])
+    var = (
+        F.col("m") * (F.col("m") - 1) * (2 * F.col("m") + 5) - F.col("tie")
+    ) / F.lit(18.0)
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "cx",
+        "cy",
+        "s",
+        "m",
+        F.round(z, 6).alias("z"),
+        F.when(F.round(z, 6) >= 1.96, F.lit("increasing"))
+        .when(F.round(z, 6) <= -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    ).orderBy("cx", "cy")
+
+
+SQL_TREND_CELLS = f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+d AS (
+  SELECT CAST(FLOOR((p.x - {AA_X0}) / 6000.0) AS INT) AS cx,
+         CAST(FLOOR((p.y - {AA_Y0}) / 6000.0) AS INT) AS cy,
+         CAST(e.ts AS DATE) AS day, COUNT(*) AS n
+  FROM pts p JOIN events e USING (event_id)
+  GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT a.cx, a.cy,
+         SUM(CAST(SIGN(b.n - a.n) AS BIGINT)) AS s
+  FROM d a JOIN d b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.day < b.day
+  GROUP BY 1, 2
+),
+m AS (SELECT cx, cy, COUNT(*) AS m FROM d GROUP BY 1, 2),
+ties AS (
+  SELECT cx, cy, SUM(t * (t - 1) * (2 * t + 5)) AS tie
+  FROM (SELECT cx, cy, n, COUNT(*) AS t FROM d GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT s.cx, s.cy, s.s, m.m,
+         (m.m * (m.m - 1) * (2 * m.m + 5) - ties.tie) / 18.0 AS var
+  FROM s JOIN m USING (cx, cy) JOIN ties USING (cx, cy)
+),
+zz AS (
+  SELECT cx, cy, s, m,
+         ROUND(CASE WHEN s > 0 THEN (s - 1) / SQRT(var)
+                    WHEN s < 0 THEN (s + 1) / SQRT(var)
+                    ELSE 0.0 END, 6) AS z
+  FROM j
+)
+SELECT cx, cy, s, m, z,
+       CASE WHEN z >= 1.96 THEN 'increasing'
+            WHEN z <= -1.96 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM zz ORDER BY cx, cy
+"""
+
+
 def q_stream_tiles(spark, sf_dir):
     """The tile-grid rollup crossed with a STREAMING trigger: event
     points drain through Trigger.AvailableNow into the exactly-once
@@ -6955,6 +7064,7 @@ QUERIES = {
     "stream_tiles": (q_stream_tiles, SQL_STREAM_TILES),
     "hotspot_gi": (q_hotspot_gi, SQL_HOTSPOT_GI),
     "moran_i": (q_moran_i, SQL_MORAN_I),
+    "trend_cells": (q_trend_cells, SQL_TREND_CELLS),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
