@@ -127,6 +127,7 @@ ROTATING = [
     "hotspot_gi",
     "moran_i",
     "trend_cells",
+    "dedup_incremental",
 ]
 
 

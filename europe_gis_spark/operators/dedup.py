@@ -728,3 +728,50 @@ def edit_distance_join(strings: DataFrame, col: str = "s") -> DataFrame:
         .withColumn("dist", F.levenshtein("s_a", "s_b"))
         .filter(F.col("dist") <= 1)
     )
+
+
+def write_band_index(
+    docs: DataFrame,
+    path: str,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket: int | None = MAX_BUCKET,
+) -> None:
+    """Materialize the corpus's capped LSH band table (doc_id, band,
+    key) at rest — the INDEX side of incremental dedup. ~n_bands rows
+    of a few tens of bytes per doc; the text-hashing pipeline runs
+    exactly once, at index-build time, and never again for this
+    corpus slice."""
+    bands = band_keys(minhash_signatures(docs, n_hashes), n_hashes, band_size)
+    if max_bucket is not None:
+        bands = cap_hot_buckets(bands, ("band", "key"), max_bucket)
+    bands.write.mode("overwrite").parquet(path)
+
+
+def lsh_pairs_against_index(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """Incremental near-dedup (the daily-crawl production shape): the
+    NEW batch's band keys probe the AT-REST index — only the
+    increment is hashed, the corpus is never re-read, and the join is
+    new-batch-sized on one side. Candidate pairs (new_id, old_id)
+    come back distinct; verify with :func:`verify_pairs` over
+    new ∪ matched-old texts only."""
+    sig = minhash_signatures(new_docs, n_hashes)
+    nb = band_keys(sig, n_hashes, band_size)
+    if max_bucket is not None:
+        nb = cap_hot_buckets(nb, ("band", "key"), max_bucket)
+    return (
+        nb.alias("n")
+        .join(index_bands.alias("o"), ["band", "key"])
+        .filter(F.col("n.doc_id") != F.col("o.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("doc_a"),
+            F.col("o.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )

@@ -1733,6 +1733,95 @@ def q_lsh_verified(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dedup — the daily-crawl production shape: the
+    at-rest corpus slice (doc_id ≥ 100) is hashed ONCE into a capped
+    LSH band index written to parquet; the new batch (doc_id < 100
+    plus planted 'zz '-prefixed near-copies of every 30th at-rest
+    doc) probes that index with its own band keys, and only the
+    candidate pairs are exact-Jaccard verified. The corpus text is
+    never re-hashed for the increment. Oracle: the identical
+    two-sided CTE chain (per-side caps, new-vs-old candidate join,
+    shingle-intersection verify)."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") >= 100)
+    newb = d.filter(F.col("doc_id") < 100).unionByName(
+        d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") % 30 == 0)).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.lit("zz "), F.col("text")).alias("text"),
+        )
+    )
+    tag = hashlib.md5(f"inc_dedup:{sf_dir}".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"egs_band_index_{tag}")
+    dedup.write_band_index(old, path)
+    idx = spark.read.parquet(path)
+    cand = dedup.lsh_pairs_against_index(newb, idx)
+    return dedup.verify_pairs(
+        cand, old.unionByName(newb), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def _sql_dedup_incremental() -> str:
+    mh_cols = ", ".join(
+        f"MIN({dedup.minhash_expr(j)}) AS mh{j}" for j in range(dedup.N_HASHES)
+    )
+    n_bands = dedup.N_HASHES // dedup.BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, mh{i0} || '|' || mh{i1} || '|' || mh{i2} AS key FROM sig".format(
+            b=b, i0=b * 3, i1=b * 3 + 1, i2=b * 3 + 2
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, 'zz ' || text AS text
+  FROM documents WHERE doc_id >= 100 AND doc_id % 30 = 0
+),
+toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') t FROM docs),
+sh AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(
+    [ARRAY_TO_STRING(t[i:i+4], ' ') FOR i IN RANGE(1, GREATEST(LEN(t) - 3, 1))]
+  )) AS shingle FROM toks
+),
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+nb AS (SELECT * FROM bands WHERE doc_id < 100 OR doc_id >= 500000),
+ob AS (SELECT * FROM bands WHERE doc_id >= 100 AND doc_id < 500000),
+keep_n AS (SELECT band, key FROM nb GROUP BY band, key
+           HAVING COUNT(*) <= {dedup.MAX_BUCKET}),
+keep_o AS (SELECT band, key FROM ob GROUP BY band, key
+           HAVING COUNT(*) <= {dedup.MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_a, o.doc_id AS doc_b
+  FROM (SELECT nb.* FROM nb JOIN keep_n USING (band, key)) n
+  JOIN (SELECT ob.* FROM ob JOIN keep_o USING (band, key)) o
+    ON n.band = o.band AND n.key = o.key AND n.doc_id <> o.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, cm.n_common,
+       ROUND(cm.n_common / (sa.n_sh + sb.n_sh - cm.n_common), 9) AS jaccard
+FROM cand c
+JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE ROUND(cm.n_common / (sa.n_sh + sb.n_sh - cm.n_common), 9) >= 0.5
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Duplicate clusters: LSH candidates → exact Jaccard verify →
     distributed connected components (min-label propagation). Oracle:
@@ -7065,6 +7154,7 @@ QUERIES = {
     "hotspot_gi": (q_hotspot_gi, SQL_HOTSPOT_GI),
     "moran_i": (q_moran_i, SQL_MORAN_I),
     "trend_cells": (q_trend_cells, SQL_TREND_CELLS),
+    "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

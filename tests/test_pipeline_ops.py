@@ -2525,3 +2525,24 @@ def test_compact_delta_counts_preserves_totals(spark, tmp_path):
         r.k: r.n for r in incremental.read_delta_counts(spark, dst, ("k",)).collect()
     }
     assert final == {"a": 2, "b": 2, "c": 1}
+
+
+def test_incremental_dedup_finds_planted_cross_pairs(spark):
+    """Every planted near-copy of an at-rest doc must come back as a
+    verified (new, old) pair against the parquet band index, and no
+    pair may point old->old (the increment never probes itself as
+    index)."""
+    from europe_gis_spark.queries import q_dedup_incremental
+
+    rows = q_dedup_incremental(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    planted = {
+        v
+        for v in range(120, 500, 30)
+    }
+    for v in planted:
+        assert (500000 + v, v) in pairs, f"planted copy of {v} missed"
+    for a, b in pairs:
+        assert a < 100 or a >= 500000, (a, b)  # doc_a is always new
+        assert 100 <= b < 500000, (a, b)  # doc_b always at rest
