@@ -128,6 +128,7 @@ ROTATING = [
     "moran_i",
     "trend_cells",
     "dedup_incremental",
+    "session_flows",
 ]
 
 

@@ -3379,6 +3379,36 @@ GROUP BY 1, 2 ORDER BY from_state, to_state
 """
 
 
+def q_session_flows(spark, sf_dir):
+    """Session flow graph — the web-analytics face of the generic
+    transition matrix: per-user time-ordered event types → first-order
+    transition counts (the 'users who did X next did Y' table). Same
+    operator as od_matrix with a categorical state column; one lag
+    window + one (from, to) aggregation."""
+    from .operators import trajectory
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return trajectory.transition_matrix(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    ).orderBy("from_state", "to_state")
+
+
+SQL_SESSION_FLOWS = """
+WITH tr AS (
+  SELECT LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS from_state,
+         event_type AS to_state
+  FROM events
+)
+SELECT from_state, to_state, COUNT(*) AS n_transitions
+FROM tr WHERE from_state IS NOT NULL AND to_state IS NOT NULL
+GROUP BY 1, 2 ORDER BY from_state, to_state
+"""
+
+
 def q_kde_heatmap(spark, sf_dir):
     """Binned Gaussian KDE heatmap over the event points at 2 km
     cells: each point stamps a driver-quantized integer-ppm kernel
@@ -7155,6 +7185,7 @@ QUERIES = {
     "moran_i": (q_moran_i, SQL_MORAN_I),
     "trend_cells": (q_trend_cells, SQL_TREND_CELLS),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
+    "session_flows": (q_session_flows, SQL_SESSION_FLOWS),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
