@@ -4493,7 +4493,7 @@ d AS (
 ),
 s AS (
   SELECT a.cx, a.cy,
-         SUM(CAST(SIGN(b.n - a.n) AS BIGINT)) AS s
+         CAST(SUM(CAST(SIGN(b.n - a.n) AS BIGINT)) AS BIGINT) AS s
   FROM d a JOIN d b
     ON a.cx = b.cx AND a.cy = b.cy AND a.day < b.day
   GROUP BY 1, 2
