@@ -129,6 +129,7 @@ ROTATING = [
     "trend_cells",
     "dedup_incremental",
     "session_flows",
+    "region_centroids",
 ]
 
 

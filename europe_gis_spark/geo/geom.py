@@ -62,6 +62,32 @@ def polygon_area(parts: list[list[np.ndarray]]) -> float:
     return total
 
 
+def polygon_centroid(parts: list[list[np.ndarray]]) -> tuple[float, float]:
+    """Area centroid of a (multi)polygon with holes — the shoelace
+    first-moment formula, orientation-robust (each ring's sums are
+    normalized by its own winding sign; holes subtract).  With integer
+    vertices every accumulated term is an exact integer, so the final
+    division is ONE correctly-rounded IEEE op — for rectilinear
+    pixel-union polygons the result is bit-equal to the mean of the
+    covered pixel centers, which is what the independent raster oracle
+    states."""
+    a2 = sx = sy = 0.0
+    for rings in parts:
+        for ri, ring in enumerate(rings):
+            x, y = ring[:, 0], ring[:, 1]
+            x2, y2 = np.roll(x, -1), np.roll(y, -1)
+            cross = x * y2 - x2 * y
+            ra2 = float(cross.sum())
+            rsx = float(((x + x2) * cross).sum())
+            rsy = float(((y + y2) * cross).sum())
+            orient = 1.0 if ra2 >= 0 else -1.0
+            role = 1.0 if ri == 0 else -1.0
+            a2 += role * orient * ra2
+            sx += role * orient * rsx
+            sy += role * orient * rsy
+    return sx / (3.0 * a2), sy / (3.0 * a2)
+
+
 def _dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
     """Douglas–Peucker keep-mask for an OPEN chain (N, 2) — iterative
     stack, vectorized point-to-segment distances per split. Strict

@@ -1210,6 +1210,121 @@ def q_region_geom_areas(spark, sf_dir):
     ).orderBy("value", "n_px", "x0", "y0", "x1", "y1")
 
 
+def q_region_centroids(spark, sf_dir):
+    """Region centroids from the DECODED WKB geometry (shoelace
+    first-moment kernel with holes, Arrow-batched) — checked against a
+    derivation that never touches geometry at all: the oracle BFS-
+    labels the same raster and states each region's centroid as the
+    mean of its covered PIXEL CENTERS, (2Σp + n) / 2n per axis. For
+    rectilinear pixel unions the two rationals are identical, and
+    since every accumulated term is an exact integer both engines
+    round the SAME rational once — a mistraced ring, dropped hole or
+    sign error in the moment formula hash-mismatches."""
+    import pandas as pd
+
+    from .geo import geom as ggeom, wkb as gwkb
+    from .operators import layers as L
+
+    g = L.region_geometries(_density_tiles(spark, sf_dir), tile_w=16)
+
+    def fn(batches):
+        for b in batches:
+            cxs, cys = [], []
+            for buf in b["wkb"]:
+                parts = gwkb.polygon_parts(gwkb.decode(bytes(buf)))
+                cx, cy = ggeom.polygon_centroid(parts)
+                cxs.append(round(cx, 9))
+                cys.append(round(cy, 9))
+            yield pd.DataFrame(
+                {
+                    "value": b["value"],
+                    "n_px": b["n_px"],
+                    "cx": cxs,
+                    "cy": cys,
+                }
+            )
+
+    return g.mapInPandas(
+        fn, schema="value double, n_px long, cx double, cy double"
+    ).orderBy("value", "n_px", "cx", "cy")
+
+
+def _sql_region_centroids():
+    """Pixel-mean oracle: independent BFS labeling of the twin raster;
+    centroid = ((2Σx + n) / 2n + 0.5-less form) — pixel centers are
+    (x + 0.5, y + 0.5), so cx = (2Σx + n) / (2n) + ... folded as
+    (2Σx + n) / (2n); expected rows embedded as VALUES."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_CORRECT", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "events.parquet")
+    if not os.path.exists(path):
+        return None
+    from collections import deque
+
+    import numpy as np
+    import pandas as pd
+
+    eid = pd.read_parquet(path, columns=["event_id"])["event_id"].to_numpy()
+    cx = ((eid * 48271) % 60000) // 2000
+    cy = ((eid * 16807) % 40000) // 2000
+    key = cy * 100000 + cx
+    uk, cnt = np.unique(key, return_counts=True)
+    mu = cnt.mean()
+    ux, uy = (uk % 100000).astype(int), (uk // 100000).astype(int)
+    gx0 = int(ux.min()) // 16 * 16
+    gx1 = (int(ux.max()) // 16 + 1) * 16
+    gy0 = int(uy.min()) // 16 * 16
+    gy1 = (int(uy.max()) // 16 + 1) * 16
+    h, w = gy1 - gy0, gx1 - gx0
+    canvas = np.full((h, w), -1000.0)
+    canvas[uy - gy0, ux - gx0] = np.where(cnt > mu, 1.0, 0.0)
+    lab = np.full((h, w), -1, dtype=int)
+    nlab = 0
+    for yy in range(h):
+        for xx in range(w):
+            if lab[yy, xx] >= 0:
+                continue
+            v = canvas[yy, xx]
+            q = deque([(yy, xx)])
+            lab[yy, xx] = nlab
+            while q:
+                a, b = q.popleft()
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    na, nb = a + dy, b + dx
+                    if (
+                        0 <= na < h
+                        and 0 <= nb < w
+                        and lab[na, nb] < 0
+                        and canvas[na, nb] == v
+                    ):
+                        lab[na, nb] = nlab
+                        q.append((na, nb))
+            nlab += 1
+    rows = []
+    for lid in range(nlab):
+        m = lab == lid
+        v = float(canvas[m][0])
+        ys, xs = np.nonzero(m)
+        n = int(m.sum())
+        sx = int((xs + gx0).sum())
+        sy = int((ys + gy0).sum())
+        rows.append(
+            (
+                v,
+                n,
+                round((2 * sx + n) / (2.0 * n), 9),
+                round((2 * sy + n) / (2.0 * n), 9),
+            )
+        )
+    vals = ",".join(f"({v!r},{n},{x!r},{y!r})" for v, n, x, y in rows)
+    return f"""
+WITH expected(value, n_px, cx, cy) AS (VALUES {vals})
+SELECT value, n_px, cx, cy FROM expected
+ORDER BY value, n_px, cx, cy
+"""
+
+
 def q_region_geoms_simplified(spark, sf_dir):
     """F9 geometry output chained through Douglas–Peucker at ¾-cell
     tolerance — the standard publish-time simplification (smooths pixel
@@ -7186,6 +7301,7 @@ QUERIES = {
     "trend_cells": (q_trend_cells, SQL_TREND_CELLS),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "session_flows": (q_session_flows, SQL_SESSION_FLOWS),
+    "region_centroids": (q_region_centroids, _sql_region_centroids()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

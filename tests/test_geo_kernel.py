@@ -467,3 +467,32 @@ def test_simplify_geoms_operator(spark):
     assert abs(polygon_area(parts) - 96.0) < 1e-9
     assert row.n_vertices_out < row.n_vertices_in
     assert len(parts[0]) == 2  # hole survives
+
+
+def test_polygon_centroid_holes_and_orientation():
+    """Shoelace first-moment centroid: square with centered hole keeps
+    the center; off-center hole shifts AWAY from the hole; winding
+    orientation of either ring does not matter; annulus matches the
+    exact rational."""
+    import numpy as np
+
+    from europe_gis_spark.geo import geom
+
+    sq = np.array([(0, 0), (10, 0), (10, 10), (0, 10)], dtype=float)
+    hole = np.array([(4, 4), (6, 4), (6, 6), (4, 6)], dtype=float)
+    cx, cy = geom.polygon_centroid([[sq, hole]])
+    assert (cx, cy) == (5.0, 5.0)
+    # reversed windings — same result
+    cx2, cy2 = geom.polygon_centroid([[sq[::-1].copy(), hole[::-1].copy()]])
+    assert (cx2, cy2) == (5.0, 5.0)
+    # off-center hole at (1..3)^2: mass removed lower-left, centroid
+    # moves up-right of (5,5); exact value (100*5 - 4*2)/96
+    hole2 = np.array([(1, 1), (3, 1), (3, 3), (1, 3)], dtype=float)
+    cx3, cy3 = geom.polygon_centroid([[sq, hole2]])
+    want = (100 * 5.0 - 4 * 2.0) / 96.0
+    assert cx3 == want and cy3 == want
+    # multi-part: two unit squares far apart -> midpoint
+    a = np.array([(0, 0), (1, 0), (1, 1), (0, 1)], dtype=float)
+    b = np.array([(10, 10), (11, 10), (11, 11), (10, 11)], dtype=float)
+    cx4, cy4 = geom.polygon_centroid([[a], [b]])
+    assert (cx4, cy4) == (5.5, 5.5)
