@@ -130,6 +130,7 @@ ROTATING = [
     "dedup_incremental",
     "session_flows",
     "region_centroids",
+    "voronoi_assign",
 ]
 
 

@@ -4932,6 +4932,95 @@ def q_idw_surface(spark, sf_dir):
     ).orderBy("xb", "yb")
 
 
+def q_voronoi_assign(spark, sf_dir):
+    """Discrete Voronoi / nearest-facility allocation: every occupied
+    2 km cell assigned to its nearest anchor station (exact squared
+    distances, anchor-id tie-break) with the cell count and total
+    event mass per service area — the facility-catchment rollup.
+    The per-cell pick is a WindowGroupLimit-eligible rank-1 filter
+    over the broadcast anchor cross; at corpus-scale anchor counts
+    the cell-ring kNN (geo_knn) replaces the cross, same downstream."""
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    pts = event_points(spark, sf_dir)
+    cells = pts.groupBy(
+        F.floor((F.col("x") - AA_X0) / 2000.0).cast("int").alias("xb"),
+        F.floor((F.col("y") - AA_Y0) / 2000.0).cast("int").alias("yb"),
+    ).agg(F.count("*").alias("n_events"))
+    cells = cells.select(
+        "xb",
+        "yb",
+        "n_events",
+        (F.col("xb") * 2000.0 + 1000.0).alias("cx"),
+        (F.col("yb") * 2000.0 + 1000.0).alias("cy"),
+    )
+    anchors = spark.createDataFrame(
+        pd.DataFrame(
+            [(pid, x - AA_X0, y - AA_Y0) for pid, x, y in KNN_ANCHORS],
+            columns=["anchor_id", "ax", "ay"],
+        )
+    )
+    d2 = (F.col("cx") - F.col("ax")) * (F.col("cx") - F.col("ax")) + (
+        F.col("cy") - F.col("ay")
+    ) * (F.col("cy") - F.col("ay"))
+    ranked = (
+        cells.join(F.broadcast(anchors))
+        .select("xb", "yb", "n_events", "anchor_id", d2.alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("xb", "yb").orderBy(
+                    F.asc("d2"), F.asc("anchor_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        ranked.groupBy("anchor_id")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+def _sql_voronoi_assign() -> str:
+    anchors = ", ".join(
+        f"('{pid}', {x - AA_X0!r}, {y - AA_Y0!r})"
+        for pid, x, y in KNN_ANCHORS
+    )
+    return f"""
+WITH pts AS ({EVENT_POINTS_SQL}),
+cells AS (
+  SELECT xb, yb, n_events,
+         xb * 2000.0 + 1000.0 AS cx, yb * 2000.0 + 1000.0 AS cy
+  FROM (
+    SELECT CAST(FLOOR((x - {AA_X0}) / 2000.0) AS INT) AS xb,
+           CAST(FLOOR((y - {AA_Y0}) / 2000.0) AS INT) AS yb,
+           COUNT(*) AS n_events
+    FROM pts GROUP BY 1, 2
+  )
+),
+a(anchor_id, ax, ay) AS (VALUES {anchors}),
+r AS (
+  SELECT xb, yb, n_events, anchor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY xb, yb
+           ORDER BY (cx - ax) * (cx - ax) + (cy - ay) * (cy - ay), anchor_id
+         ) AS rk
+  FROM cells CROSS JOIN a
+)
+SELECT anchor_id, COUNT(*) AS n_cells,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM r WHERE rk = 1
+GROUP BY anchor_id ORDER BY anchor_id
+"""
+
+
 def _sql_idw_surface() -> str:
     anchors = ", ".join(
         f"('{pid}', {x - AA_X0!r}, {y - AA_Y0!r}, {10.0 * (i + 1)!r})"
@@ -7302,6 +7391,7 @@ QUERIES = {
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "session_flows": (q_session_flows, SQL_SESSION_FLOWS),
     "region_centroids": (q_region_centroids, _sql_region_centroids()),
+    "voronoi_assign": (q_voronoi_assign, _sql_voronoi_assign()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
