@@ -131,6 +131,7 @@ ROTATING = [
     "session_flows",
     "region_centroids",
     "voronoi_assign",
+    "ab_test",
 ]
 
 

@@ -3494,6 +3494,103 @@ GROUP BY 1, 2 ORDER BY from_state, to_state
 """
 
 
+def q_ab_test(spark, sf_dir):
+    """Two-proportion z-test per event type (the A/B analysis every
+    event pipeline ends at): users split into arms by the
+    engine-portable md5 hash (user_id parity of the digest nibble —
+    rerun/partition-invariant, the hash_split discipline), 'converted'
+    = user emitted >= 14 events of that type (a rate-giving
+    threshold: plain membership saturates at this fixture's density); z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ +
+    1/n₂)). All aggregate inputs are exact integers, the z a single
+    fixed float expression — bit-identical across engines."""
+    ev = _read(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).alias("arm")
+    users = ev.select("user_id").distinct().select("user_id", arm)
+    types = ev.select("event_type").distinct()
+    conv = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 14)
+        .select("user_id", "event_type", F.lit(1).alias("c"))
+    )
+    grid = users.crossJoin(types)
+    j = grid.join(conv, ["user_id", "event_type"], "left").select(
+        "event_type",
+        "arm",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    agg = j.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0)).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = F.when(
+        (F.col("c0") + F.col("c1") == 0)
+        | (F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1")),
+        F.lit(0.0),
+    ).otherwise(
+        (p0 - p1)
+        / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    )
+    return agg.select(
+        "event_type",
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        F.round(z, 6).alias("z"),
+    ).orderBy("event_type")
+
+
+SQL_AB_TEST = """
+WITH users AS (
+  SELECT user_id,
+         CAST('0x' || SUBSTRING(MD5('ab:' || user_id::VARCHAR), 1, 8)
+              AS BIGINT) % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+types AS (SELECT DISTINCT event_type FROM events),
+conv AS (
+  SELECT user_id, event_type FROM events
+  GROUP BY user_id, event_type HAVING COUNT(*) >= 14
+),
+j AS (
+  SELECT t.event_type, u.arm,
+         CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS c
+  FROM users u CROSS JOIN types t
+  LEFT JOIN conv c ON c.user_id = u.user_id AND c.event_type = t.event_type
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+  FROM j GROUP BY event_type
+)
+SELECT event_type, n0, n1, c0, c1,
+       ROUND(
+         CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
+              ELSE (c0 / n0 - c1 / n1)
+                   / SQRT(((c0 + c1) / (n0 + n1))
+                          * (1 - (c0 + c1) / (n0 + n1))
+                          * (1.0 / n0 + 1.0 / n1))
+         END, 6) AS z
+FROM agg ORDER BY event_type
+"""
+
+
 def q_session_flows(spark, sf_dir):
     """Session flow graph — the web-analytics face of the generic
     transition matrix: per-user time-ordered event types → first-order
@@ -7392,6 +7489,7 @@ QUERIES = {
     "session_flows": (q_session_flows, SQL_SESSION_FLOWS),
     "region_centroids": (q_region_centroids, _sql_region_centroids()),
     "voronoi_assign": (q_voronoi_assign, _sql_voronoi_assign()),
+    "ab_test": (q_ab_test, SQL_AB_TEST),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
