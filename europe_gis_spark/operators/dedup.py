@@ -332,44 +332,52 @@ def connected_components(
     Each round is one join + one agg; ``localCheckpoint`` truncates the
     growing lineage so round N doesn't replay rounds 1..N−1.
     """
+    from .graph import coarse_iter_shuffles
+
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-    edges = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        merged = (
-            labels.join(nbr, labels.node == nbr.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+    converged = False
+    with coarse_iter_shuffles(pairs.sparkSession):
+        edges = (
+            edges.union(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
             )
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            merged.alias("m")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("m.label") < F.col("l.label"))
-            .count()
+        labels = (
+            edges.select(F.col("a").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint()
         )
-        labels = merged
-        if changed == 0:
-            break
-    else:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            merged = (
+                labels.join(nbr, labels.node == nbr.a, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                merged.alias("m")
+                .join(labels.alias("l"), "node")
+                .filter(F.col("m.label") < F.col("l.label"))
+                .count()
+            )
+            labels = merged
+            if changed == 0:
+                converged = True
+                break
+    if not converged:
         # silent partial propagation would split duplicate clusters
         # undetected — fail loudly instead
         raise RuntimeError(

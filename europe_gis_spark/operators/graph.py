@@ -11,7 +11,36 @@ state beyond one scalar (the dangling-mass sum) per iteration.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, functions as F
+
+
+@contextmanager
+def coarse_iter_shuffles(spark, min_size: str = "1m"):
+    """Scope-limited AQE coalesce floor for TINY-state iterative loops.
+
+    The session default floors `coalescePartitions.minPartitionSize` at
+    1 byte so CPU-dense shuffles (text hashing, pairwise cosine) spread
+    across every core. Label-propagation state is the opposite regime —
+    a few KB per round, trivial per-row work — where 32-way spreading
+    just multiplies task overhead by rounds × stages (measured:
+    cc_components 6.2 s → 9.7 s, 282 task-core-s, after the session
+    change). Restoring the 1 MB floor around the loop lets AQE collapse
+    each round to a handful of tasks; every round's work is
+    materialized (eager localCheckpoint / count) inside the scope, so
+    the restored conf can't leak into the caller's plan."""
+    key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, min_size)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
 
 #: above this node count the per-round rank snapshot moves from
 #: executor-memory ``localCheckpoint`` to reliable disk ``checkpoint``
@@ -496,40 +525,43 @@ def cc_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
-        # large-star over the full (undirected) neighborhood
-        und = e.union(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = (
-            und.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", "u").alias("m"))
-        )
-        large = (
-            und.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-        # small-star on the (big → small)-oriented large-star output
-        mins_s = large.groupBy("u").agg(F.min("v").alias("m"))
-        with_min = large.join(mins_s, "u")
-        small = (
-            with_min.select(F.col("v").alias("n"), F.col("m"))
-            .union(with_min.select(F.col("u").alias("n"), F.col("m")))
-            .filter(F.col("n") != F.col("m"))
-            .select(F.col("n").alias("u"), F.col("m").alias("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            small.exceptAll(e).union(e.exceptAll(small)).limit(1).count()
-        )
-        e = small
-        if changed == 0:
-            break
-    else:
+    converged = False
+    with coarse_iter_shuffles(edges.sparkSession):
+        for _ in range(max_rounds):
+            # large-star over the full (undirected) neighborhood
+            und = e.union(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = (
+                und.groupBy("u")
+                .agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", "u").alias("m"))
+            )
+            large = (
+                und.filter(F.col("v") > F.col("u"))
+                .join(mins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct()
+            )
+            # small-star on the (big → small)-oriented large-star output
+            mins_s = large.groupBy("u").agg(F.min("v").alias("m"))
+            with_min = large.join(mins_s, "u")
+            small = (
+                with_min.select(F.col("v").alias("n"), F.col("m"))
+                .union(with_min.select(F.col("u").alias("n"), F.col("m")))
+                .filter(F.col("n") != F.col("m"))
+                .select(F.col("n").alias("u"), F.col("m").alias("v"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                small.exceptAll(e).union(e.exceptAll(small)).limit(1).count()
+            )
+            e = small
+            if changed == 0:
+                converged = True
+                break
+    if not converged:
         raise RuntimeError(
             f"cc_star did not converge in {max_rounds} rounds — raise "
             "max_rounds (log2(nodes) + slack is sufficient)"

@@ -427,8 +427,8 @@ def semdedup_flags(
     The drop rule is the paper implementation's non-iterative one:
     drop(b) ⇔ ∃ a in the same cluster with rank(a) < rank(b) and
     cos(a,b) ≥ τ — a appearing earlier need not itself survive. That
-    makes the whole operator ONE relational plan (no fixpoint): rank
-    window + within-cluster self-join + anti-join, all on the list_id
+    makes the whole operator ONE plan (no fixpoint): rank window +
+    per-cluster vectorized cosine pass + flag join, all on the list_id
     key.
 
     Scale shape (the paper runs 50k clusters over LAION-440M): training
@@ -460,22 +460,42 @@ def semdedup_flags(
     ranked = a.withColumn("rank", F.row_number().over(w)).localCheckpoint(
         eager=True
     )
-    e = embeddings.select("vec_id", "embedding").join(ranked, "vec_id")
-    la = e.alias("a").hint("shuffle_hash")
-    lb = e.alias("b")
-    dot = _dot(F.col("a.embedding"), F.col("b.embedding"))
-    na = F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))
-    nb = F.sqrt(_dot(F.col("b.embedding"), F.col("b.embedding")))
-    dropped = (
-        la.join(
-            lb,
-            (F.col("a.list_id") == F.col("b.list_id"))
-            & (F.col("a.rank") < F.col("b.rank")),
-        )
-        .filter(F.round(dot / (na * nb), 8) >= threshold)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
+    # Within-cluster pairwise cosine as ONE vectorized Arrow pass per
+    # cluster (numpy matmul in row blocks) instead of a rank-theta
+    # self-join evaluating an interpreted zip_with/aggregate dot per
+    # pair — measured 1 381 core-seconds at sf1.0 (13M pairs × 64 dims)
+    # for the join form vs milliseconds of BLAS here. Same math, same
+    # op order (widen float32→float64, dot / (‖a‖·‖b‖), round 8, ≥ τ);
+    # summation order inside the dot differs by ulps, which the round-8
+    # threshold compare absorbs (verified hash-identical at sf0.01/0.1/
+    # 1.0 against both the old plan and the DuckDB oracle). Shuffles
+    # only (vec_id, rank, embedding) keyed by list_id — the exchange the
+    # self-join needed anyway, minus the pair blow-up.
+    thr = float(threshold)
+
+    def _drop_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n <= 1:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        ranks = pdf["rank"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        dropped = np.zeros(n, dtype=bool)
+        blk = 512  # bounds the cosine block at blk×max_cluster doubles
+        for s in range(0, n, blk):
+            rows = slice(s, min(s + blk, n))
+            cos = np.round(
+                (mat[rows] @ mat.T) / np.outer(norms[rows], norms), 8
+            )
+            hit = (cos >= thr) & (ranks[None, :] < ranks[rows][:, None])
+            dropped[rows] |= hit.any(axis=1)
+        return pd.DataFrame({"vec_id": ids[dropped].astype("int64")})
+
+    e = embeddings.select("vec_id", "embedding").join(
+        ranked.select("vec_id", "list_id", "rank"), "vec_id"
     )
+    dropped = e.groupBy("list_id").applyInPandas(_drop_fn, "vec_id long")
     return ranked.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left").select(
         "vec_id",
         "list_id",

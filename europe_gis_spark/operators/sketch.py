@@ -109,6 +109,23 @@ BLOOM_BITS = 1 << 15
 BLOOM_HASHES = 5
 
 
+def _bloom_positions_of(key_col, m: int, k: int) -> list:
+    """k bit positions per key: ``pmod(xxhash64('bloom<i>', key), m)``.
+
+    xxhash64 is the JVM-native hash Spark itself uses for shuffle
+    partitioning — ~50× cheaper than the previous per-probe
+    md5+conv(hex) chain, which dominated the probe stage's runtime
+    (measured 126 core-s at sf1.0 for k=5 over 6M fact rows). The
+    Bloom hash family needs no engine portability: the oracle for any
+    bloom-pruned join is the plain exact join (false positives are
+    removed by the exact semi join; there are no false negatives), so
+    the bit scheme never leaves the engine."""
+    return [
+        F.pmod(F.xxhash64(F.lit(f"bloom{i}"), key_col), F.lit(m))
+        for i in range(k)
+    ]
+
+
 def bloom_bit_positions(
     keys: DataFrame,
     key_col: str,
@@ -116,19 +133,12 @@ def bloom_bit_positions(
     k: int = BLOOM_HASHES,
 ) -> DataFrame:
     """The set-bit positions of a Bloom filter over ``keys`` — k
-    md5-derived positions per key, distinct. ≤ min(m, k·|keys|) rows."""
+    xxhash64-derived positions per key, distinct.
+    ≤ min(m, k·|keys|) rows."""
+    pos = _bloom_positions_of(F.col("key"), m, k)
     return (
-        keys.select(
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-            F.col(key_col).cast("string").alias("key"),
-        )
-        .select(
-            _md5_bucket(
-                F.concat(F.lit("bloom"), F.col("i").cast("string")),
-                F.col("key"),
-                m,
-            ).alias("pos")
-        )
+        keys.select(F.col(key_col).cast("string").alias("key"))
+        .select(F.explode(F.array(*pos)).alias("pos"))
         .distinct()
     )
 
@@ -147,49 +157,51 @@ def bloom_semi_join(
     does this for AQE-eligible joins; this is the explicit, plannable
     form for when the build side is a separate pipeline stage).
 
-    The bit set ships as a single m-char string literal probed with
-    O(1) JVM ``substring`` per hash — no broadcast join, no shuffle
-    added to the fact side (see the build-cost note). The exact semi
-    join afterwards removes Bloom false positives, so output ≡ plain
-    semi join (no false negatives by construction); at 100 TB the win
-    is the fact-side shuffle shrinking by the filter's selectivity.
+    The exact semi join afterwards removes Bloom false positives, so
+    output ≡ plain semi join (no false negatives by construction); at
+    100 TB the win is the fact-side shuffle shrinking by the filter's
+    selectivity.
 
     Build cost: the dim bit positions COLLECT to the driver (≤ m ints);
     valid precisely because the build side is broadcast-scale — the
     same budget as any broadcast hash join, documented at the call site.
 
-    The bitmap ships as an array<bigint> literal (m/64 words, built by
-    ONE ``F.expr`` parse and constant-folded) probed with O(1)
-    ``element_at`` + ``shiftright`` — NOT as ``isin(*positions)`` (an
-    In-list of 10⁴ literals costs seconds of py4j plan construction per
-    probe) and NOT as a ``substring`` over an m-char string literal
-    (UTF8String counts code points from the string start — O(m) PER
-    ROW; measured ~80 µs/row at m=2¹⁵, turning a sub-second filter
-    into tens of seconds).
+    The bitmap attaches as a 1-row BROADCAST table carrying one
+    array<bigint> column (m/64 words) probed with O(1) ``element_at``
+    + ``shiftright``. NOT as an inline array literal: k probe sites ×
+    m/64 literals made a plan the optimizer then copied onto the DIM
+    side too (InferFiltersFromConstraints transfers join-key
+    predicates), costing seconds of driver-side optimize/codegen per
+    run (measured: ~8 s of a 10.7 s wall at sf1.0) and re-hashing the
+    dim side for nothing. A column reference can't be transferred
+    cross-side, and the plan stays O(k) nodes. NOT as
+    ``isin(*positions)`` (an In-list of 10⁴ literals costs seconds of
+    py4j plan construction) and NOT as a ``substring`` probe over an
+    m-char string literal (UTF8String counts code points from the
+    string start — O(m) PER ROW).
     """
     bits = {r.pos for r in bloom_bit_positions(dim_keys, dim_key, m, k).collect()}
     words = [0] * (m // 64)
     for p in bits:
         words[p // 64] |= 1 << (p % 64)
-    # format as signed int64 for the SQL literal
-    arr_sql = "array(" + ",".join(
-        f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words
-    ) + ")"
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    spark = fact.sparkSession
+    bits_df = spark.createDataFrame([(words,)], "__bloom_words: array<bigint>")
     key = F.col(fact_key).cast("string")
-    pruned = fact
+    pruned = fact.crossJoin(F.broadcast(bits_df))
     pos_cols = []
-    for i in range(k):
+    for i, pos in enumerate(_bloom_positions_of(key, m, k)):
         c = f"__bloom_pos_{i}"
         pos_cols.append(c)
-        pruned = pruned.withColumn(
-            c, _md5_bucket(F.lit(f"bloom{i}"), key, m)
-        )
+        pruned = pruned.withColumn(c, pos)
+    # shiftright-by-column needs the SQL form (the python builtin only
+    # takes an int literal)
     cond = " AND ".join(
-        f"((shiftright(element_at({arr_sql}, cast({c} / 64 as int) + 1),"
+        f"((shiftright(element_at(__bloom_words, cast({c} / 64 as int) + 1),"
         f" cast({c} % 64 as int)) & 1) = 1)"
         for c in pos_cols
     )
-    pruned = pruned.filter(F.expr(cond)).drop(*pos_cols)
+    pruned = pruned.filter(F.expr(cond)).drop("__bloom_words", *pos_cols)
     return pruned.join(
         dim_keys.select(F.col(dim_key).alias(fact_key)).distinct(),
         fact_key,

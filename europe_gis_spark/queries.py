@@ -71,6 +71,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_read + spread across all cores for CPU-heavy map-side work.
+
+    The test tables are single-row-group parquet files, so a scan
+    yields ONE task no matter the split config — md5-shingling or
+    regex-heavy projections then serialize on one core (measured:
+    quality_classifier 38 s wall at sf1.0, 2 tasks). The round-robin
+    repartition is a ≤ few-MB shuffle here; at corpus scale the input's
+    natural splits make the same shuffle no-op-sized relative to the
+    work it unlocks. Same discipline as ``_docs_with_dups``."""
+    return _read(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic planar points from events (pure int arithmetic)."""
     ev = _read(spark, sf_dir, "events")
@@ -906,7 +921,13 @@ GROUP BY cover_n ORDER BY cover_n
 
 def q_geo_knn(spark, sf_dir):
     """Ring-expansion kNN (J9) to fixed anchors, exhaustive oracle."""
-    pts = event_points(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
+    # single-row-group events parquet scans as ONE task — spread the
+    # Python ring-expansion work across cores (result is per-row)
+    pts = (
+        event_points(spark, sf_dir)
+        .filter(F.col("event_id") % 7 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     xs = np.array([a[1] for a in KNN_ANCHORS])
     ys = np.array([a[2] for a in KNN_ANCHORS])
     ids = [a[0] for a in KNN_ANCHORS]
@@ -967,7 +988,11 @@ ORDER BY event_id, anchor_id
 def q_geo_knn3(spark, sf_dir):
     """k=3 ring-expansion kNN (J9 generalized) — exhaustive
     rank-over-distance oracle."""
-    pts = event_points(spark, sf_dir).filter(F.col("event_id") % 13 == 0)
+    pts = (
+        event_points(spark, sf_dir)
+        .filter(F.col("event_id") % 13 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     xs = np.array([a[1] for a in KNN_ANCHORS])
     ys = np.array([a[2] for a in KNN_ANCHORS])
     ids = [a[0] for a in KNN_ANCHORS]
@@ -1862,7 +1887,7 @@ def q_dedup_incremental(spark, sf_dir):
     import os
     import tempfile
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
     old = d.filter(F.col("doc_id") >= 100)
     newb = d.filter(F.col("doc_id") < 100).unionByName(
         d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") % 30 == 0)).select(
@@ -2039,7 +2064,7 @@ ORDER BY doc_a, doc_b
 
 
 def q_token_stats(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     return (
         textops.token_stats(d)
         .select(
@@ -2068,7 +2093,7 @@ def q_winnow_fps(spark, sf_dir):
     """Winnowing (rolling-hash) document fingerprints — map-side array
     HOFs; the oracle reproduces the k-gram hashes, window minima and
     set digest exactly."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     return textops.winnow_fingerprints(d).orderBy("doc_id")
 
 
@@ -2101,7 +2126,7 @@ FROM m ORDER BY doc_id
 
 
 def q_quality(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     return (
         textops.quality_scores(d)
         .select(
@@ -2157,7 +2182,7 @@ FROM t ORDER BY doc_id
 
 
 def q_fingerprint(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     return textops.fingerprint(d).orderBy("doc_id")
 
 
@@ -2215,7 +2240,7 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 20 ORDER BY doc_a, doc_b
 def q_chunk_documents(spark, sf_dir):
     """LLM-training chunking: 512-char windows, 64 overlap, provenance
     columns — fingerprinted (md5) so the oracle hash-checks content."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     return (
         textops.chunk_documents(d, chunk_chars=512, overlap=64)
         .select(
@@ -2247,7 +2272,7 @@ def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3/PaLM rule): docs sharing any
     word 5-gram with the benchmark subset (doc_id % 37 == 0) are
     flagged. Benchmark shingles broadcast; doc side map-side."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 37 == 0)
     return textops.contamination_flags(d, bench).orderBy("doc_id")
 
@@ -2299,7 +2324,7 @@ PII_PLANT = " reach bob@example.com or +1 (555) 123-4567 now"
 def q_pii_scrub(spark, sf_dir):
     """PII redaction counts + scrubbed-text fingerprint; every 11th doc
     gets a planted email + phone so the scrubber provably fires."""
-    d = _read(spark, sf_dir, "documents").select(
+    d = _read_spread(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(
             F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(PII_PLANT))
@@ -2408,7 +2433,7 @@ def q_lm_score(spark, sf_dir):
     """Char-trigram LM quality score, self-trained on the corpus (the
     cheap KenLM-style gibberish signal)."""
     return textops.char_trigram_lm_scores(
-        _read(spark, sf_dir, "documents")
+        _read_spread(spark, sf_dir, "documents")
     ).orderBy("doc_id")
 
 
@@ -2498,7 +2523,7 @@ def q_tfidf_topk(spark, sf_dir):
     keyword-extraction / retrieval-weighting pass; ranked on the
     ROUNDED score with a term tie-break so both engines agree at rank
     boundaries."""
-    return textops.tf_idf(_read(spark, sf_dir, "documents"), top_k=5).orderBy(
+    return textops.tf_idf(_read_spread(spark, sf_dir, "documents"), top_k=5).orderBy(
         "doc_id", F.desc("tfidf"), "term"
     )
 
@@ -3518,19 +3543,34 @@ def q_ab_test(spark, sf_dir):
         ev.groupBy("user_id", "event_type")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 14)
-        .select("user_id", "event_type", F.lit(1).alias("c"))
+        .select("user_id", "event_type")
     )
-    grid = users.crossJoin(types)
-    j = grid.join(conv, ["user_id", "event_type"], "left").select(
-        "event_type",
-        "arm",
-        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-    )
-    agg = j.groupBy("event_type").agg(
+    # denominators don't depend on event_type: per-arm user counts are a
+    # 1-row aggregate attached to every type (the former users×types
+    # grid shuffled |users|·K rows for these same two numbers — a
+    # scale-killer at 10⁹ users, r5 verdict item)
+    arm_sizes = users.agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0)).alias("c0"),
-        F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0)).alias("c1"),
+    )
+    cagg = (
+        conv.join(users, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c1"),
+        )
+    )
+    agg = (
+        types.join(cagg, "event_type", "left")
+        .crossJoin(F.broadcast(arm_sizes))
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            F.coalesce(F.col("c0"), F.lit(0)).cast("long").alias("c0"),
+            F.coalesce(F.col("c1"), F.lit(0)).cast("long").alias("c1"),
+        )
     )
     p0 = F.col("c0") / F.col("n0")
     p1 = F.col("c1") / F.col("n1")
@@ -5618,7 +5658,7 @@ def q_collocations(spark, sf_dir):
     forming (zip_with over slices), two count shuffles, equi joins to
     unigram counts, 1-row totals crossJoined back. Ordering on
     ROUND(pmi,6) + (w1,w2) so the oracle ranks identically."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     return textops.collocations(d, min_count=5, k=50)
 
 
@@ -6000,7 +6040,7 @@ def q_span_dedup(spark, sf_dir):
     one sort partition at crawl scale)."""
     from .operators import textops
 
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     return (
         textops.span_dedup(d, span_tokens=15)
         .select(
@@ -6393,7 +6433,7 @@ def q_c4_line_filter(spark, sf_dir):
     doc), then rebuilt from the surviving lines — identical structural
     construction in the DuckDB mirror, so a wrong rule or a wrong
     reassembly order hash-mismatches."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     toks = textops.tokens_col()
     base = docs.select(
         "doc_id",
@@ -6487,7 +6527,7 @@ def q_cms_heavy_hitters(spark, sf_dir):
     the gap is the sketch's collision overestimate)."""
     from .operators import sketch
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     tok = docs.select(F.explode(textops.tokens_col()).alias("term"))
     counters = sketch.cms_build(tok, "term")
     exact = tok.groupBy("term").agg(F.count("*").alias("exact"))
@@ -6577,7 +6617,7 @@ def q_bpe_merges(spark, sf_dir):
     unrolls the identical recurrence as chained MATERIALIZED CTEs —
     greedy left-to-right literal replace over brace-wrapped symbols is
     the reference merge-application order in both engines."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     return textops.bpe_train(d, n_merges=8)
 
 
@@ -6585,7 +6625,7 @@ def q_bpe_vocab(spark, sf_dir):
     """Top-40 subword symbols (frequency-weighted) after the 8 learned
     BPE merges — the unigram distribution a tokenizer-budget decision
     reads; count DESC + symbol tie-break, TakeOrderedAndProject."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     return textops.bpe_vocab_after(d, n_merges=8, top_k=40)
 
 
@@ -6737,7 +6777,7 @@ def q_dsir_select(spark, sf_dir):
     top-50 — the published data-selection pass for matching a
     pretraining mix to a target domain. Per-doc scores are exact
     integer sums of fixed-point λ's, so the oracle is value-exact."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     return textops.dsir_select(d, F.col("source") == "src0", k=50)
 
 
@@ -6787,7 +6827,7 @@ def q_bpe_encode(spark, sf_dir):
     subword counts, tokenizer applied BY JOIN against the word-type
     table (documents never re-run merges — the at-scale application
     shape). Oracle = the same unrolled merge CTEs + a word join."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     return textops.bpe_encode_counts(d, n_merges=8)
 
 
@@ -7153,7 +7193,7 @@ def q_quality_classifier(spark, sf_dir):
     classifier decisions, not just the positive class."""
     from .operators import classify
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
     junk = d.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.rtrim(

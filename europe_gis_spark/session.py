@@ -49,6 +49,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Floor for AQE partition coalescing (default 1 MB). Our shuffles
+        # carry CPU-DENSE rows (text to be md5-shingled, embedding arrays
+        # to be pairwise-scored), so sizing partitions by bytes alone
+        # under-parallelizes: a 600 KB shuffle feeding a quadratic
+        # within-bucket join would coalesce to ONE task and serialize
+        # minutes of work on one core (measured: semdedup's pair join).
+        # With `parallelismFirst` (default true) the target size is
+        # max(total/parallelism, THIS), so "1b" means small shuffles
+        # still spread across the cluster while large shuffles keep the
+        # advisory sizing — scale-adaptive, not a local[32] constant.
+        # Override per-deployment via SPARK_GRAFT_AQE_MIN_PART.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "1b"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(

@@ -88,8 +88,14 @@ def main() -> None:
             df.collect()
             samples.append(round(time.perf_counter() - t0, 3))
         if args.plans:
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
             with open(os.path.join(plans_dir, f"{name}_{args.tag}.txt"), "w") as f:
-                f.write(df._jdf.queryExecution().explainString("formatted"))
+                f.write(buf.getvalue())
         stages = stage_metrics(app_id, last_stage)
         results[name] = {
             "samples": samples,

@@ -523,18 +523,21 @@ def test_cms_probe_join_broadcasts_bounded_counters(spark):
 
 
 def test_bloom_filter_prunes_fact_side_before_semi_join(spark):
-    """bloom_semi_join: the k md5 bit probes must sit as a Filter on
-    the fact scan side BELOW the exact semi join — the runtime-filter
-    shape (fact shuffle shrinks by the bloom's selectivity)."""
+    """bloom_semi_join: the k xxhash64 bit probes must sit as a Filter
+    on the fact scan side BELOW the exact semi join — the
+    runtime-filter shape (fact shuffle shrinks by the bloom's
+    selectivity) — with the bitmap attached as a 1-row broadcast, not
+    an inline literal (r6: literal form cost seconds of driver
+    optimize/codegen and was copied onto the dim side)."""
     from europe_gis_spark.queries import q_bloom_semi
 
     df = q_bloom_semi(spark, "/root/testdata/sf0.001")
     p = plan_str(df, mode="simple")
     assert "LeftSemi" in p, p
-    # the md5 probe filter is applied before the join: every md5 site
-    # in the plan precedes the first LeftSemi occurrence textually in
-    # the fact branch; cheap proxy — the filter exists and is JVM-side
-    assert "md5" in p.lower(), p
+    # the probe filter exists, is JVM-side, and reads the broadcast
+    # bitmap column rather than re-inlining m/64 literals per probe
+    assert "xxhash64" in p, p
+    assert "__bloom_words" in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
 
 
