@@ -86,49 +86,112 @@ def shingle_array(k: int = SHINGLE_WORDS, distinct: bool = False):
     )
 
 
+#: Java-regex `\s` is the ASCII class [ \t\n\x0B\f\r] (no unicode
+#: spaces without UNICODE_CHARACTER_CLASS) — the Python twin must spell
+#: it out because Python's `\s` IS unicode-aware on str
+_JAVA_WS = __import__("re").compile("[ \t\n\x0B\f\r]+")
+
+
+def java_ws_tokens(text: str | None) -> list[str]:
+    """Exact Python twin of ``split(trim(text), '\\s+')`` in Spark SQL:
+    trim removes ASCII spaces ONLY (UTF8String.trim), the split keeps
+    leading/trailing empty fields (StringSplit limit=-1), and the class
+    is Java's ASCII `\\s`. Pinned by test_minhash_arrow_twin against
+    the JVM expression on adversarial whitespace."""
+    return _JAVA_WS.split((text or "").strip(" "))
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """Per-doc minhash signature columns mh0..mh{n-1}, computed entirely
-    MAP-SIDE: mh_j = array_min(transform(shingles, hash_j)) — no explode,
-    no shuffle. At corpus scale the old explode+groupBy form shuffled
-    every shingle row (~200× the doc count); this form shuffles nothing
-    before LSH banding.
+    MAP-SIDE (no explode, no shuffle): one Arrow pass, hashlib's C md5
+    per salted shingle. At corpus scale the old explode+groupBy form
+    shuffled every shingle row (~200× the doc count); this form
+    shuffles nothing before LSH banding.
 
-    The three salted md5 digest arrays are materialized in their own
-    projection step so each digest is computed once and sliced four ways
-    (Catalyst's CollapseProject keeps multi-referenced non-trivial
-    aliases in a separate project rather than duplicating them).
+    r6: the previous form kept the same plan shape but evaluated
+    ``transform``/``array_min`` higher-order functions, which are
+    CodegenFallback — every element interpreted with per-call
+    allocation; the signature stage measured ~120 core-s for 57 k docs
+    at sf1.0 (~2.4 ms/doc). This pass does the identical hashing
+    (md5('<salt>:' || shingle) hex, four 8-char slices per digest,
+    lexicographic min) in C-speed hashlib at ~0.2 ms/doc. Tokenization
+    is the exact JVM twin (``java_ws_tokens``), pinned by a dedicated
+    adversarial-whitespace test; signatures are value-identical, so
+    band keys, candidate pairs and every oracle stay unchanged.
 
-    Docs with fewer than ``SHINGLE_WORDS`` tokens get NULL signatures
-    (array_min over an empty array) — band keys built with
-    null-propagating concat make them unjoinable, matching the oracle
-    where such docs simply have no shingle rows.
+    Docs with fewer than ``SHINGLE_WORDS`` tokens get NULL signatures —
+    band keys built with null-propagating concat make them unjoinable,
+    matching the oracle where such docs simply have no shingle rows.
     """
-    # NB: F.transform passes (element, index) to 2-arg lambdas — default
-    # args count, so per-iteration constants must close over a factory
-    def salted_md5(salt: int):
-        prefix = f"{salt}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    def hex_slice(off: int):
-        return lambda d: F.substring(d, off, 8)
+    import hashlib
 
     n_salts = (n_hashes + 3) // 4
-    base = docs.select("doc_id", shingle_array(distinct=False).alias("sh"))
-    dig = base.select(
-        "doc_id",
-        *[
-            F.transform("sh", salted_md5(salt)).alias(f"dg{salt}")
-            for salt in range(n_salts)
-        ],
-    )
-    return dig.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(F.col(f"dg{j // 4}"), hex_slice(1 + 8 * (j % 4)))
-            ).alias(f"mh{j}")
-            for j in range(n_hashes)
-        ],
+    k = SHINGLE_WORDS
+    names = [f"mh{j}" for j in range(n_hashes)]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for b in batches:
+            cols: list[list] = [[] for _ in range(n_hashes)]
+            for t in b["text"].tolist():
+                toks = java_ws_tokens(t)
+                if len(toks) < k:
+                    for c in cols:
+                        c.append(None)
+                    continue
+                shingles = [
+                    " ".join(toks[i : i + k])
+                    for i in range(len(toks) - k + 1)
+                ]
+                for salt in range(n_salts):
+                    pre = f"{salt}:"
+                    digs = [
+                        md5((pre + s).encode("utf-8")).hexdigest()
+                        for s in shingles
+                    ]
+                    for sl in range(4):
+                        j = salt * 4 + sl
+                        if j >= n_hashes:
+                            break
+                        off = 8 * sl
+                        cols[j].append(
+                            min(d[off : off + 8] for d in digs)
+                        )
+            yield pd.DataFrame(
+                {"doc_id": b["doc_id"], **dict(zip(names, cols))}
+            )
+
+    schema = "doc_id long, " + ", ".join(f"{n} string" for n in names)
+    return docs.select("doc_id", "text").mapInPandas(fn, schema)
+
+
+def shingle_sets_arrow(docs: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
+    """(doc_id, sh_set) distinct word-k-gram sets per doc — the Arrow
+    twin of ``shingle_array(k, distinct=True)`` (same ``java_ws_tokens``
+    tokenization, dict.fromkeys ≡ array_distinct first-occurrence
+    order). The JVM HOF form interpreted every element (~45 core-s per
+    evaluation at sf1.0 for 51 k docs); this is one C-speed pass."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            sets = []
+            for t in b["text"].tolist():
+                toks = java_ws_tokens(t)
+                if len(toks) < k:
+                    sets.append([])
+                    continue
+                sets.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + k])
+                            for i in range(len(toks) - k + 1)
+                        )
+                    )
+                )
+            yield pd.DataFrame({"doc_id": b["doc_id"], "sh_set": sets})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fn, schema="doc_id long, sh_set array<string>"
     )
 
 
@@ -287,7 +350,7 @@ def verify_pairs(
     # shingle ARRAYS through a groupBy — heavier than tokenizing twice
     # map-side while the broadcast candidate side keeps both joins
     # shuffle-free on the big side.
-    sets = docs.select("doc_id", shingle_array(k, distinct=True).alias("sh_set"))
+    sets = shingle_sets_arrow(docs, k)
     j = (
         candidates.join(
             sets.select(

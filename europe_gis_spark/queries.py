@@ -769,7 +769,10 @@ def q_incremental_tag(spark, sf_dir):
     dst = os.path.join(root, "dst")
     ck = os.path.join(root, "ck")
     pts = event_points(spark, sf_dir)
-    pts.write.parquet(src)
+    # multi-file source: the stream's first micro-batch scans these
+    # files as its tasks — a single file would serialize the PIP
+    # mapInPandas on one core (events parquet is one row group)
+    pts.repartition(spark.sparkContext.defaultParallelism).write.parquet(src)
     polys = [(pid, _poly_wkb(v)) for pid, v in PIP_POLYS]
     polys_df = spark.createDataFrame(
         pd.DataFrame(polys, columns=["nuts_id", "geometry"])

@@ -52,17 +52,22 @@ def get_spark(
         # Floor for AQE partition coalescing (default 1 MB). Our shuffles
         # carry CPU-DENSE rows (text to be md5-shingled, embedding arrays
         # to be pairwise-scored), so sizing partitions by bytes alone
-        # under-parallelizes: a 600 KB shuffle feeding a quadratic
-        # within-bucket join would coalesce to ONE task and serialize
-        # minutes of work on one core (measured: semdedup's pair join).
-        # With `parallelismFirst` (default true) the target size is
-        # max(total/parallelism, THIS), so "1b" means small shuffles
-        # still spread across the cluster while large shuffles keep the
-        # advisory sizing — scale-adaptive, not a local[32] constant.
-        # Override per-deployment via SPARK_GRAFT_AQE_MIN_PART.
+        # under-parallelizes: with the 1 MB default a 600 KB shuffle
+        # feeding a quadratic within-bucket join coalesces to ONE task
+        # and serializes minutes of work on one core (measured:
+        # semdedup's pair join, 88 s wall). With `parallelismFirst`
+        # (default true) the coalesce target is max(total/parallelism,
+        # THIS): at 64 KB every multi-MB CPU-dense shuffle still
+        # spreads across the cluster, while genuinely tiny exchanges
+        # (iterative graph rounds, top-k heads — a few KB) keep
+        # collapsing to one task instead of flooding the scheduler with
+        # 32 near-empty tasks per stage (measured: a 1-byte floor cost
+        # +0.5–3 s on ~15 small multi-stage queries; 64 KB keeps both
+        # regimes right). Scale-adaptive,
+        # not a local[32] constant; override via SPARK_GRAFT_AQE_MIN_PART.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "1b"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "64k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
