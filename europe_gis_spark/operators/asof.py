@@ -150,21 +150,30 @@ def gap_fill_locf(
     """
     k, ts = F.col(key_col), F.col(ts_col)
     bucket = F.date_trunc(unit, ts)
-    bounds = events.groupBy(key_col).agg(
-        F.min(bucket).alias("_b0"), F.max(bucket).alias("_b1")
-    )
-    grid = bounds.select(
-        key_col,
-        F.explode(
-            F.sequence("_b0", "_b1", F.expr(f"INTERVAL 1 {unit}"))
-        ).alias("bucket"),
-    )
     per_bucket = events.groupBy(k.alias(key_col), bucket.alias("bucket")).agg(
         F.count("*").alias("n_events"),
         F.sum(value_col).alias("sum_value"),
         F.max_by(
             value_col, F.struct(ts.alias("t"), F.col(order_col).alias("i"))
         ).alias("_last_in_bucket"),
+    )
+    # per-key bounds derive from the bucket aggregate (min/max of the
+    # bucket set ≡ bucket of min/max ts — date_trunc is monotone), so
+    # the raw events table is scanned and shuffled ONCE (r6 — the old
+    # separate bounds agg cost a second full scan + shuffle). The
+    # aggregate is pinned with an eager localCheckpoint because column
+    # pruning specializes the two consumers' subtrees and defeats
+    # ReusedExchange (verified: 0 reuse, 4 scans without it); the table
+    # is output-bound by construction (≤ one row per grid bucket).
+    per_bucket = per_bucket.localCheckpoint(eager=True)
+    bounds = per_bucket.groupBy(key_col).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence("_b0", "_b1", F.expr(f"INTERVAL 1 {unit}"))
+        ).alias("bucket"),
     )
     w = (
         Window.partitionBy(key_col)
