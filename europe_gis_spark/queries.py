@@ -71,6 +71,24 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: below this compressed input size the spread shuffle costs more than
+#: the parallelism it buys (measured at sf0.1: +0.3–0.5 s on sub-second
+#: doc queries vs −10× on multi-second ones at sf1.0)
+_SPREAD_MIN_BYTES = 2 * 1024 * 1024
+
+
+def _input_bytes(path: str) -> int:
+    import os
+
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+    return os.path.getsize(path)
+
+
 def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """_read + spread across all cores for CPU-heavy map-side work.
 
@@ -80,10 +98,19 @@ def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     quality_classifier 38 s wall at sf1.0, 2 tasks). The round-robin
     repartition is a ≤ few-MB shuffle here; at corpus scale the input's
     natural splits make the same shuffle no-op-sized relative to the
-    work it unlocks. Same discipline as ``_docs_with_dups``."""
-    return _read(spark, sf_dir, name).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    work it unlocks. Same discipline as ``_docs_with_dups``.
+
+    SIZE-ADAPTIVE (guide §2: derive partitioning from input size, not a
+    constant): below ``_SPREAD_MIN_BYTES`` of compressed input the
+    shuffle's fixed cost exceeds the parallelism gain and the plain
+    scan is returned unchanged."""
+    df = _read(spark, sf_dir, name)
+    try:
+        if _input_bytes(f"{sf_dir}/{name}.parquet") < _SPREAD_MIN_BYTES:
+            return df
+    except OSError:
+        pass
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
