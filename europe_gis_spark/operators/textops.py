@@ -1248,6 +1248,10 @@ def mix_allocation(
         F.sum("toks").cast("long").alias("tt"),
         F.sum(weight_col).cast("long").alias("pp"),
     )
+    # the signature advertises Column | int — lift a plain int here
+    # (withColumn requires a Column; r5 ADVICE item)
+    if isinstance(budget, int):
+        budget = F.lit(budget)
     d = per_source.crossJoin(tot).withColumn("b", budget)
     order = Window.orderBy((t * F.lit(1.0) / w).asc(), F.col("source"))
     cum_t = F.sum("toks").over(order.rowsBetween(Window.unboundedPreceding, 0))

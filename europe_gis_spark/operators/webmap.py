@@ -28,11 +28,19 @@ from pyspark.sql import DataFrame, functions as F
 
 def quadkey_expr(tx, ty, z: int):
     """Base-4 quadkey string for a zoom-``z`` tile id pair (JVM-only:
-    shifts, masks and a concat — no UDF)."""
+    shifts, masks and a concat — no UDF).
+
+    Bit extraction is ``shiftright(...) & 1`` — NOT ``% 2``: Spark's %
+    keeps the dividend's sign, so a NEGATIVE tile id (a point left/below
+    the tiling origin) would yield digit −1 while the DuckDB oracle's
+    ``(ty >> i) & 1`` yields 0/1 (r5 ADVICE item; latent — in-world
+    fixtures never hit it, and &1 ≡ %2 for non-negative ids, so
+    in-world quadkeys are unchanged)."""
     digits = [
-        ((F.shiftright(ty, i) % 2) * 2 + (F.shiftright(tx, i) % 2)).cast(
-            "string"
-        )
+        (
+            F.shiftright(ty, i).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(tx, i).bitwiseAND(F.lit(1))
+        ).cast("string")
         for i in range(z - 1, -1, -1)
     ]
     return F.concat(*digits) if digits else F.lit("")

@@ -357,9 +357,50 @@ def compact_delta_counts(
     delta written under batch_id = -1 (reserved: real trigger batch
     ids are non-negative, so later replays can never collide with the
     compacted partition). Totals are invariant — read_delta_counts
-    before ≡ after — and the fold is materialized (localCheckpoint)
-    before any partition is dropped, so a crash mid-compaction leaves
-    either the old log or the new one, never a half state."""
+    before ≡ after.
+
+    Crash protocol (r6 — the previous in-place write left fold PLUS
+    surviving originals after a crash between the fold write and the
+    partition deletes, double-counting on read, and a re-run re-folded
+    the double state): the fold is staged in a dot-prefixed directory
+    (invisible to parquet readers) together with a manifest of the
+    batches it covers, and only after the ``_done`` marker lands are
+    originals deleted and the fold renamed into place. Every crash
+    point is convergent — the next compact_delta_counts (or an explicit
+    call with no new batches) resumes from the staging manifest instead
+    of recomputing: before ``_done`` the staging is discarded (old log
+    intact); after it, the remaining deletes + atomic rename are
+    replayed. The one non-atomic window (crash mid-deletes, before the
+    rename) can under-count transient reads until recovery runs;
+    unlike the old protocol it can never double-count, and recovery
+    restores exact totals."""
+    import json
+    import os
+    import shutil
+
+    staging = os.path.join(path, ".compact_staging")
+    done_marker = os.path.join(staging, "_done")
+    manifest_f = os.path.join(staging, "_manifest.json")
+
+    def _finish_from_staging() -> None:
+        with open(manifest_f) as f:
+            doomed = json.load(f)["doomed"]
+        for b in doomed:
+            shutil.rmtree(f"{path}/batch_id={b}", ignore_errors=True)
+        src = os.path.join(staging, "batch_id=-1")
+        dst = os.path.join(path, "batch_id=-1")
+        if os.path.exists(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    if os.path.exists(done_marker):
+        # resume an interrupted compaction before touching new state
+        _finish_from_staging()
+    elif os.path.exists(staging):
+        # fold never completed — old log is intact, discard the stage
+        shutil.rmtree(staging, ignore_errors=True)
+
     at_rest = spark.read.parquet(path)
     cond = (
         F.col("batch_id") <= keep_after_batch
@@ -371,7 +412,6 @@ def compact_delta_counts(
         old.groupBy(*key_cols)
         .agg(F.sum("n").alias("n"))
         .withColumn("batch_id", F.lit(-1))
-        .localCheckpoint(eager=True)
     )
     doomed = [
         r.batch_id
@@ -379,12 +419,11 @@ def compact_delta_counts(
     ]
     (
         folded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
-        .parquet(path)
+        .parquet(staging)
     )
-    import shutil
-
-    for b in doomed:
-        if b != -1:
-            shutil.rmtree(f"{path}/batch_id={b}", ignore_errors=True)
+    with open(manifest_f, "w") as f:
+        json.dump({"doomed": [b for b in doomed if b != -1]}, f)
+    with open(done_marker, "w") as f:
+        f.write("1")
+    _finish_from_staging()

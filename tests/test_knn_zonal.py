@@ -238,6 +238,28 @@ def test_tile_pyramid_rollup_and_quadkey(spark):
     assert root.n_events == 300 and root.quadkey == ""
 
 
+def test_quadkey_negative_tile_ids_yield_binary_digits(spark):
+    """r6 ADVICE fix: bit extraction must be (x >> i) & 1 — Spark's %
+    keeps the dividend's sign, so out-of-world (negative) tile ids used
+    to emit '-1' digits that broke the base-4 alphabet and diverged
+    from the oracle's & 1 semantics."""
+    from pyspark.sql import functions as F
+
+    from europe_gis_spark.operators import webmap
+
+    df = spark.createDataFrame(
+        [(-1, -1), (-3, 2), (2, -3), (0, 0), (3, 3)], "tx long, ty long"
+    )
+    rows = df.select(
+        "tx", "ty", webmap.quadkey_expr(F.col("tx"), F.col("ty"), 3).alias("qk")
+    ).collect()
+    for r in rows:
+        assert len(r.qk) == 3 and set(r.qk) <= set("0123"), r
+        # digit k must equal the oracle formula (ty>>i)&1 / (tx>>i)&1
+        for d, i in zip(r.qk, range(2, -1, -1)):
+            assert int(d) == ((r.ty >> i) & 1) * 2 + ((r.tx >> i) & 1), r
+
+
 def test_kde_heatmap_mass_conservation(spark):
     """Total stamped density == n_points × Σ(stamp weights); the peak
     sits at a point's own cell; stamp is symmetric."""

@@ -2527,6 +2527,69 @@ def test_compact_delta_counts_preserves_totals(spark, tmp_path):
     assert final == {"a": 2, "b": 2, "c": 1}
 
 
+def test_compact_delta_counts_crash_recovery_converges(spark, tmp_path):
+    """r6 crash protocol: a compaction interrupted at EITHER crash
+    window (staging written but _done missing; _done written but
+    deletes/rename unfinished) must converge to exact totals on the
+    next run — the old in-place protocol double-counted and re-folding
+    baked the double state in."""
+    import json
+    import os
+    import shutil
+
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(pd.DataFrame({"k": ["a", "b", "a"]})).write.parquet(src)
+    stream = lambda: spark.readStream.schema("k string").parquet(src)  # noqa: E731
+    incremental.delta_counts_sink(stream(), dst, ck, key_cols=("k",))
+    spark.createDataFrame(pd.DataFrame({"k": ["b"]})).write.mode("append").parquet(src)
+    incremental.delta_counts_sink(stream(), dst, ck, key_cols=("k",))
+    want = {"a": 2, "b": 2}
+
+    staging = os.path.join(dst, ".compact_staging")
+
+    # crash window 1: staging exists, _done never written → next run
+    # discards the stage; the untouched original log stays correct
+    os.makedirs(os.path.join(staging, "batch_id=-1"), exist_ok=True)
+    with open(os.path.join(staging, "_manifest.json"), "w") as f:
+        json.dump({"doomed": []}, f)
+    got = {
+        r.k: r.n for r in incremental.read_delta_counts(spark, dst, ("k",)).collect()
+    }
+    assert got == want  # dot-dir invisible to readers
+    incremental.compact_delta_counts(spark, dst, ("k",))
+    got = {
+        r.k: r.n for r in incremental.read_delta_counts(spark, dst, ("k",)).collect()
+    }
+    assert got == want
+
+    # crash window 2: _done written, deletes/rename not run — simulate
+    # by rebuilding the staged state a real crash would leave behind
+    batches = sorted(
+        r.batch_id
+        for r in spark.read.parquet(dst).select("batch_id").distinct().collect()
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    # stage = a copy of the current fold (totals identical by invariant)
+    shutil.copytree(
+        os.path.join(dst, "batch_id=-1"), os.path.join(staging, "batch_id=-1")
+    )
+    with open(os.path.join(staging, "_manifest.json"), "w") as f:
+        json.dump({"doomed": [b for b in batches if b != -1]}, f)
+    with open(os.path.join(staging, "_done"), "w") as f:
+        f.write("1")
+    incremental.compact_delta_counts(spark, dst, ("k",))
+    got = {
+        r.k: r.n for r in incremental.read_delta_counts(spark, dst, ("k",)).collect()
+    }
+    assert got == want
+    assert not os.path.exists(staging)
+
+
 def test_incremental_dedup_finds_planted_cross_pairs(spark):
     """Every planted near-copy of an at-rest doc must come back as a
     verified (new, old) pair against the parquet band index, and no
