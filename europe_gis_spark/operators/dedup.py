@@ -706,7 +706,13 @@ def jaccard_prefix_join(
         .groupBy("tok")
         .agg(F.count("*").alias("tf"))
     )
-    # per-doc tokens sorted by (global freq asc, token) — struct sort
+    # per-doc tokens sorted by (global freq asc, token) — struct sort.
+    # Pinned ONCE (eager localCheckpoint, disk-backed): three consumers
+    # read it (prefix candidates + both verify sides) and column
+    # pruning specializes their subtrees, so without the pin the whole
+    # tokenize→freq-join→collect_list chain re-ran per consumer
+    # (plan showed 9 scans / 3 chains; the semdedup rank-table
+    # discipline)
     sorted_toks = (
         t.select("doc_id", F.explode("toks").alias("tok"))
         .join(freq, "tok")
@@ -720,6 +726,7 @@ def jaccard_prefix_join(
             "doc_id",
             F.transform("st", lambda s: s["tok"]).alias("toks"),
         )
+        .localCheckpoint(eager=True)
     )
     n = F.size("toks")
     prefix_len = n - ceil_frac(n, tau) + F.lit(1)
